@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode settings mirror what we would set fleet-wide on a real cluster:
+AQE on (runtime skew/coalesce re-planning), shuffle partitions sized to the
+parallelism actually available, Arrow enabled for the few pandas-UDF eval
+operators, UTC session timezone (bar timestamps are epoch-ms).
+
+ANSI mode is deliberately OFF: the reference engine's semantics are
+permissive (ClickHouse ``nullIf`` guards everywhere, NULL on bad division),
+and every denominator in this codebase is explicitly ``nullif``-guarded, so
+we want NULL-propagation rather than task-killing exceptions at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "rangebar_patterns_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        # 128 MB input splits: at 100 TB this yields ~800K tasks; pair with
+        # dynamic allocation on a real cluster.  Local tests never notice.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # the driver's testdata uses TIMESTAMP(NANOS) parquet, which Spark
+        # only reads as raw int64 — the bars adapter converts to epoch ms
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,62 @@
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from rangebar_patterns_spark.session import get_spark
+from rangebar_patterns_spark.sources.tables import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """DuckDB connection with the same testdata tables registered as views,
+    mirroring the driver's oracle harness."""
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def compare_frames(spark_df, duck_df, rtol=0.0, atol=0.0):
+    """Order-insensitive comparison mirroring the driver's check: sort
+    columns by name, sort rows, compare values."""
+    import pandas as pd
+
+    sp = spark_df.toPandas()
+    du = duck_df
+    assert sorted(sp.columns) == sorted(du.columns), (
+        f"schema mismatch: {sorted(sp.columns)} vs {sorted(du.columns)}"
+    )
+    cols = sorted(sp.columns)
+    sp = sp[cols].sort_values(cols).reset_index(drop=True)
+    du = du[cols].sort_values(cols).reset_index(drop=True)
+    assert len(sp) == len(du), f"row count mismatch: {len(sp)} vs {len(du)}"
+    for c in cols:
+        s, d = sp[c], du[c]
+        if s.dtype.kind == "f" or d.dtype.kind == "f":
+            import numpy as np
+
+            s = s.astype(float)
+            d = d.astype(float)
+            both_nan = s.isna() & d.isna()
+            close = np.isclose(s, d, rtol=rtol, atol=atol, equal_nan=True)
+            bad = ~(both_nan | close)
+            assert not bad.any(), (
+                f"column {c}: {bad.sum()} mismatches, first at idx "
+                f"{bad.idxmax()}: spark={s[bad].iloc[0]!r} duck={d[bad].iloc[0]!r}"
+            )
+        else:
+            pd.testing.assert_series_equal(
+                s, d, check_names=False, check_dtype=False, obj=f"column {c}"
+            )
