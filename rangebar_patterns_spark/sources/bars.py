@@ -92,20 +92,25 @@ def bars_from_events(spark_or_df, sf_dir: str | None = None) -> DataFrame:
         h = (F.col("event_id") % _P * F.lit(mult) + F.lit(off)) % _P
         df = df.withColumn(name, h.cast("double") / F.lit(float(_P)))
 
-    # price path: bounded multi-period sawtooth + hash jitter (no float
-    # accumulation => per-row exact in both engines)
+    # price path: bounded multi-period *triangle* waves + hash jitter —
+    # balanced up/down with genuine runs in both directions, and no float
+    # accumulation so each row is exact in both engines
     wiggle = (
-        (F.col("rn") % 64 - 32) * F.lit(0.01)
-        + (F.col("rn") % 17 - 8) * F.lit(0.02)
-        + (F.col("rn") % 5 - 2) * F.lit(0.005)
+        (F.abs(F.col("rn") % 64 - 32) - 16) * F.lit(0.01)
+        + (F.abs(F.col("rn") % 18 - 9) - 4) * F.lit(0.02)
+        + (F.abs(F.col("rn") % 6 - 3) - 1) * F.lit(0.01)
     )
     df = df.withColumn("close", F.lit(100.0) + wiggle + (F.col("u1") - 0.5) * F.lit(0.01))
 
+    # ~10% of bars are wickless on each side so wickless-formation
+    # predicates (wl1d/wl2d, opposite_wick_pct < 0.001) have a population
     wb = Window.partitionBy("symbol").orderBy("rn")
+    up_wick = F.when(F.col("u2") < 0.1, F.lit(0.0)).otherwise(F.col("u2") * F.lit(0.03))
+    dn_wick = F.when(F.col("u3") < 0.1, F.lit(0.0)).otherwise(F.col("u3") * F.lit(0.03))
     df = (
         df.withColumn("open", F.coalesce(F.lag("close", 1).over(wb), F.lit(100.0)))
-        .withColumn("high", F.greatest("open", "close") + F.col("u2") * F.lit(0.03))
-        .withColumn("low", F.least("open", "close") - F.col("u3") * F.lit(0.03))
+        .withColumn("high", F.greatest("open", "close") + up_wick)
+        .withColumn("low", F.least("open", "close") - dn_wick)
     )
 
     df = (
@@ -186,7 +191,7 @@ base_bars0 AS (
 ),
 base_bars1 AS (
     SELECT symbol, close_time_ms, rn,
-        100.0 + ((rn % 64 - 32) * 0.01 + (rn % 17 - 8) * 0.02 + (rn % 5 - 2) * 0.005)
+        100.0 + ((abs(rn % 64 - 32) - 16) * 0.01 + (abs(rn % 18 - 9) - 4) * 0.02 + (abs(rn % 6 - 3) - 1) * 0.01)
               + ({u['u1']} - 0.5) * 0.01 AS close,
         {u['u1']} AS u1, {u['u2']} AS u2, {u['u3']} AS u3, {u['u4']} AS u4,
         {u['u5']} AS u5, {u['u6']} AS u6, {u['u7']} AS u7, {u['u8']} AS u8,
@@ -200,8 +205,8 @@ base_bars2 AS (
 ),
 base_bars3 AS (
     SELECT *,
-        greatest(open, close) + u2 * 0.03 AS high,
-        least(open, close) - u3 * 0.03 AS low,
+        greatest(open, close) + CASE WHEN u2 < 0.1 THEN 0.0 ELSE u2 * 0.03 END AS high,
+        least(open, close) - CASE WHEN u3 < 0.1 THEN 0.0 ELSE u3 * 0.03 END AS low,
         250 AS threshold_decimal_bps,
         'month' AS ouroboros_mode,
         value * 10.0 + 1.0 AS volume,
