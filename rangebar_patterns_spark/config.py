@@ -1,0 +1,105 @@
+"""Barrier / sweep configuration grids — configs are *data*, not query text.
+
+The reference generates 301K sed-substituted SQL files from bash loops
+(scripts/gen600/generate.sh:104-175) and inline ``arrayJoin`` grids
+(gen200_triple_barrier.sql:185-187, gen720_wf_wl1d_template.sql:118-156).
+Here a grid is a plain list of rows that becomes (a) a broadcast Spark
+DataFrame and (b) a DuckDB VALUES clause for oracle twins — one
+parameterized plan evaluates every cell.
+
+barrier_id format follows the reference (barrier_sim.py:40-43):
+``p{phase1}_slt{tight*10:03d}_mb{max_bars}``, prefixed with a tp/sl tag so
+single- and 2-segment grids can coexist in one result table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class BarrierConfig:
+    tp_mult: float
+    sl_mult: float  # wide (phase-1) stop, in bar-widths
+    sl_tight_mult: float  # phase-2 stop; == sl_mult → single-segment
+    phase1_bars: int
+    max_bars: int
+
+    @property
+    def barrier_id(self) -> str:
+        return (
+            f"tp{int(self.tp_mult * 1000):04d}_sl{int(self.sl_mult * 1000):04d}"
+            f"_p{self.phase1_bars}_slt{int(self.sl_tight_mult * 10):03d}"
+            f"_mb{self.max_bars}"
+        )
+
+
+def gen200_grid() -> list[BarrierConfig]:
+    """Single-segment grid in the reference gen200 value range
+    (gen200_triple_barrier.sql:185-187): tp {0.25,0.5,1.0} ×
+    sl {0.125,0.25,0.5} × max_bars {10,20}; sl_tight == sl."""
+    return [
+        BarrierConfig(tp, sl, sl, phase1_bars=5, max_bars=mb)
+        for tp in (0.25, 0.5, 1.0)
+        for sl in (0.125, 0.25, 0.5)
+        for mb in (10, 20)
+    ]
+
+
+def gen720_grid() -> list[BarrierConfig]:
+    """2-segment WFO-style grid (gen720_wf_wl1d_template.sql:118-134):
+    wide SL {0.25,0.5} × tight {0.0625,0.125} × phase1 {3,5,7} ×
+    max_bars {10,20}, constraint phase1_bars < max_bars."""
+    return [
+        BarrierConfig(0.5, slw, slt, phase1_bars=p1, max_bars=mb)
+        for slw in (0.25, 0.5)
+        for slt in (0.0625, 0.125)
+        for p1 in (3, 5, 7)
+        for mb in (10, 20)
+        if p1 < mb
+    ]
+
+
+GRID_COLUMNS = [
+    "barrier_id",
+    "tp_mult",
+    "sl_mult",
+    "sl_tight_mult",
+    "phase1_bars",
+    "max_bars",
+]
+
+
+def grid_rows(grid: list[BarrierConfig]) -> list[tuple]:
+    return [
+        (c.barrier_id, c.tp_mult, c.sl_mult, c.sl_tight_mult, c.phase1_bars, c.max_bars)
+        for c in grid
+    ]
+
+
+def grid_to_spark(spark: SparkSession, grid: list[BarrierConfig]) -> DataFrame:
+    return spark.createDataFrame(
+        grid_rows(grid),
+        "barrier_id string, tp_mult double, sl_mult double, "
+        "sl_tight_mult double, phase1_bars int, max_bars int",
+    )
+
+
+def grid_to_duckdb_values(grid: list[BarrierConfig]) -> str:
+    """DuckDB CTE body: ``barrier_grid AS (SELECT ... FROM (VALUES ...))``."""
+    rows = ",\n        ".join(
+        f"('{c.barrier_id}', CAST({c.tp_mult!r} AS DOUBLE), CAST({c.sl_mult!r} AS DOUBLE), "
+        f"CAST({c.sl_tight_mult!r} AS DOUBLE), {c.phase1_bars}, {c.max_bars})"
+        for c in grid
+    )
+    return (
+        "barrier_grid AS (\n    SELECT * FROM (VALUES\n        "
+        + rows
+        + f"\n    ) AS t({', '.join(GRID_COLUMNS)})\n)"
+    )
+
+
+def max_bars_cap(grid: list[BarrierConfig]) -> int:
+    return max(c.max_bars for c in grid)

@@ -1,0 +1,202 @@
+"""The composite triple-barrier simulation operator (SURVEY.md §2.9).
+
+Semantics are the reference's unit-test oracle ``barrier_sim.simulate_barriers``
+(src/opendeviationbar_patterns/barrier_sim.py:45-147) and the gen720 SQL
+templates (sql/gen720_wf_wl1d_template.sql:118-252):
+
+  * entry at the NEXT bar's open after the signal bar (AP-15);
+  * forward scan covers bars signal+2 .. signal+1+max_bars (1-based
+    forward index 1..max_bars);
+  * 2-segment stop: wide SL while fwd <= phase1_bars, tight SL after;
+  * per bar, SL is checked before TP — **SL wins same-bar ties (AP-12)**;
+  * SL executes at ``least(open_at_exit, sl_price)`` — gap-down fills at
+    the worse price (AP-13); TP executes exactly at tp_price; TIME exits
+    at the close of forward bar max_bars;
+  * signals without max_bars complete forward bars are INCOMPLETE and
+    dropped (gen200_triple_barrier.sql:247).
+
+Everything is Catalyst higher-order functions over per-signal forward
+arrays — zero Python UDFs on this path.  Spark HOF lambdas capture outer
+columns correctly, so the reference's AP-02 hoisting workaround is not
+*needed*, but prices are still hoisted as columns for plan readability.
+
+Scale strategy: the forward arrays are built by a bounded window
+(CURRENT+2 .. CURRENT+1+cap FOLLOWING) partitioned by symbol — per-row
+state is 4 × cap × 8 B, and the whole operator is shuffle-free up to the
+final config cross-join, which broadcasts the (≤ thousands-row) grid.
+For very sparse signals at 100 TB, prefer filtering signals first and
+range-joining forward bars (J1) instead; see ``forward_join_variant``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .windows import bar_window
+
+TRADE_COLUMNS = [
+    "symbol",
+    "signal_rn",
+    "signal_ts_ms",
+    "barrier_id",
+    "entry_price",
+    "exit_type",
+    "exit_bar",
+    "exit_price",
+    "return_pct",
+]
+
+
+def with_entry_and_forward(df: DataFrame, cap: int) -> DataFrame:
+    """Attach entry_price (next-bar open) and forward OHLC arrays covering
+    forward bars 1..cap (i.e. rows signal+2 .. signal+1+cap)."""
+    w = bar_window()
+    fwd = bar_window().rowsBetween(2, 1 + cap)
+    out = df.withColumn("entry_price", F.lead("open", 1).over(w))
+    for src, dst in [
+        ("high", "fwd_highs"),
+        ("low", "fwd_lows"),
+        ("open", "fwd_opens"),
+        ("close", "fwd_closes"),
+    ]:
+        out = out.withColumn(dst, F.collect_list(src).over(fwd))
+    return out
+
+
+def _first_breach_index(arr: Column, pred) -> Column:
+    """1-based index of the first element satisfying pred, 0 if none —
+    the reference's arrayFirstIndex convention (AP-03)."""
+    return F.coalesce(
+        F.array_position(F.transform(arr, pred), F.lit(True)), F.lit(0)
+    ).cast("int")
+
+
+def simulate_barriers(
+    signals: DataFrame,
+    grid: DataFrame,
+    bar_range: Column | None = None,
+) -> DataFrame:
+    """signals: output of ``with_entry_and_forward`` filtered to signal
+    rows.  grid: broadcastable barrier-config DataFrame (config.py).
+    Returns the per-trade long format (gen720_wf_wl1d_template.sql:238-252).
+    """
+    if bar_range is None:
+        bar_range = F.col("threshold_decimal_bps").cast("double") / F.lit(100000.0)
+
+    t = signals.crossJoin(F.broadcast(grid))
+    t = (
+        t.withColumn("bar_range", bar_range)
+        .withColumn(
+            "tp_price",
+            F.col("entry_price") * (F.lit(1.0) + F.col("tp_mult") * F.col("bar_range")),
+        )
+        .withColumn(
+            "sl_wide_price",
+            F.col("entry_price") * (F.lit(1.0) - F.col("sl_mult") * F.col("bar_range")),
+        )
+        .withColumn(
+            "sl_tight_price",
+            F.col("entry_price")
+            * (F.lit(1.0) - F.col("sl_tight_mult") * F.col("bar_range")),
+        )
+    )
+
+    # complete trades only (INCOMPLETE dropped)
+    t = t.filter(
+        F.col("entry_price").isNotNull() & (F.size("fwd_highs") >= F.col("max_bars"))
+    )
+
+    tp = F.col("tp_price")
+    slw = F.col("sl_wide_price")
+    slt = F.col("sl_tight_price")
+    p1 = F.col("phase1_bars")
+    mb = F.col("max_bars")
+
+    t = (
+        t.withColumn(
+            "tp_idx",
+            _first_breach_index(F.slice("fwd_highs", F.lit(1), mb), lambda h: h >= tp),
+        )
+        .withColumn(
+            "sl_wide_idx",
+            _first_breach_index(
+                F.slice("fwd_lows", F.lit(1), F.least(p1, mb)), lambda x: x <= slw
+            ),
+        )
+        .withColumn(
+            "_sl_tight_rel",
+            _first_breach_index(
+                F.slice("fwd_lows", p1 + F.lit(1), F.greatest(mb - p1, F.lit(0))),
+                lambda x: x <= slt,
+            ),
+        )
+        .withColumn(
+            "sl_idx",
+            F.when(F.col("sl_wide_idx") > 0, F.col("sl_wide_idx"))
+            .when(F.col("_sl_tight_rel") > 0, F.col("_sl_tight_rel") + p1)
+            .otherwise(F.lit(0)),
+        )
+    )
+
+    sl_found = F.col("sl_idx") > 0
+    tp_found = F.col("tp_idx") > 0
+    is_sl = sl_found & (~tp_found | (F.col("sl_idx") <= F.col("tp_idx")))
+    is_tp = tp_found & (~sl_found | (F.col("tp_idx") < F.col("sl_idx")))
+
+    exit_bar = (
+        F.when(is_sl, F.col("sl_idx")).when(is_tp, F.col("tp_idx")).otherwise(mb)
+    )
+    sl_price_at_exit = F.when(F.col("sl_idx") <= p1, slw).otherwise(slt)
+    exit_price = (
+        F.when(is_sl, F.least(F.element_at("fwd_opens", F.col("sl_idx")), sl_price_at_exit))
+        .when(is_tp, tp)
+        .otherwise(F.element_at("fwd_closes", mb))
+    )
+
+    return (
+        t.withColumn("exit_type", F.when(is_sl, "SL").when(is_tp, "TP").otherwise("TIME"))
+        .withColumn("exit_bar", exit_bar.cast("long"))
+        .withColumn("exit_price", exit_price)
+        .withColumn(
+            "return_pct",
+            (F.col("exit_price") - F.col("entry_price")) / F.col("entry_price"),
+        )
+        .withColumnRenamed("rn", "signal_rn")
+        .withColumnRenamed("close_time_ms", "signal_ts_ms")
+        .select(*TRADE_COLUMNS)
+    )
+
+
+def barrier_metrics(trades: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Per-config aggregate metrics (A2 — gen200_triple_barrier.sql:247-309):
+    win_rate, profit_factor, avg win/loss, risk_reward, expected_value,
+    avg_bars_held, kelly_fraction.  Float aggregates are rounded to 6
+    decimals (cross-engine float-sum tolerance; see plans/catalog.py)."""
+    g = group_cols or ["symbol", "barrier_id"]
+    r = F.col("return_pct")
+    win = r > 0
+    n = F.count("*")
+    n_win = F.sum(F.when(win, 1).otherwise(0))
+    win_rate = n_win.cast("double") / n.cast("double")
+    gross_win = F.sum(F.when(win, r).otherwise(0.0))
+    gross_loss = F.abs(F.sum(F.when(~win, r).otherwise(0.0)))
+    avg_win = F.avg(F.when(win, r))
+    avg_loss = F.abs(F.avg(F.when(~win, r)))
+    rr = avg_win / F.nullif(avg_loss, F.lit(0.0))
+    ev = F.avg(r)
+    kelly = win_rate - (F.lit(1.0) - win_rate) / F.nullif(rr, F.lit(0.0))
+    return trades.groupBy(*g).agg(
+        n.alias("n_trades"),
+        F.sum(F.when(F.col("exit_type") == "TP", 1).otherwise(0)).alias("n_tp"),
+        F.sum(F.when(F.col("exit_type") == "SL", 1).otherwise(0)).alias("n_sl"),
+        F.sum(F.when(F.col("exit_type") == "TIME", 1).otherwise(0)).alias("n_time"),
+        F.round(win_rate, 6).alias("win_rate"),
+        F.round(gross_win / F.nullif(gross_loss, F.lit(0.0)), 6).alias("profit_factor"),
+        F.round(avg_win, 6).alias("avg_win"),
+        F.round(avg_loss, 6).alias("avg_loss"),
+        F.round(rr, 6).alias("risk_reward"),
+        F.round(ev, 6).alias("expected_value"),
+        F.round(F.avg(F.col("exit_bar").cast("double")), 6).alias("avg_bars_held"),
+        F.round(kelly, 6).alias("kelly_fraction"),
+    )

@@ -1,0 +1,120 @@
+"""DuckDB oracle twin of the barrier simulation pipeline.
+
+Mirrors ``operators/barriers.py`` stage by stage with identical arithmetic
+association order.  DuckDB specifics vs Spark:
+  * ``list_slice(l, a, b)`` is begin/end-INCLUSIVE (Spark ``slice`` takes a
+    length) — call sites are written to produce the same element ranges;
+  * ``list_position`` returns NULL when not found (Spark ``array_position``
+    returns 0) — both normalized to the reference's 0=not-found (AP-03).
+"""
+
+from __future__ import annotations
+
+from ..config import BarrierConfig, grid_to_duckdb_values, max_bars_cap
+
+
+def barrier_pipeline_ctes(
+    grid: list[BarrierConfig],
+    signal_where: str,
+    feat_relation: str = "feat",
+) -> str:
+    """CTE chain ``fwd -> sigs -> trades`` (append after bars/feat CTEs).
+
+    ``signal_where``: SQL predicate over the feat relation selecting signal
+    bars (include eligibility).
+    """
+    cap = max_bars_cap(grid)
+    return f"""{grid_to_duckdb_values(grid)},
+fwd AS (
+    SELECT *,
+        list(high) OVER fw AS fwd_highs,
+        list(low) OVER fw AS fwd_lows,
+        list(open) OVER fw AS fwd_opens,
+        list(close) OVER fw AS fwd_closes
+    FROM {feat_relation}
+    WINDOW fw AS (PARTITION BY symbol ORDER BY rn
+                  ROWS BETWEEN 2 FOLLOWING AND {cap + 1} FOLLOWING)
+),
+sigs AS (
+    SELECT * FROM fwd WHERE {signal_where}
+),
+trades1 AS (
+    SELECT s.*, g.*,
+        CAST(threshold_decimal_bps AS DOUBLE) / 100000.0 AS bar_range
+    FROM sigs s CROSS JOIN barrier_grid g
+),
+trades2 AS (
+    SELECT *,
+        entry_price * (1.0 + tp_mult * bar_range) AS tp_price,
+        entry_price * (1.0 - sl_mult * bar_range) AS sl_wide_price,
+        entry_price * (1.0 - sl_tight_mult * bar_range) AS sl_tight_price
+    FROM trades1
+    WHERE entry_price IS NOT NULL AND len(fwd_highs) >= max_bars
+),
+trades3 AS (
+    SELECT *,
+        CAST(coalesce(list_position(list_transform(
+            list_slice(fwd_highs, 1, max_bars), h -> h >= tp_price), true), 0) AS INT)
+            AS tp_idx,
+        CAST(coalesce(list_position(list_transform(
+            list_slice(fwd_lows, 1, least(phase1_bars, max_bars)), x -> x <= sl_wide_price), true), 0) AS INT)
+            AS sl_wide_idx,
+        CAST(coalesce(list_position(list_transform(
+            list_slice(fwd_lows, phase1_bars + 1, max_bars), x -> x <= sl_tight_price), true), 0) AS INT)
+            AS sl_tight_rel
+    FROM trades2
+),
+trades4 AS (
+    SELECT *,
+        CASE WHEN sl_wide_idx > 0 THEN sl_wide_idx
+             WHEN sl_tight_rel > 0 THEN sl_tight_rel + phase1_bars
+             ELSE 0 END AS sl_idx
+    FROM trades3
+),
+trades5 AS (
+    SELECT *,
+        (sl_idx > 0 AND (tp_idx = 0 OR sl_idx <= tp_idx)) AS is_sl,
+        (tp_idx > 0 AND (sl_idx = 0 OR tp_idx < sl_idx)) AS is_tp
+    FROM trades4
+),
+trades6 AS (
+    SELECT *,
+        CASE WHEN is_sl THEN 'SL' WHEN is_tp THEN 'TP' ELSE 'TIME' END AS exit_type,
+        CAST(CASE WHEN is_sl THEN sl_idx WHEN is_tp THEN tp_idx ELSE max_bars END AS BIGINT) AS exit_bar,
+        CASE WHEN is_sl THEN least(fwd_opens[sl_idx],
+                 CASE WHEN sl_idx <= phase1_bars THEN sl_wide_price ELSE sl_tight_price END)
+             WHEN is_tp THEN tp_price
+             ELSE fwd_closes[max_bars] END AS exit_price
+    FROM trades5
+),
+trades AS (
+    SELECT symbol, rn AS signal_rn, close_time_ms AS signal_ts_ms, barrier_id,
+        entry_price, exit_type, exit_bar, exit_price,
+        (exit_price - entry_price) / entry_price AS return_pct
+    FROM trades6
+)"""
+
+
+BARRIER_METRICS_SELECT = """
+SELECT symbol, barrier_id,
+    count(*) AS n_trades,
+    CAST(sum(CASE WHEN exit_type = 'TP' THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+    CAST(sum(CASE WHEN exit_type = 'SL' THEN 1 ELSE 0 END) AS BIGINT) AS n_sl,
+    CAST(sum(CASE WHEN exit_type = 'TIME' THEN 1 ELSE 0 END) AS BIGINT) AS n_time,
+    round(CAST(sum(CASE WHEN return_pct > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS win_rate,
+    round(sum(CASE WHEN return_pct > 0 THEN return_pct ELSE 0.0 END)
+        / nullif(abs(sum(CASE WHEN NOT (return_pct > 0) THEN return_pct ELSE 0.0 END)), 0.0), 6) AS profit_factor,
+    round(avg(CASE WHEN return_pct > 0 THEN return_pct END), 6) AS avg_win,
+    round(abs(avg(CASE WHEN NOT (return_pct > 0) THEN return_pct END)), 6) AS avg_loss,
+    round(avg(CASE WHEN return_pct > 0 THEN return_pct END)
+        / nullif(abs(avg(CASE WHEN NOT (return_pct > 0) THEN return_pct END)), 0.0), 6) AS risk_reward,
+    round(avg(return_pct), 6) AS expected_value,
+    round(avg(CAST(exit_bar AS DOUBLE)), 6) AS avg_bars_held,
+    round(CAST(sum(CASE WHEN return_pct > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        - (1.0 - CAST(sum(CASE WHEN return_pct > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+          / nullif(avg(CASE WHEN return_pct > 0 THEN return_pct END)
+                   / nullif(abs(avg(CASE WHEN NOT (return_pct > 0) THEN return_pct END)), 0.0), 0.0), 6)
+        AS kelly_fraction
+FROM trades
+GROUP BY symbol, barrier_id
+"""

@@ -224,7 +224,7 @@ def q_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         feat.filter(F.col("dir_1").isNotNull())
         .groupBy(
             "symbol",
-            F.year(F.timestamp_millis(F.col("close_time_ms"))).alias("yr"),
+            F.year(F.timestamp_millis(F.col("close_time_ms"))).cast("long").alias("yr"),
         )
         .agg(
             F.count("*").alias("total_bars"),
@@ -235,3 +235,54 @@ def q_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("high"), 6).alias("max_high"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 composite barrier simulation: per-trade long format (gen720) and
+# per-config aggregates (gen200 A2) — J2/J3 cross joins, W5 forward arrays,
+# array-HOF breach scans, AP-12/13 exit semantics
+# ---------------------------------------------------------------------------
+
+from ..config import gen200_grid, gen720_grid, grid_to_spark, max_bars_cap  # noqa: E402
+from ..operators.barriers import (  # noqa: E402
+    barrier_metrics,
+    simulate_barriers,
+    with_entry_and_forward,
+)
+from .barrier_oracle import BARRIER_METRICS_SELECT, barrier_pipeline_ctes  # noqa: E402
+
+
+def _trades_df(spark: SparkSession, sf_dir: str, grid, signal_col) -> DataFrame:
+    feat = with_bar_features(bars_from_events(spark, sf_dir))
+    feat = with_entry_and_forward(feat, cap=max_bars_cap(grid))
+    sigs = feat.filter(signal_col & eligibility(WARMUP))
+    return simulate_barriers(sigs, grid_to_spark(spark, grid))
+
+
+_TRADES_ORACLE = f"""
+WITH {BARS_DUCKDB_CTE},
+{frag.feat_cte()},
+{barrier_pipeline_ctes(gen720_grid(), f"{frag.CHAMPION_SIGNAL} AND {frag.eligibility(WARMUP)}")}
+SELECT * FROM trades
+"""
+
+
+@register("triple_barrier_trades", _TRADES_ORACLE)
+def q_triple_barrier_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _trades_df(spark, sf_dir, gen720_grid(), champion_signal())
+
+
+_METRICS_ORACLE = f"""
+WITH {BARS_DUCKDB_CTE},
+{frag.feat_cte()},
+{barrier_pipeline_ctes(gen200_grid(), f"dir_1 = 0 AND direction = 0 AND {frag.eligibility(WARMUP)}")}
+{BARRIER_METRICS_SELECT}
+"""
+
+
+@register("barrier_profile_metrics", _METRICS_ORACLE)
+def q_barrier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.signals import f_2down
+
+    trades = _trades_df(spark, sf_dir, gen200_grid(), f_2down())
+    return barrier_metrics(trades)

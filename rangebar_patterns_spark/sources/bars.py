@@ -78,7 +78,8 @@ def bars_from_events(spark_or_df, sf_dir: str | None = None) -> DataFrame:
     else:
         close_ms = F.unix_millis(F.col("ts").cast("timestamp"))
 
-    df = events.withColumn("rn", F.row_number().over(w)).select(
+    # rn as BIGINT to match DuckDB's row_number type in oracle schemas
+    df = events.withColumn("rn", F.row_number().over(w).cast("long")).select(
         F.col("event_type").alias("symbol"),
         close_ms.alias("close_time_ms"),
         F.col("event_id"),

@@ -43,6 +43,12 @@ def compare_frames(spark_df, duck_df, rtol=0.0, atol=0.0):
     du = du[cols].sort_values(cols).reset_index(drop=True)
     assert len(sp) == len(du), f"row count mismatch: {len(sp)} vs {len(du)}"
     for c in cols:
+        # strict dtype parity when no NULLs force a pandas up-cast
+        if not (sp[c].isna().any() or du[c].isna().any()):
+            assert sp[c].dtype == du[c].dtype, (
+                f"dtype mismatch on {c}: spark={sp[c].dtype} duck={du[c].dtype}"
+            )
+    for c in cols:
         s, d = sp[c], du[c]
         if s.dtype.kind == "f" or d.dtype.kind == "f":
             import numpy as np
