@@ -32,6 +32,7 @@ def with_bar_features(
     p: float = 0.95,
     rolling_window: int | None = None,
     n_lags: int = 2,
+    quantile_engine: str = "stream",
 ) -> DataFrame:
     """Direction, lag chain, no-lookahead quantile threshold, next-bar
     outcome and entry price.
@@ -39,6 +40,12 @@ def with_bar_features(
     ``rolling_window=None`` → expanding threshold (gen111 semantics:
     UNBOUNDED PRECEDING .. 1 PRECEDING); an int w → rolling w-bar
     threshold (gen600 Rolling Window Policy: w PRECEDING .. 1 PRECEDING).
+
+    ``quantile_engine``: "stream" (default) = O(n log n) Arrow-batched
+    two-heap pass per series (functions/series_quantile.py — the scale
+    path); "expr" = pure-Catalyst sort_array(collect_list) expression
+    (O(n·w log w); only sane for bounded windows / tiny fixtures).  Both
+    produce bit-identical values (tests/test_quantile_engines.py).
     """
     w = bar_window()
     direction = F.when(F.col("close") > F.col("open"), 1).otherwise(0)
@@ -49,19 +56,25 @@ def with_bar_features(
         F.col("close") <= F.col("open"), (F.col("high") - F.col("open")) / hl
     ).otherwise((F.col("open") - F.col("low")) / hl)
 
+    if quantile_engine == "stream":
+        from ..functions.series_quantile import with_series_excl_quantile
+
+        df = with_series_excl_quantile(
+            df, "trade_intensity", p, "ti_p95_prior", lookback=rolling_window
+        )
+        thresh = F.col("ti_p95_prior")
+    else:
+        thresh = rolling_excl_quantile(
+            F.col("trade_intensity"),
+            p,
+            w,
+            None if rolling_window is None else -rolling_window,
+        )
     out = (
         df.withColumn("direction", direction)
         .withColumn("opposite_wick_pct", wick_pct)
         .withColumn("bar_count", F.col("rn"))
-        .withColumn(
-            "ti_p95_prior",
-            rolling_excl_quantile(
-                F.col("trade_intensity"),
-                p,
-                w,
-                None if rolling_window is None else -rolling_window,
-            ),
-        )
+        .withColumn("ti_p95_prior", thresh)
     )
     for i in range(1, n_lags + 1):
         out = out.withColumn(f"dir_{i}", F.lag("direction", i).over(w))

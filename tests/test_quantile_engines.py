@@ -1,0 +1,75 @@
+"""The three quantile implementations (stream two-heap, Catalyst
+expression, DuckDB oracle SQL) must agree bit-for-bit — plus a numpy
+reference check of the streaming algorithm itself (sorted-slice per row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rangebar_patterns_spark.functions.series_quantile import excl_quantile_stream
+
+
+def _q6_ref(window: np.ndarray, p: float) -> float:
+    s = np.sort(window[~np.isnan(window)])
+    n = len(s)
+    if n == 0:
+        return np.nan
+    h = p * (n + 1.0)
+    if h <= 1.0:
+        return s[0]
+    if h >= n:
+        return s[-1]
+    k = int(h)
+    lo = s[k - 1]
+    return lo + (h - float(k)) * (s[k] - lo)
+
+
+@pytest.mark.parametrize("p", [0.5, 0.75, 0.95, 0.99])
+@pytest.mark.parametrize("lookback", [None, 1, 7, 50])
+def test_stream_matches_bruteforce(p, lookback):
+    rng = np.random.default_rng(42)
+    vals = rng.normal(size=500)
+    vals[rng.random(500) < 0.07] = np.nan  # NULL-skipping path
+    vals[rng.integers(0, 500, 40)] = 1.25  # duplicates stress lazy deletion
+    got = excl_quantile_stream(vals, p, lookback)
+    for i in range(len(vals)):
+        lo = 0 if lookback is None else max(0, i - lookback)
+        exp = _q6_ref(vals[lo:i], p)
+        if np.isnan(exp):
+            assert np.isnan(got[i]), i
+        else:
+            assert got[i] == exp, (i, got[i], exp)
+
+
+def test_stream_empty_and_allnan():
+    assert excl_quantile_stream(np.array([]), 0.95).size == 0
+    out = excl_quantile_stream(np.array([np.nan, np.nan, 1.0, 2.0]), 0.5)
+    assert np.isnan(out[:3]).all() and out[3] == 1.0
+
+
+def test_spark_engines_agree(spark):
+    """stream (applyInPandas) vs expr (sort_array window) on real bars."""
+    from rangebar_patterns_spark.operators.windows import with_bar_features
+    from rangebar_patterns_spark.sources.bars import bars_from_events
+
+    bars = bars_from_events(spark, "/root/testdata/sf0.001")
+    for rolling in (None, 25):
+        a = (
+            with_bar_features(bars, p=0.95, rolling_window=rolling, quantile_engine="stream")
+            .select("symbol", "rn", "ti_p95_prior")
+            .toPandas()
+            .sort_values(["symbol", "rn"])
+            .reset_index(drop=True)
+        )
+        b = (
+            with_bar_features(bars, p=0.95, rolling_window=rolling, quantile_engine="expr")
+            .select("symbol", "rn", "ti_p95_prior")
+            .toPandas()
+            .sort_values(["symbol", "rn"])
+            .reset_index(drop=True)
+        )
+        na, nb = a.ti_p95_prior.isna(), b.ti_p95_prior.isna()
+        assert (na == nb).all()
+        assert (a.ti_p95_prior[~na] == b.ti_p95_prior[~nb]).all(), f"rolling={rolling}"
