@@ -26,9 +26,12 @@ class BarrierConfig:
     sl_tight_mult: float  # phase-2 stop; == sl_mult → single-segment
     phase1_bars: int
     max_bars: int
+    name: str | None = None  # explicit id (gen600 profile names)
 
     @property
     def barrier_id(self) -> str:
+        if self.name is not None:
+            return self.name
         return (
             f"tp{int(self.tp_mult * 1000):04d}_sl{int(self.sl_mult * 1000):04d}"
             f"_p{self.phase1_bars}_slt{int(self.sl_tight_mult * 10):03d}"
@@ -59,6 +62,17 @@ def gen720_grid() -> list[BarrierConfig]:
         for p1 in (3, 5, 7)
         for mb in (10, 20)
         if p1 < mb
+    ]
+
+
+def gen600_profiles() -> list[BarrierConfig]:
+    """The gen600 3-profile barrier grid (gen600_2down_template.sql:150-156):
+    inverted 2.5/5.0×100, symmetric 5.0/5.0×50, momentum 7.5/2.5×50 —
+    single-segment (sl_tight == sl, phase1 == max_bars)."""
+    return [
+        BarrierConfig(2.5, 5.0, 5.0, phase1_bars=100, max_bars=100, name="inverted"),
+        BarrierConfig(5.0, 5.0, 5.0, phase1_bars=50, max_bars=50, name="symmetric"),
+        BarrierConfig(7.5, 2.5, 2.5, phase1_bars=50, max_bars=50, name="momentum"),
     ]
 
 

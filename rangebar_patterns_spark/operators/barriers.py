@@ -76,10 +76,13 @@ def simulate_barriers(
     signals: DataFrame,
     grid: DataFrame,
     bar_range: Column | None = None,
+    id_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """signals: output of ``with_entry_and_forward`` filtered to signal
     rows.  grid: broadcastable barrier-config DataFrame (config.py).
-    Returns the per-trade long format (gen720_wf_wl1d_template.sql:238-252).
+    Returns the per-trade long format (gen720_wf_wl1d_template.sql:238-252);
+    ``id_cols`` are extra passthrough identity columns (e.g. config_id for
+    sweep runs).
     """
     if bar_range is None:
         bar_range = F.col("threshold_decimal_bps").cast("double") / F.lit(100000.0)
@@ -164,7 +167,7 @@ def simulate_barriers(
         )
         .withColumnRenamed("rn", "signal_rn")
         .withColumnRenamed("close_time_ms", "signal_ts_ms")
-        .select(*TRADE_COLUMNS)
+        .select(*id_cols, *TRADE_COLUMNS)
     )
 
 

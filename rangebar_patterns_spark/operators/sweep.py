@@ -1,0 +1,251 @@
+"""The sweep engine: (formation × feature-filter × quantile × barrier)
+configs as *data*, one parameterized plan (SURVEY.md §7.1 step 5).
+
+The reference instantiates 301,040 sed-substituted SQL files
+(scripts/gen600/generate.sh:104-175) — 22 formation templates × 9 bar
+features × 38 cross features × 4 quantile combos × 10 asset/thresholds —
+and schedules them 16-wide through pueue.  Here the same sweep is ONE
+DataFrame pipeline: the config grid is a broadcast DataFrame, the feature
+dimension becomes a map lookup (feature name → column value), and every
+config shares a single bar scan + window stack instead of recomputing it
+301K times.  That shared-scan amortization is the headline Spark win
+(BASELINE.md: 1,008 configs × 8 s serial vs one shared pass).
+
+Per-config semantics (sql/gen600_2down_template.sql:66-138):
+
+1. candidate = formation bars with trade_intensity above the rolling
+   (999 PRECEDING .. 1 PRECEDING) no-lookahead p95, positive Kyle lambda,
+   warmup passed, valid entry, both feature values non-NULL;
+2. feature1/feature2 rolling signal-set quantiles (W7 — computed over the
+   *candidate sequence*, not the bar sequence: the "Feature Quantile
+   Trap", semantic not optimizable); both quantiles run over the SAME
+   candidate set, filters apply afterwards;
+3. signal = candidate passing ``feature_i <dir_i> q_i`` for both features;
+4. signals × barrier profiles → trades → per-config metrics.
+
+Scale notes: the exploded candidate stream is (configs × candidate rate ×
+bars) rows but only ~10 narrow columns — filters and the formation
+explode run JVM-side; the per-(config, symbol) W7 quantile pass reuses the
+streaming two-heap kernel (functions/series_quantile.py).  Forward OHLC
+arrays are attached to *surviving* signals only, by an equi-join back to
+the bar table (AP-01 signals-first discipline: reference anti-patterns.md
+documents a 2.36 GB → 1.6 MB difference).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from itertools import chain
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from ..functions.series_quantile import excl_quantile_stream
+from .signals import FORMATIONS
+
+#: W7 rolling window over the candidate sequence (gen600: 999 PRECEDING .. 1 PRECEDING)
+SIGNALSET_LOOKBACK = 999
+
+
+@dataclass(frozen=True)
+class SweepConfig:
+    formation: str
+    feature1: str
+    q1: float
+    dir1: str  # ">" or "<"
+    feature2: str
+    q2: float
+    dir2: str
+
+    @property
+    def config_id(self) -> str:
+        d = {">": "gt", "<": "lt"}
+        return (
+            f"{self.formation}_{self.feature1}_{d[self.dir1]}{int(self.q1 * 100):02d}"
+            f"_{self.feature2}_{d[self.dir2]}{int(self.q2 * 100):02d}"
+        )
+
+
+def default_sweep_grid() -> list[SweepConfig]:
+    """Demo-scale grid with the reference's combinatorial shape
+    (generate.sh:104-175): formations × feature1 × feature2 × quantile
+    combos = 24 configs.  Production grids just pass longer lists."""
+    combos = [
+        (0.75, ">", 0.75, ">"),
+        (0.75, ">", 0.25, "<"),
+        (0.25, "<", 0.75, ">"),
+        (0.50, ">", 0.50, "<"),
+    ]
+    return [
+        SweepConfig(f, f1, q1, d1, f2, q2, d2)
+        for f in ("2down", "udd", "wl1d")
+        for f1, f2 in (("ofi", "price_impact"), ("turnover_imbalance", "aggression_ratio"))
+        for q1, d1, q2, d2 in combos
+    ]
+
+
+SWEEP_GRID_SCHEMA = (
+    "config_id string, formation string, feature1 string, q1 double, dir1 string, "
+    "feature2 string, q2 double, dir2 string"
+)
+
+
+def sweep_grid_to_spark(spark: SparkSession, grid: list[SweepConfig]) -> DataFrame:
+    rows = [
+        (c.config_id, c.formation, c.feature1, c.q1, c.dir1, c.feature2, c.q2, c.dir2)
+        for c in grid
+    ]
+    return spark.createDataFrame(rows, SWEEP_GRID_SCHEMA)
+
+
+def base_candidate_filter(warmup: int) -> F.Column:
+    """gen600 champion-base gate shared by every config (formation aside):
+    ti above rolling p95, positive Kyle lambda, warmup, valid entry."""
+    return (
+        (F.col("trade_intensity") > F.col("ti_p95_prior"))
+        & (F.col("kyle_lambda_proxy") > 0)
+        & F.col("ti_p95_prior").isNotNull()
+        & (F.col("ti_p95_prior") > 0)
+        & (F.col("bar_count") > warmup)
+        & F.col("entry_price").isNotNull()
+        & (F.col("entry_price") > 0)
+    )
+
+
+_CAND_COLUMNS = [
+    "config_id",
+    "q1",
+    "dir1",
+    "q2",
+    "dir2",
+    "symbol",
+    "rn",
+    "close_time_ms",
+    "threshold_decimal_bps",
+    "entry_price",
+    "next_dir",
+    "f1_val",
+    "f2_val",
+]
+
+
+def sweep_candidates(
+    feat: DataFrame,
+    configs: DataFrame,
+    feature_cols: list[str],
+    warmup: int,
+) -> DataFrame:
+    """Candidate rows per config: formation-explode × config-join × feature
+    map lookup, all JVM-side.  ``feat`` is ``with_bar_features(...,
+    rolling_window=...)`` output."""
+    formation_arr = F.array(
+        *[F.when(fn(), F.lit(name)) for name, fn in FORMATIONS.items()]
+    )
+    cand = (
+        feat.filter(base_candidate_filter(warmup))
+        .withColumn(
+            "formation",
+            F.explode(F.filter(formation_arr, lambda x: x.isNotNull())),
+        )
+        .join(F.broadcast(configs), "formation")
+    )
+    fmap = F.create_map(*chain.from_iterable((F.lit(c), F.col(c)) for c in feature_cols))
+    cand = (
+        cand.withColumn("f1_val", F.element_at(fmap, F.col("feature1")))
+        .withColumn("f2_val", F.element_at(fmap, F.col("feature2")))
+        .filter(F.col("f1_val").isNotNull() & F.col("f2_val").isNotNull())
+    )
+    return cand.select(*_CAND_COLUMNS)
+
+
+def with_signalset_quantiles(
+    cand: DataFrame, lookback: int = SIGNALSET_LOOKBACK
+) -> DataFrame:
+    """W7: rolling exclusive quantiles of feature1/feature2 over the
+    per-(config, symbol) candidate sequence — one Arrow pass computes both
+    thresholds (q fractions are constant within a group)."""
+    schema = StructType(
+        cand.schema.fields
+        + [StructField("f1_thr", DoubleType()), StructField("f2_thr", DoubleType())]
+    )
+    names = [f.name for f in schema.fields]
+
+    def compute(pdf):
+        pdf = pdf.sort_values("rn", kind="mergesort").reset_index(drop=True)
+        pdf["f1_thr"] = excl_quantile_stream(
+            pdf["f1_val"].to_numpy("float64", na_value=np.nan),
+            float(pdf["q1"].iloc[0]),
+            lookback,
+        )
+        pdf["f2_thr"] = excl_quantile_stream(
+            pdf["f2_val"].to_numpy("float64", na_value=np.nan),
+            float(pdf["q2"].iloc[0]),
+            lookback,
+        )
+        return pdf[names]
+
+    return cand.groupBy("config_id", "symbol").applyInPandas(compute, schema)
+
+
+def _passes(val: str, direction: str, thr: str) -> F.Column:
+    return F.when(F.col(direction) == ">", F.col(val) > F.col(thr)).otherwise(
+        F.col(val) < F.col(thr)
+    )
+
+
+def signal_pass_col() -> F.Column:
+    """Final gen600 signal gate: both thresholds warmed and both
+    directional feature conditions hold."""
+    return (
+        F.col("f1_thr").isNotNull()
+        & F.col("f2_thr").isNotNull()
+        & _passes("f1_val", "dir1", "f1_thr")
+        & _passes("f2_val", "dir2", "f2_thr")
+    )
+
+
+def sweep_funnel(cand_q: DataFrame) -> DataFrame:
+    """Per-(config, symbol) funnel + next-bar hit metrics (the gen01-style
+    hypothesis row, per config): candidates → signals → hits."""
+    passed = signal_pass_col()
+    hit = passed & (F.col("next_dir") == 1)
+    n_sig = F.sum(F.when(passed, 1).otherwise(0))
+    n_hit = F.sum(F.when(hit, 1).otherwise(0))
+    sc = F.nullif(n_sig.cast("double"), F.lit(0.0))
+    hit_rate = n_hit / sc
+    return cand_q.groupBy("config_id", "symbol").agg(
+        F.count("*").alias("n_candidates"),
+        n_sig.alias("n_signals"),
+        n_hit.alias("hits"),
+        hit_rate.alias("hit_rate"),
+        (hit_rate - 0.5).alias("edge_pct"),
+        ((hit_rate - 0.5) / F.sqrt(F.lit(0.25) / sc)).alias("z_score"),
+    )
+
+
+def sweep_signals(cand_q: DataFrame) -> DataFrame:
+    """Surviving signal keys per config (input to the barrier stage)."""
+    return cand_q.filter(signal_pass_col()).select(
+        "config_id",
+        "symbol",
+        "rn",
+        "close_time_ms",
+        "threshold_decimal_bps",
+        "entry_price",
+    )
+
+
+def sweep_trades(
+    signals: DataFrame, fwd_bars: DataFrame, grid: DataFrame
+) -> DataFrame:
+    """Attach forward arrays to surviving signals (signals-first, AP-01)
+    and run the shared barrier simulator per (config × profile)."""
+    from .barriers import simulate_barriers
+
+    joined = signals.join(
+        fwd_bars.select("symbol", "rn", "fwd_highs", "fwd_lows", "fwd_opens", "fwd_closes"),
+        ["symbol", "rn"],
+    )
+    return simulate_barriers(joined, grid, id_cols=("config_id",))

@@ -13,6 +13,21 @@ from __future__ import annotations
 from ..config import BarrierConfig, grid_to_duckdb_values, max_bars_cap
 
 
+def fwd_cte(cap: int, feat_relation: str = "feat", name: str = "fwd") -> str:
+    """Forward-array CTE (W5 twin): per-bar forward OHLC lists covering
+    rows +2 .. +1+cap."""
+    return f"""{name} AS (
+    SELECT *,
+        list(high) OVER fw AS fwd_highs,
+        list(low) OVER fw AS fwd_lows,
+        list(open) OVER fw AS fwd_opens,
+        list(close) OVER fw AS fwd_closes
+    FROM {feat_relation}
+    WINDOW fw AS (PARTITION BY symbol ORDER BY rn
+                  ROWS BETWEEN 2 FOLLOWING AND {cap + 1} FOLLOWING)
+)"""
+
+
 def barrier_pipeline_ctes(
     grid: list[BarrierConfig],
     signal_where: str,
@@ -23,22 +38,20 @@ def barrier_pipeline_ctes(
     ``signal_where``: SQL predicate over the feat relation selecting signal
     bars (include eligibility).
     """
-    cap = max_bars_cap(grid)
     return f"""{grid_to_duckdb_values(grid)},
-fwd AS (
-    SELECT *,
-        list(high) OVER fw AS fwd_highs,
-        list(low) OVER fw AS fwd_lows,
-        list(open) OVER fw AS fwd_opens,
-        list(close) OVER fw AS fwd_closes
-    FROM {feat_relation}
-    WINDOW fw AS (PARTITION BY symbol ORDER BY rn
-                  ROWS BETWEEN 2 FOLLOWING AND {cap + 1} FOLLOWING)
-),
+{fwd_cte(max_bars_cap(grid), feat_relation)},
 sigs AS (
     SELECT * FROM fwd WHERE {signal_where}
 ),
-trades1 AS (
+{trades_chain_ctes()}"""
+
+
+def trades_chain_ctes(id_cols: tuple[str, ...] = ("symbol",)) -> str:
+    """CTE chain ``trades1 .. trades`` over a ``sigs`` relation (must carry
+    entry_price, threshold_decimal_bps, fwd_* arrays and ``id_cols``) and a
+    ``barrier_grid`` relation."""
+    ids = ", ".join(id_cols)
+    return f"""trades1 AS (
     SELECT s.*, g.*,
         CAST(threshold_decimal_bps AS DOUBLE) / 100000.0 AS bar_range
     FROM sigs s CROSS JOIN barrier_grid g
@@ -88,11 +101,18 @@ trades6 AS (
     FROM trades5
 ),
 trades AS (
-    SELECT symbol, rn AS signal_rn, close_time_ms AS signal_ts_ms, barrier_id,
+    SELECT {ids}, rn AS signal_rn, close_time_ms AS signal_ts_ms, barrier_id,
         entry_price, exit_type, exit_bar, exit_price,
         (exit_price - entry_price) / entry_price AS return_pct
     FROM trades6
 )"""
+
+
+def barrier_metrics_select(group_cols: tuple[str, ...] = ("symbol", "barrier_id")) -> str:
+    g = ", ".join(group_cols)
+    return BARRIER_METRICS_SELECT.replace(
+        "SELECT symbol, barrier_id,", f"SELECT {g},", 1
+    ).replace("GROUP BY symbol, barrier_id", f"GROUP BY {g}", 1)
 
 
 BARRIER_METRICS_SELECT = """

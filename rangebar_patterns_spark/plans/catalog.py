@@ -286,3 +286,70 @@ def q_barrier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     trades = _trades_df(spark, sf_dir, gen200_grid(), f_2down())
     return barrier_metrics(trades)
+
+
+# ---------------------------------------------------------------------------
+# §7.1 step 5 — the sweep engine: configs-as-data replacing the reference's
+# 301K-file sed harness (generate.sh).  One shared scan + window stack
+# evaluates every (formation × feature-filter × quantile × barrier) cell.
+# ---------------------------------------------------------------------------
+
+from ..config import gen600_profiles  # noqa: E402
+from ..operators.sweep import (  # noqa: E402
+    default_sweep_grid,
+    sweep_candidates,
+    sweep_funnel,
+    sweep_grid_to_spark,
+    sweep_signals,
+    sweep_trades,
+    with_signalset_quantiles,
+)
+from .sweep_oracle import sweep_funnel_oracle, sweep_metrics_oracle  # noqa: E402
+
+#: features the demo sweep grid filters on (any bar column works)
+SWEEP_FEATURES = ["ofi", "price_impact", "turnover_imbalance", "aggression_ratio"]
+#: gen600 base-threshold rolling window (999 PRECEDING .. 1 PRECEDING)
+SWEEP_ROLLING = 999
+
+
+def _sweep_candq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feat = with_bar_features(
+        bars_from_events(spark, sf_dir), rolling_window=SWEEP_ROLLING
+    )
+    cand = sweep_candidates(
+        feat,
+        sweep_grid_to_spark(spark, default_sweep_grid()),
+        SWEEP_FEATURES,
+        WARMUP,
+    )
+    return with_signalset_quantiles(cand)
+
+
+_SWEEP_FUNNEL_ORACLE = f"""
+WITH {BARS_DUCKDB_CTE},
+{frag.feat_cte(rolling=SWEEP_ROLLING)},
+{sweep_funnel_oracle(default_sweep_grid(), WARMUP)}
+"""
+
+
+@register("sweep_funnel", _SWEEP_FUNNEL_ORACLE)
+def q_sweep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sweep_funnel(_sweep_candq(spark, sf_dir))
+
+
+_SWEEP_METRICS_ORACLE = f"""
+WITH {BARS_DUCKDB_CTE},
+{frag.feat_cte(rolling=SWEEP_ROLLING)},
+{sweep_metrics_oracle(default_sweep_grid(), gen600_profiles(), WARMUP)}
+"""
+
+
+@register("sweep_barrier_metrics", _SWEEP_METRICS_ORACLE)
+def q_sweep_barrier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feat = with_bar_features(
+        bars_from_events(spark, sf_dir), rolling_window=SWEEP_ROLLING
+    )
+    fwd = with_entry_and_forward(feat, cap=max_bars_cap(gen600_profiles()))
+    sigs = sweep_signals(_sweep_candq(spark, sf_dir))
+    trades = sweep_trades(sigs, fwd, grid_to_spark(spark, gen600_profiles()))
+    return barrier_metrics(trades, group_cols=["config_id", "symbol", "barrier_id"])
