@@ -353,3 +353,92 @@ def q_sweep_barrier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = sweep_signals(_sweep_candq(spark, sf_dir))
     trades = sweep_trades(sigs, fwd, grid_to_spark(spark, gen600_profiles()))
     return barrier_metrics(trades, group_cols=["config_id", "symbol", "barrier_id"])
+
+
+# ---------------------------------------------------------------------------
+# §2.10 eval metric layer (E1-E16) over the champion × gen720 trades table
+# ---------------------------------------------------------------------------
+
+from ..operators import eval_metrics as EM  # noqa: E402
+from . import eval_oracle as EO  # noqa: E402
+
+_TRADES_BASE = f"""WITH {BARS_DUCKDB_CTE},
+{frag.feat_cte()},
+{barrier_pipeline_ctes(gen720_grid(), f"{frag.CHAMPION_SIGNAL} AND {frag.eligibility(WARMUP)}")}"""
+
+_PRIVATE = lambda df: df.drop(*[c for c in df.columns if c.startswith("_")])  # noqa: E731
+
+
+def _champion_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _trades_df(spark, sf_dir, gen720_grid(), champion_signal())
+
+
+@register("eval_moments", f"{_TRADES_BASE},\n{EO.MSUMS_CTE}\n{EO.moments_select()}")
+def q_eval_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _PRIVATE(EM.trade_moments(_champion_trades(spark, sf_dir)))
+
+
+@register("eval_tail_metrics", f"{_TRADES_BASE},\n{EO.TAIL_CTES}\n{EO.tail_select()}")
+def q_eval_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _PRIVATE(EM.tail_metrics(_champion_trades(spark, sf_dir)))
+
+
+@register(
+    "eval_evalues",
+    f"{_TRADES_BASE},\n{EO.MSUMS_CTE},\n{EO.evalues_ctes()}\n{EO.EVALUES_SELECT}",
+)
+def q_eval_evalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = _champion_trades(spark, sf_dir)
+    return EM.evalues(trades, EM.trade_moments(trades))
+
+
+@register("eval_dsr", f"{_TRADES_BASE},\n{EO.MSUMS_CTE}\n{EO.dsr_select()}")
+def q_eval_dsr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EM.dsr_metrics(EM.trade_moments(_champion_trades(spark, sf_dir)))
+
+
+@register("eval_ou_calibration", f"WITH {BARS_DUCKDB_CTE},\n{EO.OU_CTES}\n{EO.OU_SELECT}")
+def q_eval_ou(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _PRIVATE(EM.ou_calibration(bars_from_events(spark, sf_dir)))
+
+
+from ..config import grid_to_duckdb_values  # noqa: E402
+
+_TAMRS_ORACLE = (
+    f"{_TRADES_BASE},\n{EO.TAIL_CTES},\n{EO.OU_CTES}"
+    # barrier_grid is already defined by the trades chain in _TRADES_BASE
+    + EO.tamrs_select(None, 250.0 / 100000.0)
+)
+
+
+@register("eval_tamrs", _TAMRS_ORACLE)
+def q_eval_tamrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tail = EM.tail_metrics(_champion_trades(spark, sf_dir))
+    ou = EM.ou_calibration(bars_from_events(spark, sf_dir))
+    return EM.tamrs(tail, ou, grid_to_spark(spark, gen720_grid()), 250.0 / 100000.0)
+
+
+@register(
+    "eval_ebh",
+    f"{_TRADES_BASE},\n{EO.MSUMS_CTE},\n{EO.evalues_ctes()}\n{EO.ebh_select()}",
+)
+def q_eval_ebh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = _champion_trades(spark, sf_dir)
+    return EM.ebh_discoveries(EM.evalues(trades, EM.trade_moments(trades)))
+
+
+_RANKING_ORACLE = (
+    f"{_TRADES_BASE},\n{EO.TAIL_CTES}"
+    + EO.ranking_select(
+        {"omega": "omega_raw", "cdar_inv": "-cdar_raw"}, 0.5, "tfinal"
+    )
+)
+
+
+@register("eval_ranking", _RANKING_ORACLE)
+def q_eval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tail = EM.tail_metrics(_champion_trades(spark, sf_dir))
+    m = tail.withColumn("omega", F.col("_omega_raw")).withColumn(
+        "cdar_inv", -F.col("_cdar_raw")
+    )
+    return EM.ranking_survivors(m, ["omega", "cdar_inv"], top_pct=0.5)
