@@ -176,18 +176,24 @@ def barrier_metrics(trades: DataFrame, group_cols: list[str] | None = None) -> D
     win_rate, profit_factor, avg win/loss, risk_reward, expected_value,
     avg_bars_held, kelly_fraction.  Float aggregates are rounded to 6
     decimals (cross-engine float-sum tolerance; see plans/catalog.py)."""
+    from ..functions.detsum import osum_if
+
     g = group_cols or ["symbol", "barrier_id"]
     r = F.col("return_pct")
+    ts = F.col("signal_ts_ms")
     win = r > 0
     n = F.count("*")
     n_win = F.sum(F.when(win, 1).otherwise(0))
     win_rate = n_win.cast("double") / n.cast("double")
-    gross_win = F.sum(F.when(win, r).otherwise(0.0))
-    gross_loss = F.abs(F.sum(F.when(~win, r).otherwise(0.0)))
-    avg_win = F.avg(F.when(win, r))
-    avg_loss = F.abs(F.avg(F.when(~win, r)))
+    # ordered folds (functions/detsum.py): plain double sums are
+    # ulp-nondeterministic across runs/engines
+    gross_win = osum_if(ts, win, r)
+    gross_loss = F.abs(osum_if(ts, ~win, r))
+    n_loss = (n - n_win).cast("double")
+    avg_win = gross_win / F.nullif(n_win.cast("double"), F.lit(0.0))
+    avg_loss = gross_loss / F.nullif(n_loss, F.lit(0.0))
     rr = avg_win / F.nullif(avg_loss, F.lit(0.0))
-    ev = F.avg(r)
+    ev = osum_if(ts, F.lit(True), r) / n.cast("double")
     kelly = win_rate - (F.lit(1.0) - win_rate) / F.nullif(rr, F.lit(0.0))
     return trades.groupBy(*g).agg(
         n.alias("n_trades"),

@@ -1,0 +1,304 @@
+"""Training-data deduplication operators over the ``documents`` /
+``embeddings`` tables: exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup.
+
+These are beyond-reference extensions (the reference's dedup surface is
+config-level anti-joins only — SURVEY.md §2.7 U3); they follow the same
+engine discipline: pure built-in expressions (md5 / array HOFs / joins),
+zero Python on the hot path, DuckDB oracle twins in
+plans/textops_oracle.py.
+
+Scale design:
+  * exact dedup — hash groupBy, one shuffle on the digest;
+  * n-gram Jaccard — shingle-explode + equi-join on shingle: never
+    all-pairs; worst case bounded by shingle posting-list sizes (hot
+    shingles should be stop-listed at 100 TB, same as web-dedup practice);
+  * MinHash+LSH — banded signatures turn near-dup search into an
+    equi-join on (band, key) buckets; candidate verification joins back
+    to shingle sets (the classic MMDS ch.3 pipeline);
+  * SimHash — 32-bit fingerprints; candidate pairs via the pigeonhole
+    band join (hamming <= MAX_HAMMING implies at least one of 4 8-bit
+    chunks equal), then exact popcount verify — no all-pairs stage;
+  * embedding near-dup — sign-bucket LSH (first SIGN_BITS dims) as the
+    candidate filter, exact cosine verify inside buckets.
+
+All string→int hashing goes through md5 prefixes (identical in Spark and
+DuckDB); list folds are sequential in both engines, so results are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_N = 3
+MINHASH_SEEDS = 8
+MINHASH_BANDS = 4  # rows-per-band = MINHASH_SEEDS // MINHASH_BANDS = 2
+JACCARD_THRESHOLD = 0.5
+LSH_JACCARD_FLOOR = 0.3
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4
+MAX_HAMMING = 3
+# near-dup cosine cut: the synthetic embeddings top out near 0.49 in-bucket,
+# so 0.4 keeps the correctness gate populated (real corpora would use ~0.9+)
+COSINE_DUP_THRESHOLD = 0.4
+SIGN_BITS = 8
+HASH_MOD = 1_000_000_007
+
+
+def words_col(text: Column = None) -> Column:
+    t = F.col("text") if text is None else text
+    return F.filter(F.split(t, " "), lambda x: x != "")
+
+
+def shingles_col(n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingles (1-based slice, matches the DuckDB twin)."""
+    w = words_col()
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def hexint(c: Column) -> Column:
+    """63-bit integer from the md5 prefix — the shared cross-engine
+    string->int hash (DuckDB: CAST('0x' || substr(md5(x),1,15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup via content digest: duplicate groups with canonical
+    (min) doc_id — the keep-one representative convention."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct — the posting-list relation."""
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard over the shingle-join graph
+    (|A ∩ B| from the equi-join, |A ∪ B| = |A|+|B|-|A∩B|)."""
+    sh = _doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "inter", "jaccard"
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_SEEDS) -> DataFrame:
+    """k-permutation MinHash using seeded md5 digests: permutation i is the
+    lexicographic order of md5('i|' || shingle); the signature element is
+    the min digest (MMDS §3.3 with hash-as-permutation)."""
+    sh = _doc_shingles(docs)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = MINHASH_SEEDS,
+    bands: int = MINHASH_BANDS,
+    floor: float = LSH_JACCARD_FLOOR,
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact Jaccard verification.
+    Returns (doc_a, doc_b, n_shared_bands, jaccard >= floor)."""
+    rows = k // bands
+    sig = minhash_signatures(docs, k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat(*[F.col(f"mh{bi * rows + r}") for r in range(rows)])
+                ).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    )
+    verified = cand.join(ngram_jaccard_pairs(docs, threshold=floor), ["doc_a", "doc_b"])
+    return verified.select("doc_a", "doc_b", "n_shared_bands", "jaccard")
+
+
+def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash: sum token-hash bit contributions (+1/−1) per bit
+    position over ALL tokens (frequency-weighted), sign → fingerprint.
+    (Bit shifts use the SQL ``>>``/``<<`` operators — the pyspark
+    shiftleft/shiftright wrappers only take literal shift amounts.)"""
+    toks = docs.select("doc_id", F.explode(words_col()).alias("w"))
+    toks = toks.withColumn("h", hexint(F.col("w")))
+    contrib = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id", "bit", (F.expr("(h >> bit) & 1") * 2 - 1).alias("sign")
+    )
+    return (
+        contrib.groupBy("doc_id", "bit")
+        .agg(F.sum("sign").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = MAX_HAMMING
+) -> DataFrame:
+    """Candidate pairs via the pigeonhole chunk join (one of SIMHASH_CHUNKS
+    8-bit chunks must match when hamming <= max_hamming < chunks), exact
+    popcount verify."""
+    fp = simhash_fingerprints(docs)
+    chunk_w = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("chunk"),
+                        F.shiftright(F.col("simhash"), ci * chunk_w)
+                        .bitwiseAND(F.lit((1 << chunk_w) - 1))
+                        .alias("ckey"),
+                    )
+                    for ci in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ckey").alias("ckey"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "sh_a", "sh_b", "hamming")
+    )
+
+
+# --- embedding-space near-dup ----------------------------------------------
+
+
+def vec_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (exact in both engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / F.nullif(
+        F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b)), F.lit(0.0)
+    )
+
+
+def sign_bucket_col(v: Column, bits: int = SIGN_BITS) -> Column:
+    """LSH bucket from the sign pattern of the first ``bits`` dims
+    (unrolled — bits is a small compile-time constant)."""
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc + F.when(
+            F.element_at(v, i + 1) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
+    """Near-duplicate vector pairs: sign-bucket LSH candidates (scale
+    path — no all-pairs), exact cosine verify.  Recall is bucket-bounded
+    by construction; multiple rotated bucket families would raise it at
+    production scale."""
+    v = emb.select(
+        "vec_id",
+        vec_double(F.col("embedding")).alias("v"),
+    ).withColumn("bucket", sign_bucket_col(F.col("v")))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.bucket").alias("bucket"),
+        F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

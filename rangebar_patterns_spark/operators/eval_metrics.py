@@ -59,12 +59,17 @@ def trade_moments(trades: DataFrame, keys: list[str] | None = None) -> DataFrame
     std/skew/kurt (kurt NON-excess, ClickHouse ``kurtSamp`` convention —
     SURVEY §2.4 A5), exclusive q01/q05, TP-based win_rate / profit_factor
     / kelly_fraction."""
+    from ..functions.detsum import osum, osum_if
+
     g = keys or KEYS
     r = _r()
+    ts = F.col("signal_ts_ms")
     n = F.count("*").cast("long")
     nd = n.cast("double")
-    s1, s2 = F.sum(r), F.sum(r * r)
-    s3, s4 = F.sum(r * r * r), F.sum(r * r * r * r)
+    # deterministic ordered folds (see functions/detsum.py) — plain sums
+    # are ulp-nondeterministic across runs and engines
+    s1, s2 = osum(ts, r), osum(ts, r * r)
+    s3, s4 = osum(ts, r * r * r), osum(ts, r * r * r * r)
     m = s1 / nd
     # sum (r-m)^2 expanded from raw power sums; clamped at 0 — float
     # cancellation can leave it at -1e-20 for near-constant returns, and
@@ -96,10 +101,12 @@ def trade_moments(trades: DataFrame, keys: list[str] | None = None) -> DataFrame
     n_tp = F.sum(F.when(F.col("exit_type") == "TP", 1).otherwise(0))
     n_closed = F.sum(F.when(F.col("exit_type").isin("TP", "SL", "TIME"), 1).otherwise(0))
     win_rate = n_tp / F.nullif(n_closed.cast("double"), F.lit(0.0))
-    gross_win = F.sum(F.when(_tp_like(), r).otherwise(0.0))
-    gross_loss = F.abs(F.sum(F.when(_sl_like(), r).otherwise(0.0)))
-    avg_win = F.avg(F.when(_tp_like(), r))
-    avg_loss = F.abs(F.avg(F.when(_sl_like(), r)))
+    gross_win = osum_if(ts, _tp_like(), r)
+    gross_loss = F.abs(osum_if(ts, _sl_like(), r))
+    cnt_tpl = F.sum(F.when(_tp_like(), 1).otherwise(0)).cast("double")
+    cnt_sll = F.sum(F.when(_sl_like(), 1).otherwise(0)).cast("double")
+    avg_win = gross_win / F.nullif(cnt_tpl, F.lit(0.0))
+    avg_loss = gross_loss / F.nullif(cnt_sll, F.lit(0.0))
     rr = avg_win / F.nullif(avg_loss, F.lit(0.0))
     kelly = win_rate - (F.lit(1.0) - win_rate) / F.nullif(rr, F.lit(0.0))
     return trades.groupBy(*g).agg(
@@ -142,13 +149,16 @@ def tail_metrics(trades: DataFrame, keys: list[str] | None = None) -> DataFrame:
     t = trades.withColumn("_cum", F.sum(_r()).over(w)).withColumn(
         "_dd", F.max("_cum").over(w) - F.col("_cum")
     )
+    from ..functions.detsum import fold_sum
+
     r = _r()
     n = F.count("*")
     nd = n.cast("double")
-    gains = F.sum(F.greatest(r, F.lit(0.0)))
-    losses = F.sum(F.greatest(-r, F.lit(0.0)))
-    omega = gains / F.nullif(losses, F.lit(0.0))
     sorted_r = F.sort_array(F.collect_list(r))
+    # deterministic folds over the value-sorted returns (detsum.py)
+    gains = fold_sum(F.transform(sorted_r, lambda x: F.greatest(x, F.lit(0.0))))
+    losses = fold_sum(F.transform(sorted_r, lambda x: F.greatest(-x, F.lit(0.0))))
+    omega = gains / F.nullif(losses, F.lit(0.0))
     k_tail = F.greatest(F.lit(1), F.floor(nd * F.lit(RACHEV_ALPHA)).cast("int"))
     cvar_up = _fold_mean(F.slice(F.reverse(sorted_r), F.lit(1), k_tail), k_tail)
     cvar_lo_abs = F.abs(_fold_mean(F.slice(sorted_r, F.lit(1), k_tail), k_tail))
@@ -194,11 +204,17 @@ def evalues(trades: DataFrame, moments: DataFrame, keys: list[str] | None = None
         .withColumn("_cum", F.least(F.sum("_logf").over(w), F.lit(max_log)))
     )
     ln_thresh = math.log(E_THRESHOLD)
+    from ..functions.detsum import osum
+
     return t.groupBy(*g).agg(
         F.count("*").cast("long").alias("n_trades"),
         F.round(F.exp(F.max_by(F.col("_cum"), F.col("_tn"))), 6).alias("final_evalue"),
         F.round(F.exp(F.max("_cum")), 6).alias("max_evalue"),
-        F.round(F.avg("_logf"), 8).alias("grow_criterion"),
+        F.round(
+            osum(F.col("signal_ts_ms"), F.col("_logf"))
+            / F.count("*").cast("double"),
+            8,
+        ).alias("grow_criterion"),
         (F.exp(F.max("_cum")) >= E_THRESHOLD).alias("rejects_null_at_005"),
         F.min(F.when(F.col("_cum") >= ln_thresh, F.col("_tn"))).alias(
             "first_rejection_trade"
@@ -213,11 +229,31 @@ def dsr_metrics(moments: DataFrame, keys: list[str] | None = None) -> DataFrame:
     *observed* trial count and cross-config SR variance (False Strategy
     Theorem), computed as broadcast scalars."""
     g = keys or KEYS
+    from ..functions.detsum import fold_sum
+
     sr = F.col("_mean_raw") / F.nullif(F.col("_std_raw"), F.lit(0.0))
     m = moments.withColumn("_sr", sr)
+    # var of SRs via deterministic fold over key-ordered values
+    srs = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("_sr").isNotNull(),
+                    F.struct(*[F.col(c) for c in g], F.col("_sr").alias("sr")),
+                )
+            )
+        ),
+        lambda s: s["sr"],
+    )
+    nn = F.size(srs).cast("double")
+    ssum = fold_sum(srs)
+    ssq = fold_sum(F.transform(srs, lambda x: x * x))
+    var_expr = F.greatest(ssq - nn * (ssum / nn) * (ssum / nn), F.lit(0.0)) / F.nullif(
+        nn - 1.0, F.lit(0.0)
+    )
     stats = m.agg(
         F.count("*").cast("double").alias("_n_trials"),
-        F.var_samp("_sr").alias("_var_sr"),
+        var_expr.alias("_var_sr"),
     )
     m = m.crossJoin(F.broadcast(stats))
     nt = F.col("_n_trials")
@@ -273,6 +309,8 @@ def ou_calibration(bars: DataFrame) -> DataFrame:
     optimal TP fraction = sigma*sqrt(HL)/mean(price).  Expressed as
     closed-form OLS via covariance aggregates (no UDF); NULL when not
     mean-reverting (mu <= 0)."""
+    from ..functions.detsum import osum
+
     w = Window.partitionBy("symbol").orderBy("rn")
     d = (
         bars.select("symbol", "rn", "close")
@@ -280,22 +318,29 @@ def ou_calibration(bars: DataFrame) -> DataFrame:
         .filter(F.col("_x").isNotNull())
         .withColumn("_y", F.col("close") - F.col("_x"))
     )
+    rn = F.col("rn")
     agg = d.groupBy("symbol").agg(
         F.count("*").cast("double").alias("_n"),
-        F.sum("_x").alias("_sx"),
-        F.sum("_y").alias("_sy"),
-        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
-        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
-        F.avg("close").alias("_mean_price"),
+        osum(rn, F.col("_x")).alias("_sx"),
+        osum(rn, F.col("_y")).alias("_sy"),
+        osum(rn, F.col("_x") * F.col("_y")).alias("_sxy"),
+        osum(rn, F.col("_x") * F.col("_x")).alias("_sxx"),
+        (osum(rn, F.col("close")) / F.count("*").cast("double")).alias("_mean_price"),
     )
     b = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / F.nullif(
         F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"), F.lit(0.0)
     )
     a = (F.col("_sy") - b * F.col("_sx")) / F.col("_n")
-    # sigma = population std of residuals y - a - b*x
+    # sigma = population std of residuals y - a - b*x, via deterministic
+    # folds: sqrt(max(E[e^2] - E[e]^2, 0))
     d2 = d.join(agg.select("symbol", a.alias("_a"), b.alias("_b")), "symbol")
     resid = F.col("_y") - F.col("_a") - F.col("_b") * F.col("_x")
-    sig = d2.groupBy("symbol").agg(F.stddev_pop(resid).alias("_sigma"))
+    nn = F.count("*").cast("double")
+    er = osum(rn, resid) / nn
+    er2 = osum(rn, resid * resid) / nn
+    sig = d2.groupBy("symbol").agg(
+        F.sqrt(F.greatest(er2 - er * er, F.lit(0.0))).alias("_sigma")
+    )
     out = agg.select("symbol", b.alias("_b"), F.col("_mean_price")).join(sig, "symbol")
     mu = -F.col("_b")
     hl = F.log(F.lit(2.0)) / mu

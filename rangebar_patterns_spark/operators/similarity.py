@@ -1,0 +1,143 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``):
+brute-force cosine top-k (the exact baseline) and a sign-bucket LSH
+variant (the scale path).
+
+Brute force is a broadcast-join of the (small) query set against the full
+corpus — at 100 TB the corpus side stays partitioned and never shuffles;
+cost is one pass per query batch.  The LSH variant prunes candidates to
+matching sign-buckets, trading recall for a corpus-partition-local join;
+production would use several rotated bucket families (or IVF centroids as
+a learned bucketing) — the plumbing is identical.
+
+All arithmetic is sequential-fold double math — exact vs the DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine_col, sign_bucket_col, vec_double
+
+N_QUERIES = 8
+TOP_K = 5
+
+
+def _vecs(emb: DataFrame) -> DataFrame:
+    return emb.select("vec_id", vec_double(F.col("embedding")).alias("v"), "label")
+
+
+def cosine_topk(
+    emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for the query set (vec_id <
+    n_queries), self excluded; ties broken by neighbor id ascending."""
+    v = _vecs(emb)
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(v, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def lsh_topk(
+    emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign
+    bucket.  Same output shape as :func:`cosine_topk` (rank may hold
+    fewer than k rows when the bucket is small — honest ANN semantics)."""
+    v = _vecs(emb).withColumn("bucket", sign_bucket_col(F.col("v")))
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            v,
+            (F.col("qbucket") == F.col("bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def label_centroid_search(emb: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
+    """IVF-flavored variant: per-label centroids as the coarse quantizer;
+    each query is assigned to its nearest centroid (exact, 10 centroids)
+    and scored only against that cell.  Output: query -> assigned cell +
+    within-cell best neighbor."""
+    v = _vecs(emb)
+    dims = 64
+    cent = v.select(
+        "label", F.posexplode(F.col("v")).alias("i", "x")
+    ).groupBy("label", "i").agg(F.avg("x").alias("cx"))
+    centroids = (
+        cent.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("i"), F.col("cx")))
+                ),
+                lambda s: s.getItem("cx"),
+            ).alias("cv")
+        )
+    )
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    assign_w = Window.partitionBy("query_id").orderBy(
+        F.col("centroid_cos").desc(), F.col("label").asc()
+    )
+    assigned = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("centroid_cos", F.round(cosine_col(F.col("qv"), F.col("cv")), 6))
+        .withColumn("crank", F.row_number().over(assign_w))
+        .filter(F.col("crank") == 1)
+        .select("query_id", "qv", F.col("label").alias("cell"), "centroid_cos")
+    )
+    best_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        assigned.join(v, (F.col("cell") == F.col("label")) & (F.col("query_id") != F.col("vec_id")))
+        .select(
+            "query_id",
+            "cell",
+            "centroid_cos",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(best_w).cast("long"))
+        .filter(F.col("rank") == 1)
+        .drop("rank")
+    )

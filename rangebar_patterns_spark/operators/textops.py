@@ -1,0 +1,134 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+language-ID heuristic, quality scoring, rolling-hash fingerprinting.
+
+Everything is built-in string/array expressions (JVM-side, codegen-able);
+the DuckDB twins (plans/textops_oracle.py) use the same regexes (ASCII
+corpus — RE2 vs Java semantics agree) and the same sequential folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import HASH_MOD, shingles_col, words_col
+
+#: BPE-ish tokenization: word runs or single non-space symbols
+BPE_REGEX = r"\w+|[^\w\s]"
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+LANG_PRIORITY = ["en", "de", "fr", "es"]  # deterministic argmax tie-break
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish token counts, char stats, average token
+    length."""
+    w = words_col()
+    n_ws = F.size(w).cast("long")
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), 0)).cast("long")
+    n_nonspace = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("long")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        n_nonspace.alias("n_nonspace_chars"),
+        F.round(
+            n_nonspace.cast("double") / F.nullif(n_ws.cast("double"), F.lit(0.0)), 6
+        ).alias("avg_token_len"),
+    )
+
+
+def _stop_ratio(lang: str) -> Column:
+    w = words_col()
+    hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS[lang])))
+    return hits.cast("double") / F.nullif(F.size(w).cast("double"), F.lit(0.0))
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-ratio language scores + deterministic argmax (priority
+    order breaks ties); 'unknown' when no list scores above zero."""
+    out = docs.select(
+        "doc_id",
+        "lang",
+        *[F.round(_stop_ratio(lg), 6).alias(f"score_{lg}") for lg in LANG_PRIORITY],
+    )
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in LANG_PRIORITY])
+    pred = F.lit("unknown")
+    for lg in reversed(LANG_PRIORITY):
+        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+    out = out.withColumn(
+        "predicted_lang", F.when(best > 0, pred).otherwise(F.lit("unknown"))
+    )
+    return out.withColumn("matches_label", F.col("predicted_lang") == F.col("lang"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + composite score: length band, alpha /
+    punctuation ratios, stopword presence, token-length sanity (the usual
+    pretraining-filter family, e.g. Gopher rules)."""
+    w = words_col()
+    n_tok = F.size(w).cast("double")
+    n_chars = F.col("n_chars").cast("double")
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^a-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(F.col("text"), r"[a-z0-9 ]", "")).cast("double")
+    alpha_ratio = alpha / F.nullif(n_chars, F.lit(0.0))
+    punct_ratio = punct / F.nullif(n_chars, F.lit(0.0))
+    stop_ratio = _stop_ratio("en")
+    avg_len = (
+        F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+        / F.nullif(n_tok, F.lit(0.0))
+    )
+    len_band = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    word_sanity = F.when((avg_len >= 2.0) & (avg_len <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    score = (
+        F.lit(0.3) * len_band
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.2) * F.least(stop_ratio * F.lit(10.0), F.lit(1.0))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0)))
+        + F.lit(0.1) * word_sanity
+    )
+    return docs.select(
+        "doc_id",
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(avg_len, 6).alias("avg_word_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprints: order-sensitive polynomial rolling hash over
+    the word-hash sequence (acc*31 + h mod P, sequential fold — exact in
+    both engines) and the order-insensitive min-shingle-hash (winnowing's
+    degenerate k=1 form)."""
+    w = words_col()
+    word_hashes = F.transform(
+        w,
+        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+        % F.lit(HASH_MOD),
+    )
+    rolling = F.aggregate(
+        word_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(31) + h) % F.lit(HASH_MOD),
+    )
+    shingle_hashes = F.transform(
+        shingles_col(),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % F.lit(HASH_MOD),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        rolling.alias("rolling_fp"),
+        F.array_min(shingle_hashes).alias("min_shingle_fp"),
+    )

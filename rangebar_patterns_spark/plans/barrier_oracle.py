@@ -115,26 +115,37 @@ def barrier_metrics_select(group_cols: tuple[str, ...] = ("symbol", "barrier_id"
     ).replace("GROUP BY symbol, barrier_id", f"GROUP BY {g}", 1)
 
 
-BARRIER_METRICS_SELECT = """
+def _tfold(val: str) -> str:
+    """Deterministic ordered fold (twin of functions/detsum.py osum_if)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list({val} ORDER BY signal_ts_ms)),"
+        f" (acc, x) -> acc + x)"
+    )
+
+
+_GW = _tfold("CASE WHEN return_pct > 0 THEN return_pct ELSE 0.0 END")
+_GL = f"abs({_tfold('CASE WHEN NOT (return_pct > 0) THEN return_pct ELSE 0.0 END')})"
+_NW = "CAST(sum(CASE WHEN return_pct > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+_NL = f"(CAST(count(*) AS DOUBLE) - {_NW})"
+_WR = f"({_NW} / CAST(count(*) AS DOUBLE))"
+_AW = f"({_GW} / nullif({_NW}, 0.0))"
+_AL = f"({_GL} / nullif({_NL}, 0.0))"
+_RR = f"({_AW} / nullif({_AL}, 0.0))"
+
+BARRIER_METRICS_SELECT = f"""
 SELECT symbol, barrier_id,
     count(*) AS n_trades,
     CAST(sum(CASE WHEN exit_type = 'TP' THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
     CAST(sum(CASE WHEN exit_type = 'SL' THEN 1 ELSE 0 END) AS BIGINT) AS n_sl,
     CAST(sum(CASE WHEN exit_type = 'TIME' THEN 1 ELSE 0 END) AS BIGINT) AS n_time,
-    round(CAST(sum(CASE WHEN return_pct > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS win_rate,
-    round(sum(CASE WHEN return_pct > 0 THEN return_pct ELSE 0.0 END)
-        / nullif(abs(sum(CASE WHEN NOT (return_pct > 0) THEN return_pct ELSE 0.0 END)), 0.0), 6) AS profit_factor,
-    round(avg(CASE WHEN return_pct > 0 THEN return_pct END), 6) AS avg_win,
-    round(abs(avg(CASE WHEN NOT (return_pct > 0) THEN return_pct END)), 6) AS avg_loss,
-    round(avg(CASE WHEN return_pct > 0 THEN return_pct END)
-        / nullif(abs(avg(CASE WHEN NOT (return_pct > 0) THEN return_pct END)), 0.0), 6) AS risk_reward,
-    round(avg(return_pct), 6) AS expected_value,
+    round({_WR}, 6) AS win_rate,
+    round({_GW} / nullif({_GL}, 0.0), 6) AS profit_factor,
+    round({_AW}, 6) AS avg_win,
+    round({_AL}, 6) AS avg_loss,
+    round({_RR}, 6) AS risk_reward,
+    round({_tfold("return_pct")} / CAST(count(*) AS DOUBLE), 6) AS expected_value,
     round(avg(CAST(exit_bar AS DOUBLE)), 6) AS avg_bars_held,
-    round(CAST(sum(CASE WHEN return_pct > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-        - (1.0 - CAST(sum(CASE WHEN return_pct > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-          / nullif(avg(CASE WHEN return_pct > 0 THEN return_pct END)
-                   / nullif(abs(avg(CASE WHEN NOT (return_pct > 0) THEN return_pct END)), 0.0), 0.0), 6)
-        AS kelly_fraction
+    round({_WR} - (1.0 - {_WR}) / nullif({_RR}, 0.0), 6) AS kelly_fraction
 FROM trades
 GROUP BY symbol, barrier_id
 """

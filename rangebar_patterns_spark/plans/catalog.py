@@ -17,6 +17,7 @@ from ..operators.signals import FORMATIONS, champion_signal, eligibility
 from ..operators.windows import bar_window, with_bar_features
 from ..sources.bars import BAR_COLUMNS, BARS_DUCKDB_CTE, bars_from_events
 from . import fragments as frag
+from ..functions import detsum as _det
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -207,7 +208,8 @@ SELECT symbol,
     count(*) AS total_bars,
     CAST(sum(CASE WHEN dir_1 = 0 AND direction = 0 THEN 1 ELSE 0 END) AS BIGINT) AS signal_count,
     CAST(sum(CASE WHEN dir_1 = 0 AND direction = 0 AND next_dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-    round(avg(trade_intensity), 6) AS avg_ti,
+    round(list_reduce(list_prepend(0.0, list(trade_intensity ORDER BY rn)),
+        (acc, x) -> acc + x) / CAST(count(*) AS DOUBLE), 6) AS avg_ti,
     round(min(low), 6) AS min_low,
     round(max(high), 6) AS max_high
 FROM feat
@@ -230,7 +232,11 @@ def q_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("total_bars"),
             _cnt(sig).alias("signal_count"),
             _cnt(sig & (F.col("next_dir") == 1)).alias("hits"),
-            F.round(F.avg("trade_intensity"), 6).alias("avg_ti"),
+            F.round(
+                _det.osum(F.col("rn"), F.col("trade_intensity"))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("avg_ti"),
             F.round(F.min("low"), 6).alias("min_low"),
             F.round(F.max("high"), 6).alias("max_high"),
         )
@@ -442,3 +448,70 @@ def q_eval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cdar_inv", -F.col("_cdar_raw")
     )
     return EM.ranking_survivors(m, ["omega", "cdar_inv"], top_pct=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (beyond-reference, first-class):
+# dedup family, similarity search, text analysis — documents/embeddings
+# ---------------------------------------------------------------------------
+
+from ..operators import dedup as DD  # noqa: E402
+from ..operators import similarity as SIM  # noqa: E402
+from ..operators import textops as TX  # noqa: E402
+from ..sources.tables import load_table  # noqa: E402
+from . import textops_oracle as TO  # noqa: E402
+
+
+@register("dedup_exact", TO.EXACT_DUP_SQL)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard", TO.NGRAM_JACCARD_SQL)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_lsh", TO.MINHASH_LSH_SQL)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash", TO.SIMHASH_PAIRS_SQL)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_embedding_cosine", TO.EMB_NEAR_DUP_SQL)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("sim_cosine_topk", TO.COSINE_TOPK_SQL)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("sim_lsh_topk", TO.LSH_TOPK_SQL)
+def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.lsh_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("text_token_stats", TO.TOKEN_STATS_SQL)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_language_id", TO.LANGUAGE_ID_SQL)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_quality", TO.QUALITY_SQL)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_fingerprint", TO.FINGERPRINT_SQL)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprints(load_table(spark, sf_dir, "documents"))

@@ -27,22 +27,36 @@ from ..operators.eval_metrics import (
 _TP_LIKE = "(exit_type = 'TP' OR (exit_type = 'TIME' AND exit_price > entry_price))"
 _SL_LIKE = "(exit_type = 'SL' OR (exit_type = 'TIME' AND exit_price <= entry_price))"
 
-# shared per-config raw-sum CTE over trades
+def _dfold(val: str) -> str:
+    """Deterministic ordered fold — twin of functions/detsum.py osum."""
+    return (
+        f"list_reduce(list_prepend(0.0, list({val} ORDER BY signal_ts_ms)),"
+        f" (acc, x) -> acc + x)"
+    )
+
+
+# shared per-config raw-sum CTE over trades (ordered folds: see detsum.py)
 MSUMS_CTE = f"""msums AS (
     SELECT symbol, barrier_id,
         count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
-        sum(return_pct) AS s1,
-        sum(return_pct * return_pct) AS s2,
-        sum(return_pct * return_pct * return_pct) AS s3,
-        sum(return_pct * return_pct * return_pct * return_pct) AS s4,
+        {_dfold("return_pct")} AS s1,
+        {_dfold("return_pct * return_pct")} AS s2,
+        {_dfold("return_pct * return_pct * return_pct")} AS s3,
+        {_dfold("return_pct * return_pct * return_pct * return_pct")} AS s4,
         list(return_pct ORDER BY return_pct) AS rs,
         CAST(sum(CASE WHEN exit_type = 'TP' THEN 1 ELSE 0 END) AS DOUBLE) AS n_tp,
         CAST(sum(CASE WHEN exit_type IN ('TP','SL','TIME') THEN 1 ELSE 0 END) AS DOUBLE) AS n_closed,
-        sum(CASE WHEN {_TP_LIKE} THEN return_pct ELSE 0.0 END) AS gross_win,
-        abs(sum(CASE WHEN {_SL_LIKE} THEN return_pct ELSE 0.0 END)) AS gross_loss,
-        avg(CASE WHEN {_TP_LIKE} THEN return_pct END) AS avg_win,
-        abs(avg(CASE WHEN {_SL_LIKE} THEN return_pct END)) AS avg_loss
+        {_dfold(f"CASE WHEN {_TP_LIKE} THEN return_pct ELSE 0.0 END")} AS gross_win,
+        abs({_dfold(f"CASE WHEN {_SL_LIKE} THEN return_pct ELSE 0.0 END")}) AS gross_loss,
+        CAST(sum(CASE WHEN {_TP_LIKE} THEN 1 ELSE 0 END) AS DOUBLE) AS cnt_tpl,
+        CAST(sum(CASE WHEN {_SL_LIKE} THEN 1 ELSE 0 END) AS DOUBLE) AS cnt_sll
     FROM trades GROUP BY symbol, barrier_id
+),
+msums2 AS (
+    SELECT *,
+        gross_win / nullif(cnt_tpl, 0.0) AS avg_win,
+        gross_loss / nullif(cnt_sll, 0.0) AS avg_loss
+    FROM msums
 ),
 mstats AS (
     SELECT *,
@@ -55,7 +69,7 @@ mstats AS (
             + nd * (s1 / nd) * (s1 / nd) * (s1 / nd) * (s1 / nd) AS m4,
         n_tp / nullif(n_closed, 0.0) AS win_rate_raw,
         avg_win / nullif(avg_loss, 0.0) AS rr
-    FROM msums
+    FROM msums2
 ),
 mfull AS (
     SELECT *,
@@ -103,17 +117,23 @@ tdd AS (
 tagg AS (
     SELECT symbol, barrier_id,
         count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
-        sum(greatest(return_pct, 0.0)) AS gains,
-        sum(greatest(-return_pct, 0.0)) AS losses,
         list(return_pct ORDER BY return_pct) AS rs,
         list(dd ORDER BY dd DESC) AS dds
     FROM tdd GROUP BY symbol, barrier_id
+),
+tagg2 AS (
+    SELECT *,
+        list_reduce(list_prepend(0.0, list_transform(rs, x -> greatest(x, 0.0))),
+            (acc, x) -> acc + x) AS gains,
+        list_reduce(list_prepend(0.0, list_transform(rs, x -> greatest(-x, 0.0))),
+            (acc, x) -> acc + x) AS losses
+    FROM tagg
 ),
 ttail AS (
     SELECT *,
         greatest(1, CAST(floor(nd * {RACHEV_ALPHA!r}) AS INT)) AS k_tail,
         greatest(1, CAST(floor(nd * {1.0 - CDAR_ALPHA!r}) AS INT)) AS k_dd
-    FROM tagg
+    FROM tagg2
 ),
 tmetrics AS (
     SELECT symbol, barrier_id, n,
@@ -166,7 +186,8 @@ evagg AS (
         count(*) AS n_trades,
         round(exp(max_by(cum, tn)), 6) AS final_evalue,
         round(exp(max(cum)), 6) AS max_evalue,
-        round(avg(logf), 8) AS grow_criterion,
+        round(list_reduce(list_prepend(0.0, list(logf ORDER BY tn)),
+            (acc, x) -> acc + x) / CAST(count(*) AS DOUBLE), 8) AS grow_criterion,
         exp(max(cum)) >= {E_THRESHOLD!r} AS rejects_null_at_005,
         min(CASE WHEN cum >= {math.log(E_THRESHOLD)!r} THEN tn END) AS first_rejection_trade,
         round(max(fbet), 6) AS kelly_used
@@ -202,10 +223,21 @@ def dsr_select() -> str:
         f" + {1.0 / 24.0!r} * {z3_ - 3.0 * z_a!r} * (kurt_raw - 3.0)"
         f" - {1.0 / 36.0!r} * {2.0 * z3_ - 5.0 * z_a!r} * skew_raw * skew_raw)"
     )
+    srlist = (
+        "list(m / nullif(std_raw, 0.0) ORDER BY symbol, barrier_id)"
+        " FILTER (WHERE m / nullif(std_raw, 0.0) IS NOT NULL)"
+    )
+    srsum = f"list_reduce(list_prepend(0.0, {srlist}), (acc, x) -> acc + x)"
+    srsq = (
+        f"list_reduce(list_prepend(0.0, list_transform({srlist}, x -> x * x)),"
+        f" (acc, x) -> acc + x)"
+    )
+    nn = f"CAST(len({srlist}) AS DOUBLE)"
     return f"""
 , tstats AS (
     SELECT count(*) AS n_trials,
-        var_samp(m / nullif(std_raw, 0.0)) AS var_sr
+        greatest({srsq} - {nn} * ({srsum} / {nn}) * ({srsum} / {nn}), 0.0)
+            / nullif({nn} - 1.0, 0.0) AS var_sr
     FROM mfull
 )
 SELECT symbol, barrier_id, n AS n_trades,
@@ -221,19 +253,27 @@ FROM mfull, tstats
 """
 
 
-OU_CTES = """oud AS (
-    SELECT symbol, close,
+def _rnfold(val: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list({val} ORDER BY rn)),"
+        f" (acc, x) -> acc + x)"
+    )
+
+
+OU_CTES = f"""oud AS (
+    SELECT symbol, rn, close,
         lag(close, 1) OVER (PARTITION BY symbol ORDER BY rn) AS x
     FROM bars
 ),
 oud2 AS (
-    SELECT symbol, close, x, close - x AS y FROM oud WHERE x IS NOT NULL
+    SELECT symbol, rn, close, x, close - x AS y FROM oud WHERE x IS NOT NULL
 ),
 ouagg AS (
     SELECT symbol,
         CAST(count(*) AS DOUBLE) AS n,
-        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
-        avg(close) AS mean_price
+        {_rnfold("x")} AS sx, {_rnfold("y")} AS sy,
+        {_rnfold("x * y")} AS sxy, {_rnfold("x * x")} AS sxx,
+        {_rnfold("close")} / CAST(count(*) AS DOUBLE) AS mean_price
     FROM oud2 GROUP BY symbol
 ),
 ouab AS (
@@ -243,7 +283,13 @@ ouab AS (
     FROM ouagg
 ),
 ousig AS (
-    SELECT d.symbol, stddev_pop(d.y - c.a - c.b * d.x) AS sigma
+    SELECT d.symbol,
+        sqrt(greatest(
+            {_rnfold("(d.y - c.a - c.b * d.x) * (d.y - c.a - c.b * d.x)")}
+                / CAST(count(*) AS DOUBLE)
+            - ({_rnfold("d.y - c.a - c.b * d.x")} / CAST(count(*) AS DOUBLE))
+              * ({_rnfold("d.y - c.a - c.b * d.x")} / CAST(count(*) AS DOUBLE)),
+            0.0)) AS sigma
     FROM oud2 d JOIN ouab c USING (symbol) GROUP BY d.symbol
 ),
 oufit AS (

@@ -1,0 +1,305 @@
+"""DuckDB oracle twins for the training-data operators (dedup /
+similarity / text analysis).  Same md5 hashing, same 1-based slices, same
+sequential folds (list_reduce with a prepended init = Spark aggregate
+with init), same tie-breaks.
+"""
+
+from __future__ import annotations
+
+from ..operators.dedup import (
+    COSINE_DUP_THRESHOLD,
+    HASH_MOD,
+    JACCARD_THRESHOLD,
+    LSH_JACCARD_FLOOR,
+    MAX_HAMMING,
+    MINHASH_BANDS,
+    MINHASH_SEEDS,
+    SHINGLE_N,
+    SIGN_BITS,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+)
+from ..operators.similarity import N_QUERIES, TOP_K
+from ..operators.textops import BPE_REGEX, LANG_PRIORITY, STOPWORDS
+
+WORDS = "list_filter(string_split(text, ' '), x -> x != '')"
+
+
+def _shingles(n: int = SHINGLE_N) -> str:
+    return (
+        f"CASE WHEN len({WORDS}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({WORDS}) - {n - 1}), "
+        f"i -> array_to_string(({WORDS})[i:i+{n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def _hexint(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+EXACT_DUP_SQL = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+_SHINGLE_REL = f"""docsh AS (
+    SELECT doc_id, unnest(list_distinct({_shingles()})) AS shingle
+    FROM documents
+),
+shsizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM docsh GROUP BY doc_id
+),
+shinter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM docsh a JOIN docsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+shjac AS (
+    SELECT doc_a, doc_b, inter,
+        round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+    FROM shinter
+    JOIN shsizes sa ON sa.doc_id = doc_a
+    JOIN shsizes sb ON sb.doc_id = doc_b
+)"""
+
+NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLE_REL}
+SELECT doc_a, doc_b, inter, jaccard FROM shjac WHERE jaccard >= {JACCARD_THRESHOLD!r}
+"""
+
+
+def _minhash_sql() -> str:
+    rows = MINHASH_SEEDS // MINHASH_BANDS
+    mh_cols = ",\n        ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(MINHASH_SEEDS)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {bi} AS band, md5("
+        + " || ".join(f"mh{bi * rows + r}" for r in range(rows))
+        + ") AS key FROM sigs"
+        for bi in range(MINHASH_BANDS)
+    )
+    return f"""sigs AS (
+    SELECT doc_id, {mh_cols} FROM docsh GROUP BY doc_id
+),
+buckets AS (
+{band_rows}
+),
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)"""
+
+
+MINHASH_LSH_SQL = f"""
+WITH {_SHINGLE_REL},
+{_minhash_sql()}
+SELECT c.doc_a, c.doc_b, c.n_shared_bands, j.jaccard
+FROM cand c JOIN shjac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= {LSH_JACCARD_FLOOR!r}
+"""
+
+_CHUNK_W = SIMHASH_BITS // SIMHASH_CHUNKS
+
+_SIMHASH_FP = f"""toks AS (
+    SELECT doc_id, unnest({WORDS}) AS w FROM documents
+),
+tokh AS (
+    SELECT doc_id, {_hexint("w")} AS h FROM toks
+),
+contrib AS (
+    SELECT doc_id, b.bit AS bit,
+        ((h >> b.bit) & 1) * 2 - 1 AS sign
+    FROM tokh, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit) b
+),
+bitsum AS (
+    SELECT doc_id, bit, sum(sign) AS s FROM contrib GROUP BY doc_id, bit
+),
+fp AS (
+    SELECT doc_id,
+        CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
+    FROM bitsum GROUP BY doc_id
+)"""
+
+SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_FP},
+chunks AS (
+    SELECT doc_id, simhash, c.chunk AS chunk,
+        (simhash >> (c.chunk * {_CHUNK_W})) & {(1 << _CHUNK_W) - 1} AS ckey
+    FROM fp, (SELECT unnest(generate_series(0, {SIMHASH_CHUNKS - 1})) AS chunk) c
+),
+spairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.simhash AS sh_a, b.simhash AS sh_b
+    FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, sh_a, sh_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM spairs WHERE bit_count(xor(sh_a, sh_b)) <= {MAX_HAMMING}
+"""
+
+# --- vectors ---------------------------------------------------------------
+
+_VD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _dot(a: str, b: str) -> str:
+    prods = f"list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])"
+    return f"list_reduce(list_prepend(0.0, {prods}), (acc, x) -> acc + x)"
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_dot(a, b)} / nullif(sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}), 0.0))"
+    )
+
+
+def _bucket(v: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(0, {SIGN_BITS - 1}), "
+        f"i -> CASE WHEN {v}[i + 1] > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+EMB_NEAR_DUP_SQL = f"""
+WITH ev AS (
+    SELECT vec_id, {_VD} AS v, {_bucket(_VD)} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+    round({_cos("a.v", "b.v")}, 6) AS cosine
+FROM ev a JOIN ev b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_cos("a.v", "b.v")}, 6) >= {COSINE_DUP_THRESHOLD!r}
+"""
+
+COSINE_TOPK_SQL = f"""
+WITH ev AS (
+    SELECT vec_id, {_VD} AS v FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT query_id, e.vec_id AS neighbor_id,
+        round({_cos("qv", "e.v")}, 6) AS cosine
+    FROM q JOIN ev e ON query_id != e.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+LSH_TOPK_SQL = f"""
+WITH ev AS (
+    SELECT vec_id, {_VD} AS v, {_bucket(_VD)} AS bucket FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM ev WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT query_id, e.vec_id AS neighbor_id,
+        round({_cos("qv", "e.v")}, 6) AS cosine
+    FROM q JOIN ev e ON qbucket = e.bucket AND query_id != e.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+# --- text ------------------------------------------------------------------
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id, n_chars,
+    CAST(len({WORDS}) AS BIGINT) AS n_ws_tokens,
+    CAST(len(regexp_extract_all(text, '{BPE_REGEX}')) AS BIGINT) AS n_bpe_tokens,
+    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace_chars,
+    round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        / nullif(CAST(len({WORDS}) AS DOUBLE), 0.0), 6) AS avg_token_len
+FROM documents
+"""
+
+
+def _stop_ratio_sql(lang: str) -> str:
+    lst = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+    return (
+        f"(CAST(len(list_filter({WORDS}, x -> x IN ({lst}))) AS DOUBLE)"
+        f" / nullif(CAST(len({WORDS}) AS DOUBLE), 0.0))"
+    )
+
+
+def _language_id_sql() -> str:
+    scores = ", ".join(
+        f"round({_stop_ratio_sql(lg)}, 6) AS score_{lg}" for lg in LANG_PRIORITY
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in LANG_PRIORITY) + ")"
+    pred = "'unknown'"
+    for lg in reversed(LANG_PRIORITY):
+        pred = f"CASE WHEN score_{lg} = {best} THEN '{lg}' ELSE {pred} END"
+    return f"""
+WITH scored AS (
+    SELECT doc_id, lang, {scores} FROM documents
+)
+SELECT doc_id, lang, {', '.join(f'score_{lg}' for lg in LANG_PRIORITY)},
+    CASE WHEN {best} > 0 THEN {pred} ELSE 'unknown' END AS predicted_lang,
+    (CASE WHEN {best} > 0 THEN {pred} ELSE 'unknown' END) = lang AS matches_label
+FROM scored
+"""
+
+
+LANGUAGE_ID_SQL = _language_id_sql()
+
+QUALITY_SQL = f"""
+WITH feats AS (
+    SELECT doc_id,
+        CAST(n_chars AS DOUBLE) AS nc,
+        CAST(len({WORDS}) AS DOUBLE) AS n_tok,
+        CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS alpha,
+        CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
+        {_stop_ratio_sql("en")} AS stop_ratio,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE) AS nonspace
+    FROM documents
+),
+derived AS (
+    SELECT doc_id,
+        alpha / nullif(nc, 0.0) AS alpha_ratio,
+        punct / nullif(nc, 0.0) AS punct_ratio,
+        stop_ratio,
+        nonspace / nullif(n_tok, 0.0) AS avg_word_len,
+        least(n_tok / 50.0, 1.0) AS len_band,
+        CASE WHEN nonspace / nullif(n_tok, 0.0) >= 2.0
+              AND nonspace / nullif(n_tok, 0.0) <= 12.0 THEN 1.0 ELSE 0.0 END AS word_sanity
+    FROM feats
+)
+SELECT doc_id,
+    round(alpha_ratio, 6) AS alpha_ratio,
+    round(punct_ratio, 6) AS punct_ratio,
+    round(stop_ratio, 6) AS stopword_ratio,
+    round(avg_word_len, 6) AS avg_word_len,
+    round(0.3 * len_band + 0.3 * alpha_ratio
+        + 0.2 * least(stop_ratio * 10.0, 1.0)
+        + 0.1 * (1.0 - least(punct_ratio * 5.0, 1.0))
+        + 0.1 * word_sanity, 6) AS quality_score
+FROM derived
+"""
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+    CAST(len({WORDS}) AS BIGINT) AS n_tokens,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform({WORDS}, w -> {_hexint("w")} % {HASH_MOD})),
+        (acc, h) -> (acc * 31 + h) % {HASH_MOD}) AS rolling_fp,
+    list_min(list_transform({_shingles()}, s -> {_hexint("s")} % {HASH_MOD})) AS min_shingle_fp
+FROM documents
+"""
