@@ -515,3 +515,52 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("text_fingerprint", TO.FINGERPRINT_SQL)
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# §2.10 WFO layer (E18-E25): walk-forward folds, CPCV/PBO, deterministic
+# moving-block bootstrap, GT-composite
+# ---------------------------------------------------------------------------
+
+from ..operators import wfo as WF  # noqa: E402
+from . import wfo_oracle as WO  # noqa: E402
+
+_WF_BASE = f"{_TRADES_BASE},\n{WO.TN_CTE}"
+
+
+@register("wf_fold_metrics", f"{_WF_BASE},\n{WO.wf_fold_ctes()}\n{WO.WF_FOLD_SELECT}")
+def q_wf_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return WF.wf_fold_metrics(_champion_trades(spark, sf_dir))
+
+
+@register("wf_topk", f"{_WF_BASE},\n{WO.wf_fold_ctes()}\n{WO.WF_TOPK_SELECT}")
+def q_wf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return WF.wf_topk(WF.wf_fold_metrics(_champion_trades(spark, sf_dir)))
+
+
+@register("cpcv_pbo", f"{_WF_BASE},\n{WO.cpcv_ctes()}\n{WO.CPCV_PBO_SELECT}")
+def q_cpcv_pbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return WF.cpcv_pbo(_champion_trades(spark, sf_dir), spark)
+
+
+@register("mbb_bootstrap_ci", f"{_WF_BASE},\n{WO.mbb_ctes()}\n{WO.mbb_select()}")
+def q_mbb_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return WF.mbb_bootstrap_ci(_champion_trades(spark, sf_dir))
+
+
+_GT_ORACLE = (
+    f"{_TRADES_BASE},\n{EO.MSUMS_CTE},\n{EO.TAIL_CTES},\n{WO.TN_CTE},\n"
+    f"{WO.wf_fold_ctes()},\n{WO.cpcv_ctes()}"
+    f"{EO.dsr_select(as_cte=True)}"
+    f"{WO.gt_select()}"
+)
+
+
+@register("gt_composite", _GT_ORACLE)
+def q_gt_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = _champion_trades(spark, sf_dir)
+    tail = EM.tail_metrics(trades)
+    dsr = EM.dsr_metrics(EM.trade_moments(trades))
+    pbo = WF.cpcv_pbo(trades, spark)
+    folds = WF.wf_fold_metrics(trades)
+    return WF.gt_composite(tail, dsr, pbo, folds)

@@ -198,7 +198,7 @@ evagg AS (
 EVALUES_SELECT = "SELECT * FROM evagg"
 
 
-def dsr_select() -> str:
+def dsr_select(as_cte: bool = False) -> str:
     nt = "CAST(tstats.n_trials AS DOUBLE)"
     z1 = norm_ppf_sql(f"(1.0 - 1.0 / {nt})")
     z2 = norm_ppf_sql(f"(1.0 - 1.0 / ({nt} * {math.e!r}))")
@@ -233,6 +233,8 @@ def dsr_select() -> str:
         f" (acc, x) -> acc + x)"
     )
     nn = f"CAST(len({srlist}) AS DOUBLE)"
+    body_tail = "" if not as_cte else ")"
+    head = ", dsrout AS (" if as_cte else ""
     return f"""
 , tstats AS (
     SELECT count(*) AS n_trials,
@@ -240,7 +242,7 @@ def dsr_select() -> str:
             / nullif({nn} - 1.0, 0.0) AS var_sr
     FROM mfull
 )
-SELECT symbol, barrier_id, n AS n_trades,
+{head}SELECT symbol, barrier_id, n AS n_trades,
     round({sr}, 6) AS sharpe,
     round({norm_cdf_sql(f"({sr} / nullif({se}, 0.0))")}, 6) AS psr,
     round({sr_star}, 6) AS expected_max_sr,
@@ -249,7 +251,7 @@ SELECT symbol, barrier_id, n AS n_trades,
         ELSE 2.0 * ln({nt}) / ({sr} * {sr}) * {moment_adj} END, 6) AS minbtl,
     round({z_cf}, 6) AS cf_quantile,
     round(m + {z_cf} * std_raw, 6) AS cf_var
-FROM mfull, tstats
+FROM mfull, tstats{body_tail}
 """
 
 
