@@ -564,3 +564,62 @@ def q_gt_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pbo = WF.cpcv_pbo(trades, spark)
     folds = WF.wf_fold_metrics(trades)
     return WF.gt_composite(tail, dsr, pbo, folds)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing + streaming extension (beyond-parity surfaces)
+# ---------------------------------------------------------------------------
+
+from ..operators import multimodal as MM  # noqa: E402
+
+# byte features over the fake media payloads: the oracle recomputes length /
+# checksum / 16-bin high-nibble histogram from the SAME utf-8 bytes in SQL,
+# so the mapInPandas batch path is value-checked end to end
+# (DuckDB byte access: use ord() over substrings of the original text —
+# ASCII corpus so text bytes == utf-8 bytes)
+_MM_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id AS media_id,
+        ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        text
+    FROM documents
+),
+b AS (
+    SELECT media_id, kind,
+        list_transform(generate_series(1, length(text)),
+            i -> ord(substr(text, CAST(i AS INT), 1))) AS bytes
+    FROM m
+)
+SELECT media_id, kind,
+    CAST(len(bytes) AS BIGINT) AS n_bytes,
+    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+        (acc, x) -> acc + x) % {MM.CHECKSUM_MOD} AS BIGINT) AS byte_checksum,
+    array_to_string(list_transform(generate_series(0, {MM.HIST_BINS - 1}),
+        h -> CAST(len(list_filter(bytes, x -> CAST(floor(x / 16) AS INT) = h)) AS BIGINT)), ',')
+        AS byte_hist_csv,
+    'stubbed:no-codec' AS decode_status
+FROM b
+"""
+
+
+@register("multimodal_byte_features", _MM_ORACLE)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
+    return MM.extract_features(media)
+
+
+_STREAM_ORACLE = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+    event_type AS symbol,
+    count(*) AS n_events,
+    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_sum_scaled
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_hourly_counts", _STREAM_ORACLE)
+def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import hourly_counts_stream
+
+    return hourly_counts_stream(spark, sf_dir)
