@@ -325,23 +325,23 @@ def ou_calibration(bars: DataFrame) -> DataFrame:
         osum(rn, F.col("_y")).alias("_sy"),
         osum(rn, F.col("_x") * F.col("_y")).alias("_sxy"),
         osum(rn, F.col("_x") * F.col("_x")).alias("_sxx"),
+        osum(rn, F.col("_y") * F.col("_y")).alias("_syy"),
         (osum(rn, F.col("close")) / F.count("*").cast("double")).alias("_mean_price"),
     )
-    b = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / F.nullif(
-        F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"), F.lit(0.0)
+    # single-pass OLS: centered sums give slope AND residual variance
+    # (SSE = Syy_c - b*Sxy_c), so no second pass over the series
+    n_, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    sxx_c = F.col("_sxx") - sx * sx / n_
+    sxy_c = F.col("_sxy") - sx * sy / n_
+    syy_c = F.col("_syy") - sy * sy / n_
+    b = sxy_c / F.nullif(sxx_c, F.lit(0.0))
+    sse = F.greatest(syy_c - b * sxy_c, F.lit(0.0))
+    out = agg.select(
+        "symbol",
+        b.alias("_b"),
+        F.col("_mean_price"),
+        F.sqrt(sse / n_).alias("_sigma"),
     )
-    a = (F.col("_sy") - b * F.col("_sx")) / F.col("_n")
-    # sigma = population std of residuals y - a - b*x, via deterministic
-    # folds: sqrt(max(E[e^2] - E[e]^2, 0))
-    d2 = d.join(agg.select("symbol", a.alias("_a"), b.alias("_b")), "symbol")
-    resid = F.col("_y") - F.col("_a") - F.col("_b") * F.col("_x")
-    nn = F.count("*").cast("double")
-    er = osum(rn, resid) / nn
-    er2 = osum(rn, resid * resid) / nn
-    sig = d2.groupBy("symbol").agg(
-        F.sqrt(F.greatest(er2 - er * er, F.lit(0.0))).alias("_sigma")
-    )
-    out = agg.select("symbol", b.alias("_b"), F.col("_mean_price")).join(sig, "symbol")
     mu = -F.col("_b")
     hl = F.log(F.lit(2.0)) / mu
     tp_abs = F.col("_sigma") * F.sqrt(hl)

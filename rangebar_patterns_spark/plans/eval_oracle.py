@@ -275,29 +275,26 @@ ouagg AS (
         CAST(count(*) AS DOUBLE) AS n,
         {_rnfold("x")} AS sx, {_rnfold("y")} AS sy,
         {_rnfold("x * y")} AS sxy, {_rnfold("x * x")} AS sxx,
+        {_rnfold("y * y")} AS syy,
         {_rnfold("close")} / CAST(count(*) AS DOUBLE) AS mean_price
     FROM oud2 GROUP BY symbol
 ),
-ouab AS (
-    SELECT symbol, mean_price,
-        (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) AS b,
-        (sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) * sx) / n AS a
+ouc AS (
+    SELECT symbol, mean_price, n,
+        sxx - sx * sx / n AS sxx_c,
+        sxy - sx * sy / n AS sxy_c,
+        syy - sy * sy / n AS syy_c
     FROM ouagg
 ),
-ousig AS (
-    SELECT d.symbol,
-        sqrt(greatest(
-            {_rnfold("(d.y - c.a - c.b * d.x) * (d.y - c.a - c.b * d.x)")}
-                / CAST(count(*) AS DOUBLE)
-            - ({_rnfold("d.y - c.a - c.b * d.x")} / CAST(count(*) AS DOUBLE))
-              * ({_rnfold("d.y - c.a - c.b * d.x")} / CAST(count(*) AS DOUBLE)),
-            0.0)) AS sigma
-    FROM oud2 d JOIN ouab c USING (symbol) GROUP BY d.symbol
+oub AS (
+    SELECT *, sxy_c / nullif(sxx_c, 0.0) AS b FROM ouc
 ),
 oufit AS (
-    SELECT c.symbol, -c.b AS mu, s.sigma, c.mean_price,
-        ln(2.0) / (-c.b) AS hl
-    FROM ouab c JOIN ousig s USING (symbol)
+    SELECT symbol, -b AS mu,
+        sqrt(greatest(syy_c - b * sxy_c, 0.0) / n) AS sigma,
+        mean_price,
+        ln(2.0) / (-b) AS hl
+    FROM oub
 ),
 oufinal AS (
     SELECT symbol,
