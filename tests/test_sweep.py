@@ -23,4 +23,6 @@ def test_sweep_shares_one_bar_scan(spark):
     per-config query storm (BASELINE.md)."""
     df = QUERIES["sweep_funnel"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") == 1, plan
+    n_parquet = plan.count("Scan parquet")
+    cached = "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert n_parquet == 1 or (cached and n_parquet == 0), plan
