@@ -21,10 +21,24 @@ def test_sweep_shares_one_bar_scan(spark):
     """The whole 24-config funnel must read the events parquet exactly
     once — the shared-scan amortization that replaces the reference's
     per-config query storm (BASELINE.md)."""
-    df = QUERIES["sweep_funnel"](spark, SF_DIR)
+    from rangebar_patterns_spark.operators.sweep import (
+        default_sweep_grid,
+        sweep_candidates,
+        sweep_funnel,
+        sweep_grid_to_spark,
+        with_signalset_quantiles,
+    )
+    from rangebar_patterns_spark.operators.windows import with_bar_features
+    from rangebar_patterns_spark.plans.catalog import SWEEP_FEATURES, SWEEP_ROLLING, WARMUP
+    from rangebar_patterns_spark.sources.bars import bars_from_events
+
+    # build the pipeline directly (uncached) so the plan rendering is
+    # deterministic — the catalog variant persists its source
+    feat = with_bar_features(bars_from_events(spark, SF_DIR), rolling_window=SWEEP_ROLLING)
+    cand = sweep_candidates(
+        feat, sweep_grid_to_spark(spark, default_sweep_grid()), SWEEP_FEATURES, WARMUP
+    )
+    df = sweep_funnel(with_signalset_quantiles(cand))
     plan = df._jdf.queryExecution().executedPlan().toString()
-    n_scans = plan.count("FileScan parquet") + plan.count("Scan parquet [")
-    n_configs = 24
-    # the exact count varies with caching/AQE plan rendering, but it must
-    # never scale with the config count (the reference re-scans per config)
-    assert 0 < n_scans < 4, f"{n_scans} scans for {n_configs} configs:\n{plan}"
+    n_scans = plan.count("FileScan parquet")
+    assert n_scans == 1, f"{n_scans} scans for 24 configs:\n{plan[:2000]}"
