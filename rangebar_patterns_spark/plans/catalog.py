@@ -641,3 +641,139 @@ def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import hourly_counts_stream
 
     return hourly_counts_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Remaining §2 operator rows: S2/O2 tail scan, J7 as-of lookup, U3 done-set
+# anti-join, E28 calendar-range windows
+# ---------------------------------------------------------------------------
+
+from ..operators.joins import asof_join_bars, exclude_done  # noqa: E402
+
+_TAIL_N = 150
+
+_TAIL_SCAN_ORACLE = f"""
+WITH {BARS_DUCKDB_CTE},
+ranked AS (
+    SELECT symbol, rn, close_time_ms, close,
+        row_number() OVER (PARTITION BY symbol ORDER BY rn DESC) AS rn_from_end
+    FROM bars
+)
+SELECT symbol, rn, close_time_ms, close, CAST(rn_from_end AS BIGINT) AS rn_from_end
+FROM ranked WHERE rn_from_end <= {_TAIL_N}
+"""
+
+
+@register("tail_scan", _TAIL_SCAN_ORACLE)
+def q_tail_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/O2: aligned tail scan — last N bars per series, numbered from
+    the end (gen720_wf_wl1d_template.sql:36-47)."""
+    bars = bars_from_events(spark, sf_dir)
+    w = F.row_number().over(
+        bar_window().orderBy(F.col("rn").desc())
+    )
+    return (
+        bars.select("symbol", "rn", "close_time_ms", "close")
+        .withColumn("rn_from_end", w.cast("long"))
+        .filter(F.col("rn_from_end") <= _TAIL_N)
+    )
+
+
+_ASOF_ORACLE = f"""
+WITH {BARS_DUCKDB_CTE},
+probes AS (
+    SELECT symbol, rn AS probe_id, close_time_ms + 1 AS ts_ms
+    FROM bars WHERE rn % 97 = 0
+)
+SELECT p.symbol, p.probe_id, p.ts_ms,
+    b.close AS bar_close, b.trade_intensity AS bar_trade_intensity
+FROM probes p ASOF JOIN bars b
+    ON p.symbol = b.symbol AND p.ts_ms >= b.close_time_ms
+"""
+
+
+@register("asof_probe_lookup", _ASOF_ORACLE)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: as-of lookup — last bar at-or-before each probe timestamp
+    (eval/ou_barriers.py:66-96 searchsorted; DuckDB-native ASOF oracle)."""
+    bars = bars_from_events(spark, sf_dir)
+    probes = bars.filter(F.col("rn") % 97 == 0).select(
+        "symbol",
+        F.col("rn").alias("probe_id"),
+        (F.col("close_time_ms") + 1).alias("ts_ms"),
+    )
+    return asof_join_bars(probes, bars, ["close", "trade_intensity"])
+
+
+def _sweep_grid_duckdb_values() -> str:
+    rows = ",\n        ".join(
+        f"('{c.config_id}', '{c.formation}', '{c.feature1}', '{c.feature2}')"
+        for c in default_sweep_grid()
+    )
+    return (
+        "sweep_grid AS (SELECT * FROM (VALUES\n        "
+        + rows
+        + "\n    ) AS t(config_id, formation, feature1, feature2))"
+    )
+
+
+_SKIP_DONE_ORACLE = f"""
+WITH {_sweep_grid_duckdb_values()},
+done AS (
+    SELECT config_id FROM sweep_grid WHERE formation = '2down'
+)
+SELECT g.* FROM sweep_grid g
+ANTI JOIN done d ON g.config_id = d.config_id
+"""
+
+
+@register("config_skip_done", _SKIP_DONE_ORACLE)
+def q_skip_done(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: crash-recovery done-set exclusion (submit.sh --skip-done) as a
+    left_anti join over the config grid."""
+    grid = sweep_grid_to_spark(spark, default_sweep_grid()).select(
+        "config_id", "formation", "feature1", "feature2"
+    )
+    done = grid.filter(F.col("formation") == "2down").select("config_id")
+    return exclude_done(grid, done, ["config_id"])
+
+
+_DAY_MS = 86_400_000
+
+_CAL_ORACLE = f"""
+WITH {BARS_DUCKDB_CTE}
+SELECT symbol, rn, close_time_ms,
+    CAST(count(*) OVER w AS BIGINT) AS n_bars_1d,
+    CAST(sum(CAST(floor(trade_intensity * 1000000) AS BIGINT)) OVER w AS BIGINT)
+        AS ti_sum_scaled_1d,
+    round(min(low) OVER w, 6) AS min_low_1d,
+    round(max(high) OVER w, 6) AS max_high_1d
+FROM bars
+WINDOW w AS (PARTITION BY symbol ORDER BY close_time_ms
+             RANGE BETWEEN {_DAY_MS} PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("rolling_calendar_window", _CAL_ORACLE)
+def q_rolling_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E28: calendar-range rolling window (gen800 rolling 90-day RDD
+    shape) — rangeBetween on epoch-ms, integer-exact aggregates."""
+    from pyspark.sql import Window
+
+    bars = bars_from_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("close_time_ms")
+        .rangeBetween(-_DAY_MS, 0)
+    )
+    return bars.select(
+        "symbol",
+        "rn",
+        "close_time_ms",
+        F.count("*").over(w).alias("n_bars_1d"),
+        F.sum(F.floor(F.col("trade_intensity") * 1000000).cast("long"))
+        .over(w)
+        .alias("ti_sum_scaled_1d"),
+        F.round(F.min("low").over(w), 6).alias("min_low_1d"),
+        F.round(F.max("high").over(w), 6).alias("max_high_1d"),
+    )

@@ -1,0 +1,70 @@
+"""Sink round-trips (S3/S5/S9) and the J1 range-join ↔ W5 window-array
+equivalence."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from rangebar_patterns_spark.operators.joins import forward_range_join
+from rangebar_patterns_spark.operators.windows import with_forward_arrays
+from rangebar_patterns_spark.sources.bars import bars_from_events
+from rangebar_patterns_spark.sources.sinks import (
+    append_results,
+    overwrite_partitions,
+    read_telemetry_ndjson,
+    write_telemetry_ndjson,
+)
+
+from conftest import SF_DIR
+
+
+def test_append_and_dynamic_overwrite(spark, tmp_path):
+    path = str(tmp_path / "results")
+    bars = bars_from_events(spark, SF_DIR).select("symbol", "rn", "close")
+    append_results(bars, path, partition_by=["symbol"])
+    n0 = spark.read.parquet(path).count()
+    assert n0 == bars.count()
+    # S5: rerun ONE symbol with halved rows; only that partition replaced
+    one = bars.filter("symbol = 'click' AND rn % 2 = 0")
+    overwrite_partitions(one, path, partition_by=["symbol"])
+    after = spark.read.parquet(path)
+    assert after.filter("symbol = 'click'").count() == one.count()
+    assert (
+        after.filter("symbol != 'click'").count()
+        == bars.filter("symbol != 'click'").count()
+    )
+
+
+def test_ndjson_telemetry_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "telemetry")
+    df = spark.createDataFrame(
+        [("c1", 0.5, None), ("c2", None, 3)],
+        "config_id string, hit_rate double, n int",
+    )
+    write_telemetry_ndjson(df, path)
+    back = read_telemetry_ndjson(spark, path)
+    assert back.count() == 2
+    assert back.filter("config_id = 'c2'").first().n == 3
+
+
+def test_range_join_matches_window_arrays(spark):
+    """J1 (range self-join) and W5 (window collect) must produce identical
+    forward arrays — the two physical strategies for one logical op."""
+    bars = bars_from_events(spark, SF_DIR)
+    cap = 15
+    sigs = bars.filter(F.col("rn") % 53 == 0)
+    via_join = forward_range_join(sigs, bars, cap).toPandas()
+    via_window = (
+        with_forward_arrays(bars, cap)
+        .filter(F.col("rn") % 53 == 0)
+        .select("symbol", "rn", "fwd_highs", "fwd_lows", "fwd_opens", "fwd_closes")
+        .toPandas()
+    )
+    # the window path emits short/empty arrays at the series tail; the join
+    # path emits rows only when at least one forward bar exists
+    via_window = via_window[via_window.fwd_highs.map(len) > 0].reset_index(drop=True)
+    a = via_join.sort_values(["symbol", "rn"]).reset_index(drop=True)
+    b = via_window.sort_values(["symbol", "rn"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in ["fwd_highs", "fwd_lows", "fwd_opens", "fwd_closes"]:
+        assert all(list(x) == list(y) for x, y in zip(a[c], b[c])), c
