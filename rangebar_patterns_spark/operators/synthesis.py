@@ -1,0 +1,201 @@
+"""Cross-metric synthesis operators (SURVEY.md §2.10 E10/E14): Romano–Wolf
+max-t FWER control and the Spearman rank-correlation matrix of metric
+rankings.
+
+Reference: eval/synthesis.py:61-117 (``romano_wolf_stepdown``: bootstrap
+max-t, B=1000, centered resampling, critical value = 95th percentile of the
+bootstrap max-t distribution) and synthesis.py:119-215
+(``cross_metric_comparison``: pairwise Spearman rho between metric
+rankings).
+
+Determinism: the reference draws bootstrap indices from
+``np.random.default_rng(42)`` — not reproducible outside numpy.  We keep the
+*procedure* (centered resampling, studentized t, max-t critical value) but
+generate resample indices with an explicit integer LCG evaluated identically
+in Spark and the DuckDB oracle, so the whole operator is engine-exact.
+Spearman ranks use average-tie ranks held in *doubled-integer* form
+(2·rank + ties − 1), making every sum integer-exact and association-order
+free — no deterministic-fold machinery needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+KEYS = ["symbol", "barrier_id"]
+
+RW_ALPHA = 0.05
+RW_MIN_TRADES = 10  # synthesis.py:70 n_trades >= 10
+RW_B = 200  # catalog default; reference uses 1000 (configurable)
+
+# LCG mixing constants (Knuth multiplicative + small primes for the axes)
+_LCG_B = 1_000_003
+_LCG_I = 7_919
+_LCG_K = 104_729
+_LCG_MUL = 2_654_435_761
+_LCG_MOD = 2_147_483_648  # 2^31
+
+
+def _lcg_idx(b: Column, i: Column, k: Column, n: Column) -> Column:
+    """Deterministic pseudo-random 1-based index into an n-vector.
+
+    All-integer arithmetic (max intermediate < 2^63), identical in the
+    DuckDB twin (:data:`plans.synthesis_oracle`)."""
+    seed = (
+        b.cast("long") * F.lit(_LCG_B)
+        + i.cast("long") * F.lit(_LCG_I)
+        + k.cast("long") * F.lit(_LCG_K)
+    )
+    x = F.pmod(seed * F.lit(_LCG_MUL), F.lit(_LCG_MOD))
+    return F.pmod(x, n.cast("long")) + F.lit(1)
+
+
+def _fold(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def romano_wolf(
+    trades: DataFrame,
+    n_bootstrap: int = RW_B,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Single-step Romano–Wolf max-t (synthesis.py:61-117 — despite the
+    step-down name the reference computes one max-t critical value).
+
+    Per config: t = mean/se (se = std(ddof=1)/sqrt(n), t=0 when se=0).
+    Bootstrap: B resamples of the *centered* return vector via the LCG;
+    critical value = type-7 95th percentile of per-resample max-t.
+    """
+    g = keys or KEYS
+    r = F.col("return_pct")
+    # per-config return vector ordered by signal time (collect order must
+    # match the oracle's list(... ORDER BY signal_ts_ms) exactly)
+    vecs = (
+        trades.groupBy(*g)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("signal_ts_ms").alias("o"), r.alias("v")))
+                ),
+                lambda s: s["v"],
+            ).alias("_rs")
+        )
+        .withColumn("_n", F.size("_rs").cast("long"))
+        .filter(F.col("_n") >= RW_MIN_TRADES)
+    )
+    # stable integer config id for the LCG's k-axis: rank in key order
+    wk = Window.orderBy(*[F.col(c) for c in g])
+    vecs = vecs.withColumn("_k", F.row_number().over(wk).cast("long"))
+    nd = F.col("_n").cast("double")
+    s1 = _fold(F.col("_rs"))
+    s2 = _fold(F.transform(F.col("_rs"), lambda x: x * x))
+    mean = s1 / nd
+    var1 = F.greatest(s2 - s1 * s1 / nd, F.lit(0.0)) / (nd - F.lit(1.0))
+    se = F.sqrt(var1) / F.sqrt(nd)
+    t_obs = F.when(se > 0, mean / se).otherwise(F.lit(0.0))
+    vecs = (
+        vecs.withColumn("_mean", mean)
+        .withColumn("_t_obs", t_obs)
+        .withColumn("_centered", F.transform(F.col("_rs"), lambda x: x - F.col("_mean")))
+    )
+    # B resamples per config: one row per (config, b), the resampled vector
+    # built by LCG-indexing into the centered vector
+    boots = vecs.select(
+        *g, "_k", "_n", "_centered", F.explode(F.sequence(F.lit(1), F.lit(n_bootstrap))).alias("_b")
+    )
+    picked = F.transform(
+        F.sequence(F.lit(1), F.col("_n").cast("int")),
+        lambda i: F.element_at(
+            F.col("_centered"),
+            _lcg_idx(F.col("_b"), i, F.col("_k"), F.col("_n")).cast("int"),
+        ),
+    )
+    boots = boots.withColumn("_bs", picked)
+    b1 = _fold(F.col("_bs"))
+    b2 = _fold(F.transform(F.col("_bs"), lambda x: x * x))
+    bnd = F.col("_n").cast("double")
+    bmean = b1 / bnd
+    bvar1 = F.greatest(b2 - b1 * b1 / bnd, F.lit(0.0)) / (bnd - F.lit(1.0))
+    bse = F.sqrt(bvar1) / F.sqrt(bnd)
+    bt = F.when(bse > 0, bmean / bse).otherwise(F.lit(0.0))
+    max_t = boots.withColumn("_bt", bt).groupBy("_b").agg(F.max("_bt").alias("_max_t"))
+    # type-7 (numpy default) 95th percentile of the B max-t values
+    p = 1.0 - RW_ALPHA
+    sorted_mt = F.sort_array(F.collect_list("_max_t"))
+    nB = F.size(sorted_mt)
+    h = (nB - F.lit(1)).cast("double") * F.lit(p) + F.lit(1.0)
+    kq = F.floor(h).cast("int")
+    frac = h - F.floor(h)
+    crit = (
+        F.when(nB == 0, F.lit(None).cast("double"))
+        .when(kq >= nB, F.element_at(sorted_mt, nB))
+        .otherwise(
+            F.element_at(sorted_mt, kq)
+            + frac * (F.element_at(sorted_mt, kq + F.lit(1)) - F.element_at(sorted_mt, kq))
+        )
+    )
+    critical = max_t.agg(crit.alias("_critical"))
+    out = vecs.crossJoin(F.broadcast(critical))
+    return out.select(
+        *g,
+        F.col("_n").alias("n_trades"),
+        F.round(F.col("_t_obs"), 4).alias("t_stat"),
+        F.round(F.col("_critical"), 4).alias("critical_value"),
+        (F.col("_t_obs") > F.col("_critical")).alias("is_discovery"),
+        F.lit(n_bootstrap).cast("long").alias("n_bootstrap"),
+    )
+
+
+def spearman_matrix(
+    metrics: DataFrame,
+    metric_cols: list[str],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """E14 pairwise Spearman rho between metric rankings
+    (synthesis.py:119-215 ``cross_metric_comparison``).
+
+    Per unordered pair (a, b): drop configs where either metric is NULL,
+    average-tie-rank both metrics over the remaining configs, Pearson on the
+    ranks.  Ranks are carried as ``2·rank + ties − 1`` (doubled average
+    ranks → integers), so every aggregate is an exact integer sum and the
+    result is engine- and order-exact; metrics are rounded to 6 decimals
+    first (cross-engine ranking convention, plans/catalog.py).
+    """
+    g = keys or KEYS
+    rounded = metrics.select(
+        *g, *[F.round(F.col(c), 6).alias(c) for c in metric_cols]
+    )
+    pieces: list[DataFrame] = []
+    for ai in range(len(metric_cols)):
+        for bi in range(ai + 1, len(metric_cols)):
+            a, b = metric_cols[ai], metric_cols[bi]
+            sub = rounded.filter(F.col(a).isNotNull() & F.col(b).isNotNull())
+
+            def dr2(c: str) -> Column:
+                rk = F.rank().over(Window.orderBy(F.col(c)))
+                ties = F.count("*").over(Window.partitionBy(F.col(c)))
+                return (F.lit(2) * rk + ties - F.lit(1)).cast("long")
+
+            ranked = sub.select(dr2(a).alias("_ra"), dr2(b).alias("_rb"))
+            n = F.count("*").cast("long")
+            sx, sy = F.sum("_ra"), F.sum("_rb")
+            sxy = F.sum(F.col("_ra") * F.col("_rb"))
+            sxx = F.sum(F.col("_ra") * F.col("_ra"))
+            syy = F.sum(F.col("_rb") * F.col("_rb"))
+            num = (n * sxy - sx * sy).cast("double")
+            den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+                (n * syy - sy * sy).cast("double")
+            )
+            pieces.append(
+                ranked.agg(
+                    F.lit(a).alias("metric_a"),
+                    F.lit(b).alias("metric_b"),
+                    n.alias("n_configs"),
+                    F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("spearman_rho"),
+                )
+            )
+    out = pieces[0]
+    for p_ in pieces[1:]:
+        out = out.unionByName(p_)
+    return out

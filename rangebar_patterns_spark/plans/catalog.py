@@ -468,6 +468,34 @@ def q_eval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EM.ranking_survivors(m, ["omega", "cdar_inv"], top_pct=0.5)
 
 
+from ..operators import synthesis as SY  # noqa: E402
+from . import synthesis_oracle as SO  # noqa: E402
+
+
+@register("eval_romano_wolf", _TRADES_BASE + SO.romano_wolf_select())
+def q_eval_romano_wolf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SY.romano_wolf(_champion_trades(spark, sf_dir))
+
+
+_SPEARMAN_ORACLE = (
+    f"{_TRADES_BASE},\n{EO.TAIL_CTES}"
+    + SO.spearman_select(
+        {"omega": "omega_raw", "rachev": "rachev_raw", "cdar": "cdar_raw"}, "tfinal"
+    )
+)
+
+
+@register("eval_spearman", _SPEARMAN_ORACLE)
+def q_eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tail = EM.tail_metrics(_champion_trades(spark, sf_dir))
+    m = (
+        tail.withColumn("omega", F.col("_omega_raw"))
+        .withColumn("rachev", F.col("_rachev_raw"))
+        .withColumn("cdar", F.col("_cdar_raw"))
+    )
+    return SY.spearman_matrix(m, ["omega", "rachev", "cdar"])
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (beyond-reference, first-class):
 # dedup family, similarity search, text analysis — documents/embeddings

@@ -1,0 +1,130 @@
+"""DuckDB oracle twins for operators/synthesis.py (E10 Romano–Wolf,
+E14 Spearman matrix).
+
+Same LCG, same fold order, same integer rank arithmetic — see the operator
+module docstring for the determinism contract.
+"""
+
+from __future__ import annotations
+
+from ..operators.synthesis import (
+    _LCG_B,
+    _LCG_I,
+    _LCG_K,
+    _LCG_MOD,
+    _LCG_MUL,
+    RW_ALPHA,
+    RW_B,
+    RW_MIN_TRADES,
+)
+
+
+def romano_wolf_select(n_bootstrap: int = RW_B) -> str:
+    """Append after the trades CTE chain (relation ``trades``)."""
+    p = 1.0 - RW_ALPHA
+    lcg = (
+        f"(((b * {_LCG_B} + i * {_LCG_I} + k * {_LCG_K}) * {_LCG_MUL})"
+        f" % {_LCG_MOD}) % n + 1"
+    )
+    return f"""
+, rwvec AS (
+    SELECT symbol, barrier_id,
+        list(return_pct ORDER BY signal_ts_ms) AS rs,
+        CAST(count(*) AS BIGINT) AS n
+    FROM trades GROUP BY symbol, barrier_id
+    HAVING count(*) >= {RW_MIN_TRADES}
+),
+rwk AS (
+    SELECT *, CAST(row_number() OVER (ORDER BY symbol, barrier_id) AS BIGINT) AS k,
+        CAST(n AS DOUBLE) AS nd,
+        list_reduce(list_prepend(0.0, rs), (acc, x) -> acc + x) AS s1,
+        list_reduce(list_prepend(0.0, list_transform(rs, x -> x * x)),
+            (acc, x) -> acc + x) AS s2
+    FROM rwvec
+),
+rwobs AS (
+    SELECT symbol, barrier_id, k, n, nd, rs,
+        s1 / nd AS mean,
+        sqrt(greatest(s2 - s1 * s1 / nd, 0.0) / (nd - 1.0)) / sqrt(nd) AS se
+    FROM rwk
+),
+rwobs2 AS (
+    SELECT *, CASE WHEN se > 0 THEN mean / se ELSE 0.0 END AS t_obs,
+        list_transform(rs, x -> x - mean) AS centered
+    FROM rwobs
+),
+rwboot AS (
+    SELECT r.symbol, r.barrier_id, r.k, r.n, r.nd, r.centered, bs.b
+    FROM rwobs2 r, (SELECT unnest(generate_series(1, {n_bootstrap})) AS b) bs
+),
+rwpick AS (
+    SELECT symbol, barrier_id, b, n, nd,
+        [centered[CAST({lcg} AS INT)] FOR i IN generate_series(1, CAST(n AS INT))] AS bsv
+    FROM rwboot
+),
+rwbt AS (
+    SELECT b,
+        list_reduce(list_prepend(0.0, bsv), (acc, x) -> acc + x) AS b1,
+        list_reduce(list_prepend(0.0, list_transform(bsv, x -> x * x)),
+            (acc, x) -> acc + x) AS b2,
+        nd
+    FROM rwpick
+),
+rwbt2 AS (
+    SELECT b,
+        CASE WHEN sqrt(greatest(b2 - b1 * b1 / nd, 0.0) / (nd - 1.0)) / sqrt(nd) > 0
+            THEN (b1 / nd) / (sqrt(greatest(b2 - b1 * b1 / nd, 0.0) / (nd - 1.0)) / sqrt(nd))
+            ELSE 0.0 END AS bt
+    FROM rwbt
+),
+rwmax AS (SELECT b, max(bt) AS max_t FROM rwbt2 GROUP BY b),
+rwcrit AS (
+    SELECT CASE
+        WHEN len(smt) = 0 THEN NULL
+        WHEN CAST(floor(h) AS INT) >= len(smt) THEN smt[len(smt)]
+        ELSE smt[CAST(floor(h) AS INT)]
+            + (h - floor(h)) * (smt[CAST(floor(h) AS INT) + 1] - smt[CAST(floor(h) AS INT)])
+        END AS critical
+    FROM (
+        SELECT list(max_t ORDER BY max_t) AS smt,
+            CAST(count(*) - 1 AS DOUBLE) * {p!r} + 1.0 AS h
+        FROM rwmax
+    )
+)
+SELECT symbol, barrier_id,
+    n AS n_trades,
+    round(t_obs, 4) AS t_stat,
+    round(critical, 4) AS critical_value,
+    t_obs > critical AS is_discovery,
+    CAST({n_bootstrap} AS BIGINT) AS n_bootstrap
+FROM rwobs2, rwcrit
+"""
+
+
+def spearman_select(metric_exprs: dict[str, str], src: str) -> str:
+    """E14 twin: pairwise Spearman over ``metric_exprs`` (name -> SQL expr
+    evaluated against rows of relation ``src``); doubled-integer average-tie
+    ranks, exact integer sums."""
+    cols = list(metric_exprs)
+    base = ", ".join(f"round({e}, 6) AS {c}" for c, e in metric_exprs.items())
+    parts = []
+    for ai in range(len(cols)):
+        for bi in range(ai + 1, len(cols)):
+            a, b = cols[ai], cols[bi]
+            parts.append(f"""
+SELECT '{a}' AS metric_a, '{b}' AS metric_b,
+    CAST(count(*) AS BIGINT) AS n_configs,
+    round(CAST(count(*) * sum(ra * rb) - sum(ra) * sum(rb) AS DOUBLE)
+        / nullif(sqrt(CAST(count(*) * sum(ra * ra) - sum(ra) * sum(ra) AS DOUBLE))
+            * sqrt(CAST(count(*) * sum(rb * rb) - sum(rb) * sum(rb) AS DOUBLE)), 0.0),
+        6) AS spearman_rho
+FROM (
+    SELECT CAST(2 * rank() OVER (ORDER BY {a}) + count(*) OVER (PARTITION BY {a}) - 1 AS BIGINT) AS ra,
+        CAST(2 * rank() OVER (ORDER BY {b}) + count(*) OVER (PARTITION BY {b}) - 1 AS BIGINT) AS rb
+    FROM spbase WHERE {a} IS NOT NULL AND {b} IS NOT NULL
+)""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+, spbase AS (SELECT {base} FROM {src})
+{union}
+"""
