@@ -485,6 +485,13 @@ _SPEARMAN_ORACLE = (
 )
 
 
+@register("eval_signal_regularity", _TRADES_BASE + SO.signal_regularity_select())
+def q_eval_signal_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.regularity import signal_regularity
+
+    return signal_regularity(_champion_trades(spark, sf_dir))
+
+
 @register("eval_spearman", _SPEARMAN_ORACLE)
 def q_eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail = EM.tail_metrics(_champion_trades(spark, sf_dir))

@@ -128,3 +128,105 @@ FROM (
 , spbase AS (SELECT {base} FROM {src})
 {union}
 """
+
+
+def signal_regularity_select() -> str:
+    """E12 twin of operators/regularity.py — identical list expressions,
+    densities rounded to 9 dp before comparisons."""
+    from ..operators.regularity import (
+        BW_SCALE,
+        MIN_TRADES_REGULARITY,
+        N_COVERAGE_BINS,
+        PROMINENCE_FRAC,
+        SQRT_2PI,
+    )
+
+    fold = lambda arr: f"list_reduce(list_prepend(0.0, {arr}), (acc, x) -> acc + x)"  # noqa: E731
+    return f"""
+, rg0 AS (
+    SELECT symbol, barrier_id,
+        list(CAST(signal_ts_ms AS DOUBLE) ORDER BY signal_ts_ms) AS ts,
+        CAST(count(*) AS BIGINT) AS n_trades,
+        CAST(count(*) AS DOUBLE) AS nd
+    FROM trades GROUP BY symbol, barrier_id
+),
+rg1 AS (
+    SELECT *, ts[len(ts)] - ts[1] AS rng,
+        (n_trades >= {MIN_TRADES_REGULARITY} AND ts[len(ts)] - ts[1] > 0) AS ok
+    FROM rg0
+),
+rg2 AS (
+    SELECT *,
+        [ts[i + 1] - ts[i] FOR i IN generate_series(1, CAST(n_trades - 1 AS INT))] AS iats,
+        [(x - ts[1]) / rng FOR x IN ts] AS tsn
+    FROM rg1
+),
+rg3 AS (
+    SELECT *,
+        {fold("iats")} / (nd - 1.0) AS i1,
+        {fold("list_transform(iats, x -> x * x)")} / (nd - 1.0) AS i2,
+        {fold("tsn")} AS s1,
+        {fold("list_transform(tsn, x -> x * x)")} AS s2,
+        pow(nd, -0.2) * {BW_SCALE!r} AS factor,
+        least(1000, greatest(200, CAST(n_trades * 2 AS INT))) AS ng
+    FROM rg2
+),
+rg4 AS (
+    SELECT *,
+        factor * sqrt(greatest(s2 - s1 * s1 / nd, 0.0) / (nd - 1.0)) AS h,
+        CASE WHEN i1 > 0 THEN sqrt(greatest(i2 - i1 * i1, 0.0)) / i1 END AS iat_cv
+    FROM rg3
+),
+rg5 AS (
+    SELECT *,
+        CASE WHEN ok AND h > 0 THEN
+            [round({fold("list_transform(tsn, x -> exp(((CAST(j - 1 AS DOUBLE) / CAST(ng - 1 AS DOUBLE) - x) / h) * ((CAST(j - 1 AS DOUBLE) / CAST(ng - 1 AS DOUBLE) - x) / h) * -0.5))")}
+                / (nd * h * {SQRT_2PI!r}), 9)
+             FOR j IN generate_series(1, ng)]
+        END AS d
+    FROM rg4
+),
+rg6 AS (
+    SELECT *,
+        list_filter(
+            list_filter(generate_series(2, ng - 1),
+                j -> d[j] > d[j - 1] AND d[j] > d[j + 1]),
+            j -> d[j] - greatest(
+                list_min(list_slice(d,
+                    coalesce(list_max(list_filter(generate_series(1, j - 1), i -> d[i] > d[j])), 0) + 1,
+                    j - 1)),
+                list_min(list_slice(d, j + 1,
+                    coalesce(list_min(list_filter(generate_series(j + 1, ng), i -> d[i] > d[j])), ng + 1) - 1))
+            ) >= {PROMINENCE_FRAC!r} * list_max(d)
+        ) AS pk
+    FROM rg5
+),
+rg7 AS (
+    SELECT *, len(pk) AS n_peaks,
+        [CAST(j - 1 AS DOUBLE) / CAST(ng - 1 AS DOUBLE) FOR j IN pk] AS ppos
+    FROM rg6
+),
+rg8 AS (
+    SELECT *,
+        [ppos[i + 1] - ppos[i] FOR i IN generate_series(1, CAST(n_peaks - 1 AS INT))] AS ipd,
+        CAST(n_peaks - 1 AS DOUBLE) AS kp
+    FROM rg7
+),
+rg9 AS (
+    SELECT *,
+        {fold("ipd")} / kp AS p1,
+        {fold("list_transform(ipd, x -> x * x)")} / kp AS p2,
+        CAST(len(list_distinct(
+            [least({N_COVERAGE_BINS - 1}, CAST(floor((x - ts[1]) / rng * {N_COVERAGE_BINS}) AS INT)) FOR x IN ts]
+        )) AS DOUBLE) / {float(N_COVERAGE_BINS)!r} AS coverage
+    FROM rg8
+)
+SELECT symbol, barrier_id, n_trades,
+    round(CASE WHEN ok AND n_peaks >= 2 AND p1 > 0
+        THEN sqrt(greatest(p2 - p1 * p1, 0.0)) / p1 END, 6) AS kde_peak_cv,
+    CASE WHEN ok THEN CAST(n_peaks AS BIGINT) END AS n_peaks,
+    round(CASE WHEN ok THEN iat_cv END, 6) AS raw_iat_cv,
+    round(CASE WHEN ok THEN coverage END, 4) AS temporal_coverage,
+    round(CASE WHEN ok THEN factor END, 6) AS kde_bandwidth
+FROM rg9
+"""
