@@ -485,6 +485,16 @@ _SPEARMAN_ORACLE = (
 )
 
 
+from .laguerre_oracle import laguerre_select  # noqa: E402
+
+
+@register("laguerre_regimes", f"WITH RECURSIVE {BARS_DUCKDB_CTE}{laguerre_select()}")
+def q_laguerre_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.laguerre import laguerre_regimes
+
+    return laguerre_regimes(bars_from_events(spark, sf_dir))
+
+
 @register("eval_signal_regularity", _TRADES_BASE + SO.signal_regularity_select())
 def q_eval_signal_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.regularity import signal_regularity
