@@ -89,47 +89,120 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
-) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard over the shingle-join graph
-    (|A ∩ B| from the equi-join, |A ∪ B| = |A|+|B|-|A∩B|)."""
-    sh = _doc_shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").cast("long").alias("inter"))
+def _shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh_arr, n_sh): distinct shingles per doc, ordered
+    rarest-first (global posting-list frequency asc, shingle asc) — the
+    PPJoin canonical order that makes prefix filtering maximally selective."""
+    from pyspark.sql import Window
+
+    # posting-list frequency via a window over the single exploded relation
+    # (shingling runs once; an agg+join-back would shingle twice and add a
+    # third shuffle)
+    sh = _doc_shingles(docs).withColumn(
+        "_f", F.count("*").over(Window.partitionBy("shingle"))
     )
-    j = (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
-                6,
-            ),
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_f"), F.col("shingle")))
+                ),
+                lambda s: s["shingle"],
+            ).alias("sh_arr")
         )
+        .withColumn("n_sh", F.size("sh_arr").cast("long"))
     )
-    return j.filter(F.col("jaccard") >= threshold).select(
+
+
+def _verify_jaccard(cand: DataFrame, arrs: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs via
+    ``array_intersect`` on the full shingle arrays."""
+    out = cand.join(
+        arrs.select(
+            F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("_sa"), F.col("n_sh").alias("_na")
+        ),
+        "doc_a",
+    ).join(
+        arrs.select(
+            F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("_sb"), F.col("n_sh").alias("_nb")
+        ),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).cast("long")
+    out = out.withColumn("inter", inter).withColumn(
+        "jaccard",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("inter")).cast("double"),
+            6,
+        ),
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    arrs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard, PPJoin-style (Xiao et al.,
+    WWW'08): candidates only from *prefix* tokens (first
+    n − ⌈t·n⌉ + 1 in rare-first order) with the |B| ∈ [t·|A|, |A|/t]
+    length filter, then exact ``array_intersect`` verification.  Identical
+    output to the brute-force shingle self-join (the DuckDB twin), but the
+    join fans out on prefix postings only — at 100 TB this is the
+    difference between posting-list blowup on hot shingles and a bounded
+    candidate set."""
+    if arrs is None:
+        arrs = _shingle_arrays(docs)
+    p_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("long") + F.lit(1)
+    pref = arrs.select(
+        "doc_id",
+        "n_sh",
+        F.explode(F.slice(F.col("sh_arr"), F.lit(1), p_len.cast("int"))).alias("shingle"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n_sh").cast("double") * F.lit(threshold) <= F.col("a.n_sh").cast("double"))
+            & (F.col("a.n_sh").cast("double") * F.lit(threshold) <= F.col("b.n_sh").cast("double")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, arrs, threshold).select(
         "doc_a", "doc_b", "inter", "jaccard"
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = MINHASH_SEEDS) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = MINHASH_SEEDS, arrs: DataFrame | None = None
+) -> DataFrame:
     """k-permutation MinHash using seeded md5 digests: permutation i is the
     lexicographic order of md5('i|' || shingle); the signature element is
-    the min digest (MMDS §3.3 with hash-as-permutation)."""
-    sh = _doc_shingles(docs)
-    return sh.groupBy("doc_id").agg(
+    the min digest (MMDS §3.3 with hash-as-permutation).
+
+    Signatures fold over each doc's shingle array directly (``array_min``
+    of the seeded digests) — no explode/shuffle; when a shared ``arrs``
+    relation is supplied the shingling isn't even recomputed."""
+    if arrs is None:
+        arrs = _shingle_arrays(docs)
+
+    # NB: a 2-arg lambda would be treated by pyspark as (element, index) —
+    # the seed must be bound via closure, not a default argument
+    def seeded(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    return arrs.select(
+        "doc_id",
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+            F.array_min(F.transform(F.col("sh_arr"), seeded(i))).alias(f"mh{i}")
             for i in range(k)
-        ]
+        ],
     )
 
 
@@ -138,11 +211,14 @@ def minhash_lsh_pairs(
     k: int = MINHASH_SEEDS,
     bands: int = MINHASH_BANDS,
     floor: float = LSH_JACCARD_FLOOR,
+    arrs: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact Jaccard verification.
     Returns (doc_a, doc_b, n_shared_bands, jaccard >= floor)."""
     rows = k // bands
-    sig = minhash_signatures(docs, k)
+    if arrs is None:
+        arrs = _shingle_arrays(docs)
+    sig = minhash_signatures(docs, k, arrs=arrs)
     band_structs = F.array(
         *[
             F.struct(
@@ -168,7 +244,7 @@ def minhash_lsh_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").cast("long").alias("n_shared_bands"))
     )
-    verified = cand.join(ngram_jaccard_pairs(docs, threshold=floor), ["doc_a", "doc_b"])
+    verified = _verify_jaccard(cand, arrs, floor)
     return verified.select("doc_a", "doc_b", "n_shared_bands", "jaccard")
 
 

@@ -95,11 +95,17 @@ def label_centroid_search(emb: DataFrame, n_queries: int = N_QUERIES) -> DataFra
     each query is assigned to its nearest centroid (exact, 10 centroids)
     and scored only against that cell.  Output: query -> assigned cell +
     within-cell best neighbor."""
+    from ..functions.detsum import osum
+
     v = _vecs(emb)
-    dims = 64
-    cent = v.select(
-        "label", F.posexplode(F.col("v")).alias("i", "x")
-    ).groupBy("label", "i").agg(F.avg("x").alias("cx"))
+    cent = (
+        v.select("label", "vec_id", F.posexplode(F.col("v")).alias("i", "x"))
+        .groupBy("label", "i")
+        # deterministic centroid: per-dimension fold in vec_id order (the
+        # DuckDB twin folds the same sequence) — plain avg() is
+        # association-order-dependent
+        .agg((osum(F.col("vec_id"), F.col("x")) / F.count("*").cast("double")).alias("cx"))
+    )
     centroids = (
         cent.groupBy("label")
         .agg(

@@ -199,3 +199,110 @@ def spearman_matrix(
     for p_ in pieces[1:]:
         out = out.unionByName(p_)
     return out
+
+
+def knee_points(
+    metrics: DataFrame,
+    metric_cols: list[str],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """E17 knee detection (ranking.py:390-472): tradeoff-outlier analysis
+    on the Pareto front.
+
+    Reference semantics (Deb & Gupta 2010 via pymoo): flip benefit metrics
+    to minimization, normalize per column to [0,1], per-point tradeoff
+    mu_i = min over neighbors of sacrifice/gain, knees = points with
+    mu >= mean + 2*std.  pymoo's epsilon-radius neighborhood is replaced by
+    the all-points neighborhood (epsilon = inf) — exact for the
+    driver-scale fronts the reference feeds this (<= hundreds of
+    candidates), deterministic, and SQL-expressible; pairs with gain = 0
+    are excluded from the min (numpy's inf/nan tradeoffs never win the
+    nanmin unless all are invalid).  Restricted to the Pareto front
+    (dominated points get on_front = false and no mu).  All metric_cols
+    are treated as benefit (higher = better), pre-rounded to 6 decimals
+    (cross-engine ranking convention)."""
+    g = keys or KEYS
+    m = metrics.select(*g, *[F.round(F.col(c), 6).alias(c) for c in metric_cols])
+    for c in metric_cols:
+        m = m.filter(F.col(c).isNotNull())
+    # flip to minimization + per-column [0,1] normalization
+    bounds = m.agg(
+        *[F.max(c).alias(f"_hi_{c}") for c in metric_cols],
+        *[F.min(c).alias(f"_lo_{c}") for c in metric_cols],
+    )
+    m = m.crossJoin(F.broadcast(bounds))
+    for c in metric_cols:
+        rngc = F.col(f"_hi_{c}") - F.col(f"_lo_{c}")
+        # minimized = -metric; normalized over the flipped range
+        m = m.withColumn(
+            f"_v_{c}",
+            F.when(rngc > 0, (F.col(f"_hi_{c}") - F.col(c)) / rngc).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    a = m.select(*g, *[F.col(f"_v_{c}").alias(f"_a_{c}") for c in metric_cols])
+    b = m.select(
+        *[F.col(k).alias(f"_b_{k}") for k in g],
+        *[F.col(f"_v_{c}").alias(f"_bv_{c}") for c in metric_cols],
+    )
+    neq = None
+    for k in g:
+        cnd = F.col(k) != F.col(f"_b_{k}")
+        neq = cnd if neq is None else (neq | cnd)
+    pairs = a.join(b, neq)
+    # dominance: b <= a in every minimized dim, < in at least one
+    dom_le = None
+    dom_lt = None
+    for c in metric_cols:
+        le = F.col(f"_bv_{c}") <= F.col(f"_a_{c}")
+        lt = F.col(f"_bv_{c}") < F.col(f"_a_{c}")
+        dom_le = le if dom_le is None else (dom_le & le)
+        dom_lt = lt if dom_lt is None else (dom_lt | lt)
+    dominated = F.max(F.when(dom_le & dom_lt, 1).otherwise(0))
+    # tradeoff vs each neighbor: sacrifice = sum max(0, b-a), gain = sum max(0, a-b)
+    sac = None
+    gain = None
+    for c in metric_cols:
+        d = F.col(f"_bv_{c}") - F.col(f"_a_{c}")
+        s_ = F.greatest(d, F.lit(0.0))
+        g_ = F.greatest(-d, F.lit(0.0))
+        sac = s_ if sac is None else (sac + s_)
+        gain = g_ if gain is None else (gain + g_)
+    tr = F.when(gain > 0, sac / gain)
+    per_pt = pairs.groupBy(*g).agg(
+        dominated.alias("_dominated"),
+        F.min(tr).alias("_mu"),
+    )
+    front = per_pt.withColumn("on_front", F.col("_dominated") == 0)
+    # outlier threshold over front mus: mean + 2*std (population, numpy
+    # default), deterministic fold in key order
+    mus = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("on_front") & F.col("_mu").isNotNull(),
+                    F.struct(*[F.col(c) for c in g], F.col("_mu").alias("m")),
+                )
+            )
+        ),
+        lambda s: s["m"],
+    )
+    nn = F.size(mus).cast("double")
+    s1 = F.aggregate(mus, F.lit(0.0), lambda acc, x: acc + x)
+    s2 = F.aggregate(
+        F.transform(mus, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    mean = s1 / nn
+    std = F.sqrt(F.greatest(s2 / nn - mean * mean, F.lit(0.0)))
+    thresh = front.agg((mean + F.lit(2.0) * std).alias("_thresh"))
+    out = front.crossJoin(F.broadcast(thresh))
+    return out.select(
+        *g,
+        F.col("on_front"),
+        F.round(F.col("_mu"), 6).alias("tradeoff_mu"),
+        (
+            F.col("on_front")
+            & F.col("_mu").isNotNull()
+            & (F.col("_mu") >= F.col("_thresh"))
+        ).alias("is_knee"),
+    )

@@ -42,6 +42,20 @@ def _cnt(cond) -> F.Column:
     return F.sum(F.when(cond, 1).otherwise(0))
 
 
+#: ~every catalog query starts from the bars adapter; persist it once per
+#: (session, sf_dir) so the events scan + synthetic-feature stack isn't
+#: re-executed per query (at cluster scale this is "read the bar table
+#: once per job", the same idea as the reference's TSV side-cache S12)
+_BARS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _BARS_CACHE:
+        _BARS_CACHE[key] = bars_from_events(spark, sf_dir).persist()
+    return _BARS_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # S1/P-family: the bars scan itself (adapter parity = every downstream
 # oracle's foundation)
@@ -53,7 +67,7 @@ def _cnt(cond) -> F.Column:
     f"WITH {BARS_DUCKDB_CTE} SELECT {', '.join(BAR_COLUMNS)} FROM bars",
 )
 def q_bars_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bars_from_events(spark, sf_dir).select(*BAR_COLUMNS)
+    return _bars(spark, sf_dir).select(*BAR_COLUMNS)
 
 
 # ---------------------------------------------------------------------------
@@ -65,7 +79,7 @@ def q_bars_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _champion_df(
     spark: SparkSession, sf_dir: str, warmup: int, p: float = 0.95
 ) -> DataFrame:
-    feat = with_bar_features(bars_from_events(spark, sf_dir), p=p)
+    feat = with_bar_features(_bars(spark, sf_dir), p=p)
     sig = champion_signal()
     hit = sig & (F.col("next_dir") == 1)
     sc = F.nullif(_cnt(sig).cast("double"), F.lit(0.0))
@@ -133,7 +147,7 @@ FROM bars
 def q_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.quantiles import rolling_excl_quantile
 
-    bars = bars_from_events(spark, sf_dir)
+    bars = _bars(spark, sf_dir)
     w = bar_window()
     return bars.select(
         "symbol",
@@ -188,7 +202,7 @@ GROUP BY symbol
 
 @register("formation_counts", _FORMATION_ORACLE)
 def q_formation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feat = with_bar_features(bars_from_events(spark, sf_dir))
+    feat = with_bar_features(_bars(spark, sf_dir))
     aggs = [
         _cnt(pred_fn()).alias(f"n_{name}") for name, pred_fn in FORMATIONS.items()
     ]
@@ -220,7 +234,7 @@ GROUP BY symbol, year(epoch_ms(close_time_ms))
 
 @register("temporal_yearly", _TEMPORAL_ORACLE)
 def q_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feat = with_bar_features(bars_from_events(spark, sf_dir))
+    feat = with_bar_features(_bars(spark, sf_dir))
     sig = (F.col("dir_1") == 0) & (F.col("direction") == 0)
     return (
         feat.filter(F.col("dir_1").isNotNull())
@@ -259,7 +273,7 @@ from .barrier_oracle import BARRIER_METRICS_SELECT, barrier_pipeline_ctes  # noq
 
 
 def _trades_df(spark: SparkSession, sf_dir: str, grid, signal_col) -> DataFrame:
-    feat = with_bar_features(bars_from_events(spark, sf_dir))
+    feat = with_bar_features(_bars(spark, sf_dir))
     feat = with_entry_and_forward(feat, cap=max_bars_cap(grid))
     sigs = feat.filter(signal_col & eligibility(WARMUP))
     return simulate_barriers(sigs, grid_to_spark(spark, grid))
@@ -325,7 +339,7 @@ def _sweep_candq(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _CANDQ_CACHE:
         feat = with_bar_features(
-            bars_from_events(spark, sf_dir), rolling_window=SWEEP_ROLLING
+            _bars(spark, sf_dir), rolling_window=SWEEP_ROLLING
         )
         cand = sweep_candidates(
             feat,
@@ -359,7 +373,7 @@ WITH {BARS_DUCKDB_CTE},
 @register("sweep_barrier_metrics", _SWEEP_METRICS_ORACLE)
 def q_sweep_barrier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = with_bar_features(
-        bars_from_events(spark, sf_dir), rolling_window=SWEEP_ROLLING
+        _bars(spark, sf_dir), rolling_window=SWEEP_ROLLING
     )
     fwd = with_entry_and_forward(feat, cap=max_bars_cap(gen600_profiles()))
     sigs = sweep_signals(_sweep_candq(spark, sf_dir))
@@ -423,7 +437,7 @@ def q_eval_dsr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("eval_ou_calibration", f"WITH {BARS_DUCKDB_CTE},\n{EO.OU_CTES}\n{EO.OU_SELECT}")
 def q_eval_ou(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _PRIVATE(EM.ou_calibration(bars_from_events(spark, sf_dir)))
+    return _PRIVATE(EM.ou_calibration(_bars(spark, sf_dir)))
 
 
 from ..config import grid_to_duckdb_values  # noqa: E402
@@ -438,7 +452,7 @@ _TAMRS_ORACLE = (
 @register("eval_tamrs", _TAMRS_ORACLE)
 def q_eval_tamrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail = EM.tail_metrics(_champion_trades(spark, sf_dir))
-    ou = EM.ou_calibration(bars_from_events(spark, sf_dir))
+    ou = EM.ou_calibration(_bars(spark, sf_dir))
     return EM.tamrs(tail, ou, grid_to_spark(spark, gen720_grid()), 250.0 / 100000.0)
 
 
@@ -492,7 +506,7 @@ from .laguerre_oracle import laguerre_select  # noqa: E402
 def q_laguerre_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.laguerre import laguerre_regimes
 
-    return laguerre_regimes(bars_from_events(spark, sf_dir))
+    return laguerre_regimes(_bars(spark, sf_dir))
 
 
 @register("eval_signal_regularity", _TRADES_BASE + SO.signal_regularity_select())
@@ -500,6 +514,26 @@ def q_eval_signal_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.regularity import signal_regularity
 
     return signal_regularity(_champion_trades(spark, sf_dir))
+
+
+_KNEE_ORACLE = (
+    f"{_TRADES_BASE},\n{EO.TAIL_CTES}"
+    + SO.knee_select(
+        {"omega": "omega_raw", "rachev": "rachev_raw", "cdar_inv": "-cdar_raw"},
+        "tfinal",
+    )
+)
+
+
+@register("eval_knee_points", _KNEE_ORACLE)
+def q_eval_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tail = EM.tail_metrics(_champion_trades(spark, sf_dir))
+    m = (
+        tail.withColumn("omega", F.col("_omega_raw"))
+        .withColumn("rachev", F.col("_rachev_raw"))
+        .withColumn("cdar_inv", -F.col("_cdar_raw"))
+    )
+    return SY.knee_points(m, ["omega", "rachev", "cdar_inv"])
 
 
 @register("eval_spearman", _SPEARMAN_ORACLE)
@@ -530,14 +564,32 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_duplicates(load_table(spark, sf_dir, "documents"))
 
 
+#: the rare-first shingle-array relation feeds both Jaccard and
+#: MinHash-LSH — persist once per (session, sf_dir) like _champion_trades
+_ARRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _doc_arrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _ARRS_CACHE:
+        _ARRS_CACHE[key] = DD._shingle_arrays(
+            load_table(spark, sf_dir, "documents")
+        ).persist()
+    return _ARRS_CACHE[key]
+
+
 @register("dedup_ngram_jaccard", TO.NGRAM_JACCARD_SQL)
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    return DD.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), arrs=_doc_arrs(spark, sf_dir)
+    )
 
 
 @register("dedup_minhash_lsh", TO.MINHASH_LSH_SQL)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return DD.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), arrs=_doc_arrs(spark, sf_dir)
+    )
 
 
 @register("dedup_simhash", TO.SIMHASH_PAIRS_SQL)
@@ -558,6 +610,11 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sim_lsh_topk", TO.LSH_TOPK_SQL)
 def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("sim_ivf_cell_search", TO.IVF_CELL_SQL)
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.label_centroid_search(load_table(spark, sf_dir, "embeddings"))
 
 
 @register("text_token_stats", TO.TOKEN_STATS_SQL)
@@ -713,7 +770,7 @@ FROM ranked WHERE rn_from_end <= {_TAIL_N}
 def q_tail_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/O2: aligned tail scan — last N bars per series, numbered from
     the end (gen720_wf_wl1d_template.sql:36-47)."""
-    bars = bars_from_events(spark, sf_dir)
+    bars = _bars(spark, sf_dir)
     w = F.row_number().over(
         bar_window().orderBy(F.col("rn").desc())
     )
@@ -741,7 +798,7 @@ FROM probes p ASOF JOIN bars b
 def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7: as-of lookup — last bar at-or-before each probe timestamp
     (eval/ou_barriers.py:66-96 searchsorted; DuckDB-native ASOF oracle)."""
-    bars = bars_from_events(spark, sf_dir)
+    bars = _bars(spark, sf_dir)
     probes = bars.filter(F.col("rn") % 97 == 0).select(
         "symbol",
         F.col("rn").alias("probe_id"),
@@ -805,7 +862,7 @@ def q_rolling_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape) — rangeBetween on epoch-ms, integer-exact aggregates."""
     from pyspark.sql import Window
 
-    bars = bars_from_events(spark, sf_dir)
+    bars = _bars(spark, sf_dir)
     w = (
         Window.partitionBy("symbol")
         .orderBy("close_time_ms")

@@ -230,3 +230,55 @@ SELECT symbol, barrier_id, n_trades,
     round(CASE WHEN ok THEN factor END, 6) AS kde_bandwidth
 FROM rg9
 """
+
+
+def knee_select(metric_exprs: dict[str, str], src: str) -> str:
+    """E17 twin of operators/synthesis.knee_points — same normalization,
+    all-pairs tradeoffs, Pareto-front restriction, mean+2*sigma outlier
+    rule (population std, key-ordered fold)."""
+    cols = list(metric_exprs)
+    base = ", ".join(f"round({e}, 6) AS {c}" for c, e in metric_exprs.items())
+    notnull = " AND ".join(f"({e}) IS NOT NULL" for e in metric_exprs.values())
+    bounds = ", ".join(f"max({c}) AS hi_{c}, min({c}) AS lo_{c}" for c in cols)
+    vnorm = ", ".join(
+        f"CASE WHEN hi_{c} - lo_{c} > 0 THEN (hi_{c} - {c}) / (hi_{c} - lo_{c}) ELSE 0.0 END AS v_{c}"
+        for c in cols
+    )
+    dom_le = " AND ".join(f"b.v_{c} <= a.v_{c}" for c in cols)
+    dom_lt = " OR ".join(f"b.v_{c} < a.v_{c}" for c in cols)
+    sac = " + ".join(f"greatest(b.v_{c} - a.v_{c}, 0.0)" for c in cols)
+    gain = " + ".join(f"greatest(a.v_{c} - b.v_{c}, 0.0)" for c in cols)
+    return f"""
+, kn0 AS (SELECT symbol, barrier_id, {base} FROM {src} WHERE {notnull}),
+knb AS (SELECT {bounds} FROM kn0),
+knv AS (SELECT symbol, barrier_id, {vnorm} FROM kn0, knb),
+knp AS (
+    SELECT a.symbol, a.barrier_id,
+        max(CASE WHEN ({dom_le}) AND ({dom_lt}) THEN 1 ELSE 0 END) AS dominated,
+        min(CASE WHEN ({gain}) > 0 THEN ({sac}) / ({gain}) END) AS mu
+    FROM knv a JOIN knv b
+        ON (a.symbol != b.symbol OR a.barrier_id != b.barrier_id)
+    GROUP BY a.symbol, a.barrier_id
+),
+knf AS (SELECT *, dominated = 0 AS on_front FROM knp),
+knt AS (
+    SELECT mean_mu + 2.0 * sqrt(greatest(s2 / nn - mean_mu * mean_mu, 0.0)) AS thresh
+    FROM (
+        SELECT
+            list_reduce(list_prepend(0.0, mus), (acc, x) -> acc + x)
+                / CAST(len(mus) AS DOUBLE) AS mean_mu,
+            list_reduce(list_prepend(0.0, list_transform(mus, x -> x * x)),
+                (acc, x) -> acc + x) AS s2,
+            CAST(len(mus) AS DOUBLE) AS nn
+        FROM (
+            SELECT list(mu ORDER BY symbol, barrier_id)
+                FILTER (WHERE on_front AND mu IS NOT NULL) AS mus
+            FROM knf
+        )
+    )
+)
+SELECT symbol, barrier_id, on_front,
+    round(mu, 6) AS tradeoff_mu,
+    (on_front AND mu IS NOT NULL AND mu >= thresh) AS is_knee
+FROM knf, knt
+"""

@@ -303,3 +303,40 @@ SELECT doc_id,
     list_min(list_transform({_shingles()}, s -> {_hexint("s")} % {HASH_MOD})) AS min_shingle_fp
 FROM documents
 """
+
+
+IVF_CELL_SQL = f"""
+WITH ev AS (
+    SELECT vec_id, {_VD} AS v, label FROM embeddings
+),
+cellvecs AS (
+    SELECT label, list(v ORDER BY vec_id) AS vs, CAST(count(*) AS DOUBLE) AS n
+    FROM ev GROUP BY label
+),
+cent AS (
+    SELECT label,
+        [list_reduce(list_prepend(0.0, list_transform(vs, vv -> vv[j])),
+            (acc, x) -> acc + x) / n
+         FOR j IN generate_series(1, len(vs[1]))] AS cv
+    FROM cellvecs
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id < {N_QUERIES}
+),
+assigned AS (
+    SELECT query_id, qv, cell, centroid_cos FROM (
+        SELECT q.query_id, q.qv, c.label AS cell,
+            round({_cos("q.qv", "c.cv")}, 6) AS centroid_cos,
+            row_number() OVER (PARTITION BY q.query_id
+                ORDER BY round({_cos("q.qv", "c.cv")}, 6) DESC, c.label ASC) AS crank
+        FROM q, cent c
+    ) WHERE crank = 1
+)
+SELECT query_id, cell, centroid_cos, neighbor_id, cosine FROM (
+    SELECT a.query_id, a.cell, a.centroid_cos, e.vec_id AS neighbor_id,
+        round({_cos("a.qv", "e.v")}, 6) AS cosine,
+        row_number() OVER (PARTITION BY a.query_id
+            ORDER BY round({_cos("a.qv", "e.v")}, 6) DESC, e.vec_id ASC) AS rnk
+    FROM assigned a JOIN ev e ON a.cell = e.label AND a.query_id != e.vec_id
+) WHERE rnk = 1
+"""
