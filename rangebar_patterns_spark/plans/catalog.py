@@ -411,14 +411,33 @@ def _champion_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _TRADES_CACHE[key]
 
 
+#: shared per-config intermediates (120-row relations each consumed by
+#: 2-4 downstream eval queries) — persisted like the trades they derive from
+_EVAL_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _eval_layer(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
+    key = (id(spark), sf_dir, which)
+    if key not in _EVAL_CACHE:
+        trades = _champion_trades(spark, sf_dir)
+        if which == "moments":
+            df = EM.trade_moments(trades)
+        elif which == "tail":
+            df = EM.tail_metrics(trades)
+        else:  # evalues
+            df = EM.evalues(trades, _eval_layer(spark, sf_dir, "moments"))
+        _EVAL_CACHE[key] = df.persist()
+    return _EVAL_CACHE[key]
+
+
 @register("eval_moments", f"{_TRADES_BASE},\n{EO.MSUMS_CTE}\n{EO.moments_select()}")
 def q_eval_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _PRIVATE(EM.trade_moments(_champion_trades(spark, sf_dir)))
+    return _PRIVATE(_eval_layer(spark, sf_dir, "moments"))
 
 
 @register("eval_tail_metrics", f"{_TRADES_BASE},\n{EO.TAIL_CTES}\n{EO.tail_select()}")
 def q_eval_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _PRIVATE(EM.tail_metrics(_champion_trades(spark, sf_dir)))
+    return _PRIVATE(_eval_layer(spark, sf_dir, "tail"))
 
 
 @register(
@@ -426,13 +445,12 @@ def q_eval_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"{_TRADES_BASE},\n{EO.MSUMS_CTE},\n{EO.evalues_ctes()}\n{EO.EVALUES_SELECT}",
 )
 def q_eval_evalues(spark: SparkSession, sf_dir: str) -> DataFrame:
-    trades = _champion_trades(spark, sf_dir)
-    return EM.evalues(trades, EM.trade_moments(trades))
+    return _eval_layer(spark, sf_dir, "evalues")
 
 
 @register("eval_dsr", f"{_TRADES_BASE},\n{EO.MSUMS_CTE}\n{EO.dsr_select()}")
 def q_eval_dsr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return EM.dsr_metrics(EM.trade_moments(_champion_trades(spark, sf_dir)))
+    return EM.dsr_metrics(_eval_layer(spark, sf_dir, "moments"))
 
 
 @register("eval_ou_calibration", f"WITH {BARS_DUCKDB_CTE},\n{EO.OU_CTES}\n{EO.OU_SELECT}")
@@ -451,7 +469,7 @@ _TAMRS_ORACLE = (
 
 @register("eval_tamrs", _TAMRS_ORACLE)
 def q_eval_tamrs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tail = EM.tail_metrics(_champion_trades(spark, sf_dir))
+    tail = _eval_layer(spark, sf_dir, "tail")
     ou = EM.ou_calibration(_bars(spark, sf_dir))
     return EM.tamrs(tail, ou, grid_to_spark(spark, gen720_grid()), 250.0 / 100000.0)
 
@@ -461,8 +479,7 @@ def q_eval_tamrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"{_TRADES_BASE},\n{EO.MSUMS_CTE},\n{EO.evalues_ctes()}\n{EO.ebh_select()}",
 )
 def q_eval_ebh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    trades = _champion_trades(spark, sf_dir)
-    return EM.ebh_discoveries(EM.evalues(trades, EM.trade_moments(trades)))
+    return EM.ebh_discoveries(_eval_layer(spark, sf_dir, "evalues"))
 
 
 _RANKING_ORACLE = (
@@ -475,7 +492,7 @@ _RANKING_ORACLE = (
 
 @register("eval_ranking", _RANKING_ORACLE)
 def q_eval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tail = EM.tail_metrics(_champion_trades(spark, sf_dir))
+    tail = _eval_layer(spark, sf_dir, "tail")
     m = tail.withColumn("omega", F.col("_omega_raw")).withColumn(
         "cdar_inv", -F.col("_cdar_raw")
     )
@@ -527,7 +544,7 @@ _KNEE_ORACLE = (
 
 @register("eval_knee_points", _KNEE_ORACLE)
 def q_eval_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tail = EM.tail_metrics(_champion_trades(spark, sf_dir))
+    tail = _eval_layer(spark, sf_dir, "tail")
     m = (
         tail.withColumn("omega", F.col("_omega_raw"))
         .withColumn("rachev", F.col("_rachev_raw"))
@@ -538,7 +555,7 @@ def q_eval_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("eval_spearman", _SPEARMAN_ORACLE)
 def q_eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tail = EM.tail_metrics(_champion_trades(spark, sf_dir))
+    tail = _eval_layer(spark, sf_dir, "tail")
     m = (
         tail.withColumn("omega", F.col("_omega_raw"))
         .withColumn("rachev", F.col("_rachev_raw"))
@@ -679,8 +696,8 @@ _GT_ORACLE = (
 @register("gt_composite", _GT_ORACLE)
 def q_gt_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     trades = _champion_trades(spark, sf_dir)
-    tail = EM.tail_metrics(trades)
-    dsr = EM.dsr_metrics(EM.trade_moments(trades))
+    tail = _eval_layer(spark, sf_dir, "tail")
+    dsr = EM.dsr_metrics(_eval_layer(spark, sf_dir, "moments"))
     pbo = WF.cpcv_pbo(trades, spark)
     folds = WF.wf_fold_metrics(trades)
     return WF.gt_composite(tail, dsr, pbo, folds)
