@@ -86,6 +86,31 @@ def default_sweep_grid() -> list[SweepConfig]:
     ]
 
 
+def gen500_grid() -> list[SweepConfig]:
+    """The reference's gen500-scale sweep: 1,008 configs (6 formations ×
+    12 ordered feature pairs × 14 quantile combos) — the workload
+    BASELINE.md prices at 1,008 queries × (1-8)s / 16-way on ClickHouse.
+    Here it is one shared plan (see ``with_signalset_quantiles`` for the
+    threshold dedup that makes the Python pass O(formations × features ×
+    qs), not O(configs))."""
+    feats = ["ofi", "price_impact", "turnover_imbalance", "aggression_ratio"]
+    qc = [
+        (q1, d1, q2, d2)
+        for q1 in (0.25, 0.5, 0.75)
+        for d1 in (">", "<")
+        for q2 in (0.25, 0.5, 0.75)
+        for d2 in (">", "<")
+    ][:14]
+    return [
+        SweepConfig(f, f1, q1, d1, f2, q2, d2)
+        for f in ("2down", "3down", "udd", "dud", "wl1d", "wl2d")
+        for f1 in feats
+        for f2 in feats
+        if f1 != f2
+        for q1, d1, q2, d2 in qc
+    ]
+
+
 SWEEP_GRID_SCHEMA = (
     "config_id string, formation string, feature1 string, q1 double, dir1 string, "
     "feature2 string, q2 double, dir2 string"
@@ -116,8 +141,11 @@ def base_candidate_filter(warmup: int) -> F.Column:
 
 _CAND_COLUMNS = [
     "config_id",
+    "formation",
+    "feature1",
     "q1",
     "dir1",
+    "feature2",
     "q2",
     "dir2",
     "symbol",
@@ -164,29 +192,69 @@ def with_signalset_quantiles(
     cand: DataFrame, lookback: int = SIGNALSET_LOOKBACK
 ) -> DataFrame:
     """W7: rolling exclusive quantiles of feature1/feature2 over the
-    per-(config, symbol) candidate sequence — one Arrow pass computes both
-    thresholds (q fractions are constant within a group)."""
-    schema = StructType(
-        cand.schema.fields
-        + [StructField("f1_thr", DoubleType()), StructField("f2_thr", DoubleType())]
+    per-config candidate sequence.
+
+    Key sweep-scale property: a config's candidate sequence is fully
+    determined by its *formation* (the base filter and formation predicate
+    don't involve the paired features), so every config sharing
+    (formation, feature, q) shares an identical threshold series.  The
+    quantile pass therefore runs once per distinct
+    (formation, feature, q, symbol) group — O(formations × features × qs)
+    Python groups instead of O(configs) — and thresholds join back to the
+    exploded candidate stream.  At the reference's 301K-config scale this
+    is the difference between ~600K and ~500 streaming-quantile passes;
+    values are bit-identical to the per-config computation (verified by the
+    oracle suite, which models the per-config semantics)."""
+    thr_schema = StructType(
+        [
+            StructField("formation", cand.schema["formation"].dataType),
+            StructField("feature", cand.schema["feature1"].dataType),
+            StructField("q", DoubleType()),
+            StructField("symbol", cand.schema["symbol"].dataType),
+            StructField("rn", cand.schema["rn"].dataType),
+            StructField("thr", DoubleType()),
+        ]
     )
-    names = [f.name for f in schema.fields]
 
     def compute(pdf):
         pdf = pdf.sort_values("rn", kind="mergesort").reset_index(drop=True)
-        pdf["f1_thr"] = excl_quantile_stream(
-            pdf["f1_val"].to_numpy("float64", na_value=np.nan),
-            float(pdf["q1"].iloc[0]),
+        pdf["thr"] = excl_quantile_stream(
+            pdf["val"].to_numpy("float64", na_value=np.nan),
+            float(pdf["q"].iloc[0]),
             lookback,
         )
-        pdf["f2_thr"] = excl_quantile_stream(
-            pdf["f2_val"].to_numpy("float64", na_value=np.nan),
-            float(pdf["q2"].iloc[0]),
-            lookback,
-        )
-        return pdf[names]
+        return pdf[["formation", "feature", "q", "symbol", "rn", "thr"]]
 
-    return cand.groupBy("config_id", "symbol").applyInPandas(compute, schema)
+    sides = [
+        cand.select(
+            "formation",
+            F.col(f"feature{i}").alias("feature"),
+            F.col(f"q{i}").alias("q"),
+            "symbol",
+            "rn",
+            F.col(f"f{i}_val").alias("val"),
+        )
+        for i in (1, 2)
+    ]
+    thr_input = sides[0].unionByName(sides[1]).dropDuplicates(
+        ["formation", "feature", "q", "symbol", "rn"]
+    )
+    # referenced by both join sides below — persist so the Arrow quantile
+    # pass runs once (the relation is small: one row per deduped
+    # (formation, feature, q) candidate)
+    thr = (
+        thr_input.groupBy("formation", "feature", "q", "symbol")
+        .applyInPandas(compute, thr_schema)
+        .persist()
+    )
+    out = cand.join(
+        thr.withColumnsRenamed({"feature": "feature1", "q": "q1", "thr": "f1_thr"}),
+        ["formation", "feature1", "q1", "symbol", "rn"],
+    ).join(
+        thr.withColumnsRenamed({"feature": "feature2", "q": "q2", "thr": "f2_thr"}),
+        ["formation", "feature2", "q2", "symbol", "rn"],
+    )
+    return out.select(*_CAND_COLUMNS, "f1_thr", "f2_thr")
 
 
 def _passes(val: str, direction: str, thr: str) -> F.Column:

@@ -370,6 +370,20 @@ WITH {BARS_DUCKDB_CTE},
 """
 
 
+@register("sweep_gen500_1008cfg")  # rows-only: same operator chain as the
+# oracle-checked 24-config sweep_funnel, at the reference's gen500 grid
+# scale (1,008 configs in ONE shared plan — BASELINE.md's headline
+# comparison: the reference needs 1,008 queries 16-way for this)
+def q_sweep_gen500(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sweep import gen500_grid
+
+    feat = with_bar_features(_bars(spark, sf_dir), rolling_window=SWEEP_ROLLING)
+    cand = sweep_candidates(
+        feat, sweep_grid_to_spark(spark, gen500_grid()), SWEEP_FEATURES, WARMUP
+    )
+    return sweep_funnel(with_signalset_quantiles(cand))
+
+
 @register("sweep_barrier_metrics", _SWEEP_METRICS_ORACLE)
 def q_sweep_barrier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = with_bar_features(
