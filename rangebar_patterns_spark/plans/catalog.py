@@ -438,6 +438,10 @@ def _eval_layer(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
             df = EM.trade_moments(trades)
         elif which == "tail":
             df = EM.tail_metrics(trades)
+        elif which == "folds":
+            df = WF.wf_fold_metrics(trades)
+        elif which == "pbo":
+            df = WF.cpcv_pbo(trades, spark)
         else:  # evalues
             df = EM.evalues(trades, _eval_layer(spark, sf_dir, "moments"))
         _EVAL_CACHE[key] = df.persist()
@@ -681,17 +685,17 @@ _WF_BASE = f"{_TRADES_BASE},\n{WO.TN_CTE}"
 
 @register("wf_fold_metrics", f"{_WF_BASE},\n{WO.wf_fold_ctes()}\n{WO.WF_FOLD_SELECT}")
 def q_wf_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return WF.wf_fold_metrics(_champion_trades(spark, sf_dir))
+    return _eval_layer(spark, sf_dir, "folds")
 
 
 @register("wf_topk", f"{_WF_BASE},\n{WO.wf_fold_ctes()}\n{WO.WF_TOPK_SELECT}")
 def q_wf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return WF.wf_topk(WF.wf_fold_metrics(_champion_trades(spark, sf_dir)))
+    return WF.wf_topk(_eval_layer(spark, sf_dir, "folds"))
 
 
 @register("cpcv_pbo", f"{_WF_BASE},\n{WO.cpcv_ctes()}\n{WO.CPCV_PBO_SELECT}")
 def q_cpcv_pbo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return WF.cpcv_pbo(_champion_trades(spark, sf_dir), spark)
+    return _eval_layer(spark, sf_dir, "pbo")
 
 
 @register("mbb_bootstrap_ci", f"{_WF_BASE},\n{WO.mbb_ctes()}\n{WO.mbb_select()}")
@@ -709,11 +713,10 @@ _GT_ORACLE = (
 
 @register("gt_composite", _GT_ORACLE)
 def q_gt_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    trades = _champion_trades(spark, sf_dir)
     tail = _eval_layer(spark, sf_dir, "tail")
     dsr = EM.dsr_metrics(_eval_layer(spark, sf_dir, "moments"))
-    pbo = WF.cpcv_pbo(trades, spark)
-    folds = WF.wf_fold_metrics(trades)
+    pbo = _eval_layer(spark, sf_dir, "pbo")
+    folds = _eval_layer(spark, sf_dir, "folds")
     return WF.gt_composite(tail, dsr, pbo, folds)
 
 
