@@ -20,6 +20,10 @@ def _ensure_confs(spark: SparkSession) -> None:
     # the driver owns the session; make sure the confs our plans rely on
     # are set even if it didn't use our factory
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the Arrow toPandas path segfaults intermittently under sustained
+    # load (Spark 4 default-on); correctness-gate result sets are small,
+    # so plain serialization is the safe choice for the driver's compares
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:

@@ -534,6 +534,15 @@ _SPEARMAN_ORACLE = (
 )
 
 
+@register("hmm_regime_labels")  # rows-only: EM is the documented
+# non-SQL-expressible case (COVERAGE.md E24); deterministic unit contract
+# in tests/test_hmm.py
+def q_hmm_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hmm import hmm_regimes
+
+    return hmm_regimes(_bars(spark, sf_dir))
+
+
 from .laguerre_oracle import laguerre_select  # noqa: E402
 
 

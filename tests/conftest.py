@@ -12,6 +12,11 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    # Spark 4 converts toPandas() via Arrow by default; that native path
+    # segfaults intermittently under the suite's sustained load (observed
+    # ~1-in-3 full runs, always inside compare_frames' toPandas).  The
+    # comparison frames here are small — plain JVM serialization is fine.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
     yield spark
 
 
