@@ -33,8 +33,13 @@ from pyspark.sql.types import (
 )
 
 N_REGIMES = 3  # reference config.WF_N_REGIMES
-N_ITER = 100
+N_ITER = 40  # converges in well under this for separated regimes
 MIN_VALID_FACTOR = 10  # walk_forward.py:944 valid < n_regimes*10 -> all zeros
+#: EM fits on a deterministic stride-subsample capped at this many points
+#: (the forward-backward recursions are per-timestep Python loops — fitting
+#: on 20k+ bars costs ~30s/symbol for a diagnostic; 2k points estimate the
+#: same 3 means/variances, and Viterbi still labels every bar)
+MAX_FIT_POINTS = 2_000
 _EPS = 1e-300
 _MIN_VAR = 1e-10
 
@@ -51,7 +56,13 @@ _SCHEMA = StructType(
 def fit_predict_1d(x: np.ndarray, n_states: int = N_REGIMES, n_iter: int = N_ITER):
     """Baum-Welch + Viterbi for 1-D Gaussian emissions, deterministic init.
     Returns (labels, means) — labels are Viterbi states reindexed so that
-    state means are ascending (stable label semantics)."""
+    state means are ascending (stable label semantics).  EM runs on a
+    stride-subsample when the series exceeds MAX_FIT_POINTS; Viterbi always
+    labels the full series."""
+    full_x = x
+    if len(x) > MAX_FIT_POINTS:
+        stride = -(-len(x) // MAX_FIT_POINTS)  # ceil
+        x = x[::stride]
     n = len(x)
     qs = np.quantile(x, [(2 * k + 1) / (2 * n_states) for k in range(n_states)])
     mu = qs.astype(float)
@@ -91,23 +102,27 @@ def fit_predict_1d(x: np.ndarray, n_states: int = N_REGIMES, n_iter: int = N_ITE
         d = x[:, None] - mu_new[None, :]
         var_new = np.maximum((gamma * d * d).sum(axis=0) / w, _MIN_VAR)
         pi = gamma[0] / (gamma[0].sum() + _EPS)
-        if np.allclose(mu, mu_new, atol=1e-10) and np.allclose(a, a_new, atol=1e-10):
+        if np.allclose(mu, mu_new, atol=1e-8) and np.allclose(a, a_new, atol=1e-8):
             mu, var, a = mu_new, var_new, a_new
             break
         mu, var, a = mu_new, var_new, a_new
 
-    # Viterbi in log space
-    logb = np.log(emis() + _EPS)
+    # Viterbi in log space over the FULL series
+    x = full_x
+    nf = len(x)
+    d = x[:, None] - mu[None, :]
+    dens = np.exp(-0.5 * d * d / var[None, :]) / np.sqrt(2 * np.pi * var[None, :])
+    logb = np.log(dens + _EPS)
     loga = np.log(a + _EPS)
     delta = np.log(pi + _EPS) + logb[0]
-    psi = np.zeros((n, n_states), dtype=int)
-    for t in range(1, n):
+    psi = np.zeros((nf, n_states), dtype=int)
+    for t in range(1, nf):
         scores = delta[:, None] + loga
         psi[t] = scores.argmax(axis=0)
         delta = scores.max(axis=0) + logb[t]
-    states = np.zeros(n, dtype=int)
+    states = np.zeros(nf, dtype=int)
     states[-1] = int(delta.argmax())
-    for t in range(n - 2, -1, -1):
+    for t in range(nf - 2, -1, -1):
         states[t] = psi[t + 1][states[t + 1]]
     # reindex so labels follow ascending state means
     order = np.argsort(mu)
