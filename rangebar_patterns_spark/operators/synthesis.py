@@ -306,3 +306,152 @@ def knee_points(
             & (F.col("_mu") >= F.col("_thresh"))
         ).alias("is_knee"),
     )
+
+
+BCA_ALPHA = 0.05
+BCA_B = 200  # catalog default; reference uses 10,000 (configurable)
+BCA_MIN_TRADES = 10  # walk_forward.py:549 degenerate below this
+OMEGA_CI_REJECT = 1.0  # Stage-3 gate: reject if omega CI low < 1.0
+
+
+def bca_omega_ci(
+    trades: DataFrame,
+    n_bootstrap: int = BCA_B,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """E21 BCa bootstrap CI on Omega(0) (walk_forward.py:507-709 Stage 3):
+    bias-corrected accelerated interval over bootstrap replicates, with the
+    reference's rejection gate (omega_ci_low < 1.0).
+
+    The reference uses ``arch`` IID/MBB resampling with seed 42 — replaced
+    by the same deterministic LCG as :func:`romano_wolf` so both engines
+    draw identical resamples (IID variant; the MBB twin lives in
+    operators/wfo.py).  z0 from the fraction of replicates below the point
+    estimate (clamped to (0,1)); acceleration from the jackknife, which for
+    Omega is O(1) per leave-one-out given the gain/loss totals; interval
+    endpoints are type-7 quantiles of the replicate distribution at the
+    BCa-adjusted levels.  n < 10 degenerates to a point interval
+    (reference "degenerate" method)."""
+    from ..functions.stats import norm_cdf_col, norm_ppf_col, python_norm_ppf
+
+    g = keys or KEYS
+    r = F.col("return_pct")
+    vecs = (
+        trades.groupBy(*g)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("signal_ts_ms").alias("o"), r.alias("v")))
+                ),
+                lambda s: s["v"],
+            ).alias("_rs")
+        )
+        .withColumn("_n", F.size("_rs").cast("long"))
+    )
+    wk = Window.orderBy(*[F.col(c) for c in g])
+    vecs = vecs.withColumn("_k", F.row_number().over(wk).cast("long"))
+    gains = _fold(F.transform(F.col("_rs"), lambda x: F.greatest(x, F.lit(0.0))))
+    losses = _fold(F.transform(F.col("_rs"), lambda x: F.greatest(-x, F.lit(0.0))))
+    vecs = (
+        vecs.withColumn("_gains", gains)
+        .withColumn("_losses", losses)
+        .withColumn("_omega", F.col("_gains") / F.nullif(F.col("_losses"), F.lit(0.0)))
+    )
+    # jackknife: LOO omega from totals; acceleration a
+    loo = F.transform(
+        F.col("_rs"),
+        lambda x: (F.col("_gains") - F.greatest(x, F.lit(0.0)))
+        / F.nullif(F.col("_losses") - F.greatest(-x, F.lit(0.0)), F.lit(0.0)),
+    )
+    # NB: every stage lands in a named column — re-inlining these Column
+    # trees (folds nested in transforms nested in folds) makes Catalyst
+    # analysis super-linear; the un-checkpointed form took 146 s to *plan*
+    vecs = vecs.withColumn("_loo", F.filter(loo, lambda v: v.isNotNull()))
+    nl = F.size(F.col("_loo")).cast("double")
+    vecs = vecs.withColumn(
+        "_loo_mean", _fold(F.col("_loo")) / F.nullif(nl, F.lit(0.0))
+    )
+    lm = F.col("_loo_mean")
+    vecs = vecs.withColumn(
+        "_d2", _fold(F.transform(F.col("_loo"), lambda v: (lm - v) * (lm - v)))
+    ).withColumn(
+        "_d3",
+        _fold(F.transform(F.col("_loo"), lambda v: (lm - v) * (lm - v) * (lm - v))),
+    )
+    accel = F.col("_d3") / F.nullif(
+        F.lit(6.0) * F.pow(F.col("_d2"), F.lit(1.5)), F.lit(0.0)
+    )
+    vecs = vecs.withColumn("_a", F.coalesce(accel, F.lit(0.0)))
+    # bootstrap replicates via the shared LCG
+    boots = vecs.select(
+        *g, "_k", "_n", "_rs",
+        F.explode(F.sequence(F.lit(1), F.lit(n_bootstrap))).alias("_b"),
+    )
+    picked = F.transform(
+        F.sequence(F.lit(1), F.col("_n").cast("int")),
+        lambda i: F.element_at(
+            F.col("_rs"), _lcg_idx(F.col("_b"), i, F.col("_k"), F.col("_n")).cast("int")
+        ),
+    )
+    boots = boots.withColumn("_bsv", picked)
+    bg = _fold(F.transform(F.col("_bsv"), lambda x: F.greatest(x, F.lit(0.0))))
+    bl = _fold(F.transform(F.col("_bsv"), lambda x: F.greatest(-x, F.lit(0.0))))
+    boots = boots.withColumn("_bo", bg / F.nullif(bl, F.lit(0.0)))
+    stats = boots.groupBy(*g).agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("_bo").isNotNull(), F.col("_bo")))
+        ).alias("_bos")
+    )
+    j = vecs.join(stats, g)
+    beff = F.size(F.col("_bos")).cast("double")
+    frac = (
+        F.size(F.filter(F.col("_bos"), lambda v: v < F.col("_omega"))).cast("double")
+        + F.lit(0.5)
+    ) / (beff + F.lit(1.0))
+    j = j.withColumn("_z0", norm_ppf_col(frac))
+    z0 = F.col("_z0")
+    za_lo = F.lit(python_norm_ppf(BCA_ALPHA / 2.0))
+    za_hi = -za_lo
+    a_ = F.col("_a")
+    j = j.withColumn(
+        "_p_lo", norm_cdf_col(z0 + (z0 + za_lo) / (F.lit(1.0) - a_ * (z0 + za_lo)))
+    ).withColumn(
+        "_p_hi", norm_cdf_col(z0 + (z0 + za_hi) / (F.lit(1.0) - a_ * (z0 + za_hi)))
+    )
+
+    def _q7_h(pcol):
+        return (F.size(F.col("_bos")) - F.lit(1)).cast("double") * pcol + F.lit(1.0)
+
+    j = j.withColumn("_h_lo", _q7_h(F.col("_p_lo"))).withColumn(
+        "_h_hi", _q7_h(F.col("_p_hi"))
+    )
+
+    def _q7(hname):
+        parr = F.col("_bos")
+        h = F.col(hname)
+        nq = F.size(parr)
+        kq = F.floor(h).cast("int")
+        fr = h - F.floor(h)
+        return (
+            F.when(nq == 0, F.lit(None).cast("double"))
+            .when(kq >= nq, F.element_at(parr, nq))
+            .otherwise(
+                F.element_at(parr, kq)
+                + fr * (F.element_at(parr, kq + F.lit(1)) - F.element_at(parr, kq))
+            )
+        )
+
+    ci_lo = _q7("_h_lo")
+    ci_hi = _q7("_h_hi")
+    degen = F.col("_n") < BCA_MIN_TRADES
+    out_lo = F.when(degen, F.col("_omega")).otherwise(ci_lo)
+    out_hi = F.when(degen, F.col("_omega")).otherwise(ci_hi)
+    return j.select(
+        *g,
+        F.col("_n").alias("n_trades"),
+        F.round(F.col("_omega"), 6).alias("omega"),
+        F.round(out_lo, 6).alias("omega_ci_low"),
+        F.round(out_hi, 6).alias("omega_ci_high"),
+        F.when(degen, F.lit("degenerate")).otherwise(F.lit("bca_iid")).alias("method"),
+        (out_lo < OMEGA_CI_REJECT).alias("rejected"),
+    )

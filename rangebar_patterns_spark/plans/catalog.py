@@ -526,6 +526,11 @@ def q_eval_romano_wolf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SY.romano_wolf(_champion_trades(spark, sf_dir))
 
 
+@register("eval_bca_omega_ci", _TRADES_BASE + SO.bca_omega_select())
+def q_eval_bca_omega(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SY.bca_omega_ci(_champion_trades(spark, sf_dir))
+
+
 _SPEARMAN_ORACLE = (
     f"{_TRADES_BASE},\n{EO.TAIL_CTES}"
     + SO.spearman_select(

@@ -282,3 +282,104 @@ SELECT symbol, barrier_id, on_front,
     (on_front AND mu IS NOT NULL AND mu >= thresh) AS is_knee
 FROM knf, knt
 """
+
+
+def bca_omega_select(n_bootstrap: int | None = None) -> str:
+    """E21 twin of operators/synthesis.bca_omega_ci — same LCG resamples,
+    same jackknife acceleration, same type-7 endpoints."""
+    from ..functions.stats import norm_cdf_sql, norm_ppf_sql, python_norm_ppf
+    from ..operators.synthesis import (
+        BCA_ALPHA,
+        BCA_B,
+        BCA_MIN_TRADES,
+        OMEGA_CI_REJECT,
+    )
+
+    nb = n_bootstrap or BCA_B
+    za_lo = python_norm_ppf(BCA_ALPHA / 2.0)
+    lcg = (
+        f"(((b * {_LCG_B} + i * {_LCG_I} + k * {_LCG_K}) * {_LCG_MUL})"
+        f" % {_LCG_MOD}) % n + 1"
+    )
+    fold = lambda arr: f"list_reduce(list_prepend(0.0, {arr}), (acc, x) -> acc + x)"  # noqa: E731
+    q7 = (
+        lambda p: f"""CASE
+        WHEN len(bos) = 0 THEN NULL
+        WHEN CAST(floor((CAST(len(bos) - 1 AS DOUBLE) * ({p}) + 1.0)) AS INT) >= len(bos) THEN bos[len(bos)]
+        ELSE bos[CAST(floor((CAST(len(bos) - 1 AS DOUBLE) * ({p}) + 1.0)) AS INT)]
+            + ((CAST(len(bos) - 1 AS DOUBLE) * ({p}) + 1.0) - floor((CAST(len(bos) - 1 AS DOUBLE) * ({p}) + 1.0)))
+            * (bos[CAST(floor((CAST(len(bos) - 1 AS DOUBLE) * ({p}) + 1.0)) AS INT) + 1]
+               - bos[CAST(floor((CAST(len(bos) - 1 AS DOUBLE) * ({p}) + 1.0)) AS INT)])
+        END"""
+    )  # noqa: E731
+    adj = lambda za: norm_cdf_sql(f"(z0 + (z0 + ({za})) / (1.0 - a * (z0 + ({za}))))")  # noqa: E731
+    return f"""
+, bcv AS (
+    SELECT symbol, barrier_id,
+        list(return_pct ORDER BY signal_ts_ms) AS rs,
+        CAST(count(*) AS BIGINT) AS n
+    FROM trades GROUP BY symbol, barrier_id
+),
+bck AS (
+    SELECT *, CAST(row_number() OVER (ORDER BY symbol, barrier_id) AS BIGINT) AS k,
+        {fold("list_transform(rs, x -> greatest(x, 0.0))")} AS gains,
+        {fold("list_transform(rs, x -> greatest(-x, 0.0))")} AS losses
+    FROM bcv
+),
+bco AS (
+    SELECT *, gains / nullif(losses, 0.0) AS omega,
+        list_filter(
+            list_transform(rs, x -> (gains - greatest(x, 0.0))
+                / nullif(losses - greatest(-x, 0.0), 0.0)),
+            v -> v IS NOT NULL) AS loo
+    FROM bck
+),
+bcj AS (
+    SELECT *, {fold("loo")} / nullif(CAST(len(loo) AS DOUBLE), 0.0) AS loo_mean
+    FROM bco
+),
+bca AS (
+    SELECT *, coalesce(
+        {fold("list_transform(loo, v -> (loo_mean - v) * (loo_mean - v) * (loo_mean - v))")}
+        / nullif(6.0 * pow({fold("list_transform(loo, v -> (loo_mean - v) * (loo_mean - v))")}, 1.5), 0.0),
+        0.0) AS a
+    FROM bcj
+),
+bcboot AS (
+    SELECT c.symbol, c.barrier_id, bs.b,
+        [c.rs[CAST({lcg} AS INT)] FOR i IN generate_series(1, CAST(c.n AS INT))] AS bsv
+    FROM (SELECT symbol, barrier_id, rs, n, k FROM bca) c,
+        (SELECT unnest(generate_series(1, {nb})) AS b) bs
+),
+bcbo AS (
+    SELECT symbol, barrier_id,
+        {fold("list_transform(bsv, x -> greatest(x, 0.0))")}
+            / nullif({fold("list_transform(bsv, x -> greatest(-x, 0.0))")}, 0.0) AS bo
+    FROM bcboot
+),
+bcstats AS (
+    SELECT symbol, barrier_id,
+        list(bo ORDER BY bo) FILTER (WHERE bo IS NOT NULL) AS bos
+    FROM bcbo GROUP BY symbol, barrier_id
+),
+bcz AS (
+    SELECT v.*, s.bos,
+        {norm_ppf_sql(
+            "((CAST(len(list_filter(s.bos, x -> x < v.omega)) AS DOUBLE) + 0.5)"
+            " / (CAST(len(s.bos) AS DOUBLE) + 1.0))"
+        )} AS z0
+    FROM bca v JOIN bcstats s USING (symbol, barrier_id)
+),
+bcfin AS (
+    SELECT *, {q7(adj(repr(za_lo)))} AS ci_lo, {q7(adj(f"-({za_lo!r})"))} AS ci_hi
+    FROM bcz
+)
+SELECT symbol, barrier_id,
+    n AS n_trades,
+    round(omega, 6) AS omega,
+    round(CASE WHEN n < {BCA_MIN_TRADES} THEN omega ELSE ci_lo END, 6) AS omega_ci_low,
+    round(CASE WHEN n < {BCA_MIN_TRADES} THEN omega ELSE ci_hi END, 6) AS omega_ci_high,
+    CASE WHEN n < {BCA_MIN_TRADES} THEN 'degenerate' ELSE 'bca_iid' END AS method,
+    (CASE WHEN n < {BCA_MIN_TRADES} THEN omega ELSE ci_lo END) < {OMEGA_CI_REJECT!r} AS rejected
+FROM bcfin
+"""
