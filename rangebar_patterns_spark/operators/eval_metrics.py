@@ -85,16 +85,13 @@ def trade_moments(trades: DataFrame, keys: list[str] | None = None) -> DataFrame
     )
     var_s = m2 / F.nullif(nd - 1.0, F.lit(0.0))
     std = F.sqrt(var_s)
-    # adjusted Fisher–Pearson sample skewness; sample kurtosis + 3
-    g1 = (m3 / nd) / F.nullif(F.pow(m2 / nd, 1.5), F.lit(0.0))
-    skew = F.sqrt(nd * (nd - 1.0)) / F.nullif(nd - 2.0, F.lit(0.0)) * g1
-    kurt = (
-        nd * (nd + 1.0) / F.nullif((nd - 1.0) * (nd - 2.0) * (nd - 3.0), F.lit(0.0))
-        * (m4 / F.nullif(var_s * var_s, F.lit(0.0)))
-        - F.lit(3.0) * (nd - 1.0) * (nd - 1.0)
-        / F.nullif((nd - 2.0) * (nd - 3.0), F.lit(0.0))
-        + F.lit(3.0)
-    )
+    # ClickHouse skewSamp / kurtSamp (extraction.py:205-207): mean central
+    # moment over the SAMPLE variance, no small-sample adjustment —
+    # skewSamp = (Σ(r-m)³/n) / varSamp^1.5, kurtSamp = (Σ(r-m)⁴/n) /
+    # varSamp² (non-excess).  The scipy-style bias-corrected estimators
+    # differ at O(1/n) and would propagate into PSR/DSR/MinBTL/CF.
+    skew = (m3 / nd) / F.nullif(F.pow(var_s, 1.5), F.lit(0.0))
+    kurt = (m4 / nd) / F.nullif(var_s * var_s, F.lit(0.0))
     from ..functions.quantiles import q6_from_sorted_array
 
     sorted_r = F.sort_array(F.collect_list(r))
@@ -199,7 +196,10 @@ def evalues(trades: DataFrame, moments: DataFrame, keys: list[str] | None = None
     w = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     max_log = math.log(MAX_EVALUE)
     t = (
-        t.withColumn("_logf", F.log1p(F.col("_f") * _r()))
+        # ln(1.0 + f*r) spelled exactly as the DuckDB oracle (eval_oracle.py:176)
+        # computes it: log1p(x) differs from ln(1+x) in final ulps, which survives
+        # round(...,8) and breaks the value hash (reference evalues.py:26-63).
+        t.withColumn("_logf", F.log(F.lit(1.0) + F.col("_f") * _r()))
         .withColumn("_tn", F.row_number().over(wo))
         .withColumn("_cum", F.least(F.sum("_logf").over(w), F.lit(max_log)))
     )

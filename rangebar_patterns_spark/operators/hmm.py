@@ -94,7 +94,13 @@ def fit_predict_1d(x: np.ndarray, n_states: int = N_REGIMES, n_iter: int = N_ITE
             beta[t] = (a @ (b[t + 1] * beta[t + 1])) / c[t + 1]
         gamma = alpha * beta
         gamma /= gamma.sum(axis=1, keepdims=True) + _EPS
-        xi_num = np.einsum("ti,ij,tj->ij", alpha[:-1], a, b[1:] * beta[1:])
+        # under this scaling convention (alpha normalized by c[t], beta divided
+        # by c[t+1]) each xi slice needs the 1/c[t+1] factor too, else every
+        # timestep's transition counts are weighted by its likelihood scale and
+        # the M-step transition matrix is biased
+        xi_num = np.einsum(
+            "ti,ij,tj->ij", alpha[:-1], a, (b[1:] * beta[1:]) / c[1:, None]
+        )
         a_new = xi_num / (gamma[:-1].sum(axis=0)[:, None] + _EPS)
         a_new /= a_new.sum(axis=1, keepdims=True) + _EPS
         w = gamma.sum(axis=0) + _EPS

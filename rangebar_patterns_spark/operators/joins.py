@@ -71,15 +71,20 @@ def forward_range_join(signals: DataFrame, bars: DataFrame, max_fwd: int) -> Dat
     """J1: the historical Gen200-500 forward-bar range self-join
     (gen200_triple_barrier.sql:160-171): each signal joined to bars
     rn+2 .. rn+1+max_fwd, re-collected into ordered forward arrays.
-    Produces the same fwd_* arrays as the W5 window path (equivalence
-    pinned in tests) — kept as the sparse-signal strategy."""
+
+    The frame deliberately matches ``with_entry_and_forward`` (the contract
+    ``simulate_barriers`` consumes): element k is *forward bar k after the
+    entry bar* (row signal+1+k), so the entry bar itself is never scanned
+    for TP/SL.  Note this is one bar LATER than ``with_forward_arrays``
+    (the literal W5 mapping, whose element 1 is the entry bar) — the
+    equivalence test pins against ``with_entry_and_forward``, not W5."""
     s = signals.select("symbol", F.col("rn").alias("srn"))
     b = bars.select("symbol", "rn", "high", "low", "open", "close")
-    # gen200:165: b.rn BETWEEN s.rn+1 AND s.rn+max_fwd — same coverage as
-    # with_forward_arrays' window frame
     j = s.join(
         b,
-        (s.symbol == b.symbol) & (b.rn > s.srn) & (b.rn <= s.srn + max_fwd),
+        (s.symbol == b.symbol)
+        & (b.rn > s.srn + 1)
+        & (b.rn <= s.srn + 1 + max_fwd),
     ).select(s.symbol.alias("symbol"), "srn", "rn", "high", "low", "open", "close")
     agg = j.groupBy("symbol", "srn").agg(
         *[

@@ -123,7 +123,11 @@ def wf_fold_metrics(trades: DataFrame, k: int = N_FOLDS, purge: int = PURGE_TRAD
         F.col("test_mdd").alias("test_max_drawdown"),
         F.coalesce(F.col("test_nruns"), F.lit(0)).cast("long").alias("test_underwater_runs"),
         F.coalesce(F.col("test_uw"), F.lit(0)).cast("long").alias("test_underwater_trades"),
-    )
+    ).filter(F.col("train_n") > 0)
+    # ^ folds with an empty train partition (fold 0: tn <= -purge matches
+    # nothing) are never scored OOS in the reference — build_wfo_folds keeps
+    # only folds with len(train) >= test_size*min_train_splits
+    # (walk_forward.py:99); their test omega must not feed wf_topk's median.
 
 
 def wf_topk(fold_metrics: DataFrame, top_k: int = 5) -> DataFrame:

@@ -75,12 +75,11 @@ mfull AS (
     SELECT *,
         m2 / nullif(nd - 1.0, 0.0) AS var_s,
         sqrt(m2 / nullif(nd - 1.0, 0.0)) AS std_raw,
-        sqrt(nd * (nd - 1.0)) / nullif(nd - 2.0, 0.0)
-            * ((m3 / nd) / nullif((m2 / nd) ^ 1.5, 0.0)) AS skew_raw,
-        nd * (nd + 1.0) / nullif((nd - 1.0) * (nd - 2.0) * (nd - 3.0), 0.0)
-            * (m4 / nullif((m2 / nullif(nd - 1.0, 0.0)) * (m2 / nullif(nd - 1.0, 0.0)), 0.0))
-            - 3.0 * (nd - 1.0) * (nd - 1.0) / nullif((nd - 2.0) * (nd - 3.0), 0.0)
-            + 3.0 AS kurt_raw,
+        (m3 / nd)
+            / nullif((m2 / nullif(nd - 1.0, 0.0)) ^ 1.5, 0.0) AS skew_raw,
+        (m4 / nd)
+            / nullif((m2 / nullif(nd - 1.0, 0.0))
+                     * (m2 / nullif(nd - 1.0, 0.0)), 0.0) AS kurt_raw,
         win_rate_raw - (1.0 - win_rate_raw) / nullif(rr, 0.0) AS kelly_raw
     FROM mstats
 )"""

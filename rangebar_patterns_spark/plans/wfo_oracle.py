@@ -115,6 +115,9 @@ wfw AS (
         CAST(coalesce(max(CASE WHEN split = 'test' THEN _n_runs END), 0) AS BIGINT) AS test_underwater_runs,
         CAST(coalesce(max(CASE WHEN split = 'test' THEN _uw_total END), 0) AS BIGINT) AS test_underwater_trades
     FROM wfps GROUP BY symbol, barrier_id, fold
+    -- empty-train folds (fold 0) are never scored OOS, matching
+    -- operators/wfo.py wf_fold_metrics and reference walk_forward.py:99
+    HAVING coalesce(max(CASE WHEN split = 'train' THEN n END), 0) > 0
 )"""
 
 

@@ -6,7 +6,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from rangebar_patterns_spark.operators.joins import forward_range_join
-from rangebar_patterns_spark.operators.windows import with_forward_arrays
 from rangebar_patterns_spark.sources.bars import bars_from_events
 from rangebar_patterns_spark.sources.sinks import (
     append_results,
@@ -47,15 +46,20 @@ def test_ndjson_telemetry_roundtrip(spark, tmp_path):
     assert back.filter("config_id = 'c2'").first().n == 3
 
 
-def test_range_join_matches_window_arrays(spark):
-    """J1 (range self-join) and W5 (window collect) must produce identical
-    forward arrays — the two physical strategies for one logical op."""
+def test_range_join_matches_entry_forward_arrays(spark):
+    """J1 (range self-join) and the window path the simulator consumes
+    (``with_entry_and_forward``) must produce identical forward arrays —
+    the two physical strategies for one logical op.  Pinned against the
+    simulator contract (forward bars signal+2 .. signal+1+cap), NOT the
+    entry-bar-inclusive W5 variant."""
+    from rangebar_patterns_spark.operators.barriers import with_entry_and_forward
+
     bars = bars_from_events(spark, SF_DIR)
     cap = 15
     sigs = bars.filter(F.col("rn") % 53 == 0)
     via_join = forward_range_join(sigs, bars, cap).toPandas()
     via_window = (
-        with_forward_arrays(bars, cap)
+        with_entry_and_forward(bars, cap)
         .filter(F.col("rn") % 53 == 0)
         .select("symbol", "rn", "fwd_highs", "fwd_lows", "fwd_opens", "fwd_closes")
         .toPandas()
