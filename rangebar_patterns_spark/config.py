@@ -117,3 +117,55 @@ def grid_to_duckdb_values(grid: list[BarrierConfig]) -> str:
 
 def max_bars_cap(grid: list[BarrierConfig]) -> int:
     return max(c.max_bars for c in grid)
+
+
+@dataclass(frozen=True)
+class TrailingConfig:
+    """gen201/gen202 trailing-stop barrier cell (gen201_trailing_stop.sql:
+    130-158): fixed TP + per-bar ratcheting trailing SL + time barrier.
+    gen202 shares identical mechanics (gen202_combined_barrier.sql header:
+    "Identical barrier mechanics ... exists to compare against Gen200")."""
+
+    tp_mult: float
+    trail_mult: float
+    max_bars: int
+
+    @property
+    def barrier_id(self) -> str:
+        return (
+            f"tp{int(self.tp_mult * 1000):05d}"
+            f"_tr{int(self.trail_mult * 1000):05d}_mb{self.max_bars}"
+        )
+
+
+def gen201_grid() -> list[TrailingConfig]:
+    """Reference grid subset (gen201:136-139 uses 5×5×4=100 combos; the
+    catalog fixture sweeps a 3×2×2 corner of the same value ranges)."""
+    return [
+        TrailingConfig(tp, tr, mb)
+        for tp in (5.0, 15.0, 30.0)
+        for tr in (2.5, 7.5)
+        for mb in (5, 20)
+    ]
+
+
+def trailing_grid_to_spark(
+    spark: SparkSession, grid: list[TrailingConfig]
+) -> DataFrame:
+    return spark.createDataFrame(
+        [(c.barrier_id, c.tp_mult, c.trail_mult, c.max_bars) for c in grid],
+        "barrier_id string, tp_mult double, trail_mult double, max_bars int",
+    )
+
+
+def trailing_grid_to_duckdb_values(grid: list[TrailingConfig]) -> str:
+    rows = ",\n        ".join(
+        f"('{c.barrier_id}', CAST({c.tp_mult!r} AS DOUBLE), "
+        f"CAST({c.trail_mult!r} AS DOUBLE), {c.max_bars})"
+        for c in grid
+    )
+    return (
+        "trail_grid AS (\n    SELECT * FROM (VALUES\n        "
+        + rows
+        + "\n    ) AS t(barrier_id, tp_mult, trail_mult, max_bars)\n)"
+    )

@@ -163,3 +163,31 @@ def with_series_excl_quantile(
         return pdf[names]
 
     return df.groupBy(*partition_cols).applyInPandas(compute, schema)
+
+
+def with_series_excl_quantiles(
+    df: DataFrame,
+    specs: dict[str, tuple[str, float]],
+    lookback: int | None = None,
+    order_col: str = "rn",
+    partition_cols: tuple[str, ...] = ("symbol",),
+) -> DataFrame:
+    """Multi-threshold variant of :func:`with_series_excl_quantile`:
+    ``specs`` maps out_col -> (source col, p); ALL thresholds are computed
+    in ONE Arrow-batched pass per series (one shuffle instead of
+    len(specs)) — the formation-gate stack (signals.GATE_QUANTILES) needs
+    five of these per bar."""
+    schema = StructType(
+        df.schema.fields
+        + [StructField(out_col, DoubleType()) for out_col in specs]
+    )
+    names = [f.name for f in schema.fields]
+
+    def compute(pdf):
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        for out_col, (src, p) in specs.items():
+            vals = pdf[src].to_numpy(dtype="float64", na_value=np.nan)
+            pdf[out_col] = excl_quantile_stream(vals, p, lookback)
+        return pdf[names]
+
+    return df.groupBy(*partition_cols).applyInPandas(compute, schema)

@@ -88,20 +88,34 @@ def simulate_barriers(
         bar_range = F.col("threshold_decimal_bps").cast("double") / F.lit(100000.0)
 
     t = signals.crossJoin(F.broadcast(grid))
+    if "side" not in t.columns:
+        t = t.withColumn("side", F.lit("long"))
+    # SHORT geometry (gen600_2up_s_template.sql:141-150): TP *below* entry,
+    # SL *above*; the long expressions are byte-identical to the unsided
+    # original, so long-only call sites are unaffected.
+    short = F.col("side") == "short"
+    e = F.col("entry_price")
     t = (
         t.withColumn("bar_range", bar_range)
         .withColumn(
             "tp_price",
-            F.col("entry_price") * (F.lit(1.0) + F.col("tp_mult") * F.col("bar_range")),
+            F.when(
+                short, e * (F.lit(1.0) - F.col("tp_mult") * F.col("bar_range"))
+            ).otherwise(e * (F.lit(1.0) + F.col("tp_mult") * F.col("bar_range"))),
         )
         .withColumn(
             "sl_wide_price",
-            F.col("entry_price") * (F.lit(1.0) - F.col("sl_mult") * F.col("bar_range")),
+            F.when(
+                short, e * (F.lit(1.0) + F.col("sl_mult") * F.col("bar_range"))
+            ).otherwise(e * (F.lit(1.0) - F.col("sl_mult") * F.col("bar_range"))),
         )
         .withColumn(
             "sl_tight_price",
-            F.col("entry_price")
-            * (F.lit(1.0) - F.col("sl_tight_mult") * F.col("bar_range")),
+            F.when(
+                short, e * (F.lit(1.0) + F.col("sl_tight_mult") * F.col("bar_range"))
+            ).otherwise(
+                e * (F.lit(1.0) - F.col("sl_tight_mult") * F.col("bar_range"))
+            ),
         )
     )
 
@@ -116,22 +130,31 @@ def simulate_barriers(
     p1 = F.col("phase1_bars")
     mb = F.col("max_bars")
 
+    # TP scans the favourable side (highs long / lows short), SL the
+    # adverse side; lambdas branch on `short` per element — still pure
+    # Catalyst HOFs, no Python
+    tp_arr = F.when(short, F.col("fwd_lows")).otherwise(F.col("fwd_highs"))
+    sl_arr = F.when(short, F.col("fwd_highs")).otherwise(F.col("fwd_lows"))
     t = (
         t.withColumn(
             "tp_idx",
-            _first_breach_index(F.slice("fwd_highs", F.lit(1), mb), lambda h: h >= tp),
+            _first_breach_index(
+                F.slice(tp_arr, F.lit(1), mb),
+                lambda x: F.when(short, x <= tp).otherwise(x >= tp),
+            ),
         )
         .withColumn(
             "sl_wide_idx",
             _first_breach_index(
-                F.slice("fwd_lows", F.lit(1), F.least(p1, mb)), lambda x: x <= slw
+                F.slice(sl_arr, F.lit(1), F.least(p1, mb)),
+                lambda x: F.when(short, x >= slw).otherwise(x <= slw),
             ),
         )
         .withColumn(
             "_sl_tight_rel",
             _first_breach_index(
-                F.slice("fwd_lows", p1 + F.lit(1), F.greatest(mb - p1, F.lit(0))),
-                lambda x: x <= slt,
+                F.slice(sl_arr, p1 + F.lit(1), F.greatest(mb - p1, F.lit(0))),
+                lambda x: F.when(short, x >= slt).otherwise(x <= slt),
             ),
         )
         .withColumn(
@@ -151,8 +174,15 @@ def simulate_barriers(
         F.when(is_sl, F.col("sl_idx")).when(is_tp, F.col("tp_idx")).otherwise(mb)
     )
     sl_price_at_exit = F.when(F.col("sl_idx") <= p1, slw).otherwise(slt)
+    # gap fill at the worse price (AP-13): gap-DOWN for longs
+    # (least(open, sl)), gap-UP against shorts (greatest(open, sl))
+    sl_fill = F.when(
+        short, F.greatest(F.element_at("fwd_opens", F.col("sl_idx")), sl_price_at_exit)
+    ).otherwise(
+        F.least(F.element_at("fwd_opens", F.col("sl_idx")), sl_price_at_exit)
+    )
     exit_price = (
-        F.when(is_sl, F.least(F.element_at("fwd_opens", F.col("sl_idx")), sl_price_at_exit))
+        F.when(is_sl, sl_fill)
         .when(is_tp, tp)
         .otherwise(F.element_at("fwd_closes", mb))
     )
@@ -163,7 +193,12 @@ def simulate_barriers(
         .withColumn("exit_price", exit_price)
         .withColumn(
             "return_pct",
-            (F.col("exit_price") - F.col("entry_price")) / F.col("entry_price"),
+            F.when(
+                short,
+                (F.col("entry_price") - F.col("exit_price")) / F.col("entry_price"),
+            ).otherwise(
+                (F.col("exit_price") - F.col("entry_price")) / F.col("entry_price")
+            ),
         )
         .withColumnRenamed("rn", "signal_rn")
         .withColumnRenamed("close_time_ms", "signal_ts_ms")
@@ -208,4 +243,109 @@ def barrier_metrics(trades: DataFrame, group_cols: list[str] | None = None) -> D
         F.round(ev, 6).alias("expected_value"),
         F.round(F.avg(F.col("exit_bar").cast("double")), 6).alias("avg_bars_held"),
         F.round(kelly, 6).alias("kelly_fraction"),
+    )
+
+
+def simulate_trailing_barriers(
+    signals: DataFrame,
+    grid: DataFrame,
+    bar_range: Column | None = None,
+    id_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """gen201 trailing-stop / gen202 combined barrier simulation
+    (gen201_trailing_stop.sql:144-230; gen202_combined_barrier.sql shares
+    identical mechanics): fixed TP + per-bar ratcheting trailing SL.
+
+      * running_max[i] = greatest(entry, max(fwd_highs[1..i])) — the stop
+        only ratchets UP (arrayMap/arrayReduce block, gen201:150-152);
+      * trailing_sl[i] = running_max[i] * (1 - trail_mult * bar_range);
+      * TRAIL breach: first i with fwd_lows[i] <= trailing_sl[i]
+        (dual-array lambda, gen201:188-192) — TRAIL WINS same-bar ties;
+      * exits: TRAIL -> least(open[i], trailing_sl[i]) (gap-down fill),
+        TP -> tp_price exactly, TIME -> closes[max_bars];
+      * LONG-only, like the reference generations.
+
+    All per-bar state is Catalyst higher-order functions (transform /
+    zip_with / array_max over the bounded forward arrays) — no Python, no
+    extra shuffle beyond the broadcast grid cross-join.
+    """
+    if bar_range is None:
+        bar_range = F.col("threshold_decimal_bps").cast("double") / F.lit(100000.0)
+
+    t = signals.crossJoin(F.broadcast(grid)).withColumn("bar_range", bar_range)
+    e = F.col("entry_price")
+    mb = F.col("max_bars")
+    t = (
+        t.withColumn(
+            "tp_price", e * (F.lit(1.0) + F.col("tp_mult") * F.col("bar_range"))
+        )
+        .withColumn("trail_pct", F.col("trail_mult") * F.col("bar_range"))
+        .filter(e.isNotNull() & (F.size("fwd_highs") >= mb))
+        .withColumn(
+            "trailing_sls",
+            F.transform(
+                F.sequence(F.lit(1), mb),
+                lambda i: F.greatest(
+                    F.col("entry_price"),
+                    F.array_max(F.slice(F.col("fwd_highs"), F.lit(1), i)),
+                )
+                * (F.lit(1.0) - F.col("trail_pct")),
+            ),
+        )
+    )
+    t = t.withColumn(
+        "tp_idx",
+        _first_breach_index(
+            F.slice("fwd_highs", F.lit(1), mb), lambda h: h >= F.col("tp_price")
+        ),
+    ).withColumn(
+        "trail_idx",
+        F.coalesce(
+            F.array_position(
+                F.zip_with(
+                    F.slice(F.col("fwd_lows"), F.lit(1), mb),
+                    F.col("trailing_sls"),
+                    lambda lo, ts: lo <= ts,
+                ),
+                F.lit(True),
+            ),
+            F.lit(0),
+        ).cast("int"),
+    )
+
+    trail_found = F.col("trail_idx") > 0
+    tp_found = F.col("tp_idx") > 0
+    is_trail = trail_found & (~tp_found | (F.col("trail_idx") <= F.col("tp_idx")))
+    is_tp = tp_found & (~trail_found | (F.col("tp_idx") < F.col("trail_idx")))
+
+    exit_bar = (
+        F.when(is_trail, F.col("trail_idx"))
+        .when(is_tp, F.col("tp_idx"))
+        .otherwise(mb)
+    )
+    exit_price = (
+        F.when(
+            is_trail,
+            F.least(
+                F.element_at("fwd_opens", F.col("trail_idx")),
+                F.element_at("trailing_sls", F.col("trail_idx")),
+            ),
+        )
+        .when(is_tp, F.col("tp_price"))
+        .otherwise(F.element_at("fwd_closes", mb))
+    )
+    return (
+        t.withColumn(
+            "exit_type",
+            F.when(is_trail, "TRAIL").when(is_tp, "TP").otherwise("TIME"),
+        )
+        .withColumn("exit_bar", exit_bar.cast("long"))
+        .withColumn("exit_price", exit_price)
+        .withColumn(
+            "return_pct",
+            (F.col("exit_price") - F.col("entry_price")) / F.col("entry_price"),
+        )
+        .withColumnRenamed("rn", "signal_rn")
+        .withColumnRenamed("close_time_ms", "signal_ts_ms")
+        .select(*id_cols, *TRADE_COLUMNS)
     )

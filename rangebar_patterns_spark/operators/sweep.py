@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 from ..functions.series_quantile import excl_quantile_stream
-from .signals import FORMATIONS
+from .signals import FORMATIONS, SWEEP_FORMATION_NAMES, base_eligibility
 
 #: W7 rolling window over the candidate sequence (gen600: 999 PRECEDING .. 1 PRECEDING)
 SIGNALSET_LOOKBACK = 999
@@ -126,17 +126,13 @@ def sweep_grid_to_spark(spark: SparkSession, grid: list[SweepConfig]) -> DataFra
 
 
 def base_candidate_filter(warmup: int) -> F.Column:
-    """gen600 champion-base gate shared by every config (formation aside):
-    ti above rolling p95, positive Kyle lambda, warmup, valid entry."""
-    return (
-        (F.col("trade_intensity") > F.col("ti_p95_prior"))
-        & (F.col("kyle_lambda_proxy") > 0)
-        & F.col("ti_p95_prior").isNotNull()
-        & (F.col("ti_p95_prior") > 0)
-        & (F.col("bar_count") > warmup)
-        & F.col("entry_price").isNotNull()
-        & (F.col("entry_price") > 0)
-    )
+    """The gate-INDEPENDENT part of every gen600 config's candidate
+    predicate: warmup passed and a valid next-bar entry.  Entry gates (ti
+    above rolling p95 + Kyle sign, exhaustion/volume/VWAP thresholds, or
+    none for ``_ng``/wickless formations) are per-formation and applied in
+    the formation explode — the reference's wl1d/wl2d templates carry NO
+    ti/kyle gate (sql/gen600_wl1d_template.sql champion_signals WHERE)."""
+    return base_eligibility(warmup)
 
 
 _CAND_COLUMNS = [
@@ -164,12 +160,15 @@ def sweep_candidates(
     configs: DataFrame,
     feature_cols: list[str],
     warmup: int,
+    formations: tuple[str, ...] = SWEEP_FORMATION_NAMES,
 ) -> DataFrame:
     """Candidate rows per config: formation-explode × config-join × feature
     map lookup, all JVM-side.  ``feat`` is ``with_bar_features(...,
-    rolling_window=...)`` output."""
+    rolling_window=...)`` output (plus ``with_gate_quantiles`` when a swept
+    formation's gate needs non-ti thresholds).  Each formation's full
+    signal predicate (pattern ∧ its own gate) decides membership."""
     formation_arr = F.array(
-        *[F.when(fn(), F.lit(name)) for name, fn in FORMATIONS.items()]
+        *[F.when(FORMATIONS[name].signal(), F.lit(name)) for name in formations]
     )
     cand = (
         feat.filter(base_candidate_filter(warmup))
@@ -194,22 +193,28 @@ def with_signalset_quantiles(
     """W7: rolling exclusive quantiles of feature1/feature2 over the
     per-config candidate sequence.
 
-    Key sweep-scale property: a config's candidate sequence is fully
-    determined by its *formation* (the base filter and formation predicate
-    don't involve the paired features), so every config sharing
-    (formation, feature, q) shares an identical threshold series.  The
-    quantile pass therefore runs once per distinct
-    (formation, feature, q, symbol) group — O(formations × features × qs)
-    Python groups instead of O(configs) — and thresholds join back to the
-    exploded candidate stream.  At the reference's 301K-config scale this
-    is the difference between ~600K and ~500 streaming-quantile passes;
-    values are bit-identical to the per-config computation (verified by the
-    oracle suite, which models the per-config semantics)."""
+    Key sweep-scale property: a config's *candidate set* is fully
+    determined by (formation, feature pair) — the base filter and the
+    formation predicate don't involve the paired features, but candidate
+    membership does require BOTH features non-NULL (sweep_candidates), so
+    two configs share a candidate sequence iff they share the formation
+    and the (unordered) feature pair.  The dedup key therefore includes
+    the *partner* feature: thresholds run once per distinct
+    (formation, feature, q, partner, symbol) group —
+    O(formations × feature-pairs × qs) Python groups instead of
+    O(configs) — and remain bit-identical to the per-config computation
+    even when a feature has post-warmup NULLs (the "Feature Quantile
+    Trap" this module documents: dropping a row for one config but not
+    another shifts the rolling-999 window contents).  At the reference's
+    301K-config scale this is still a ~100× reduction in streaming
+    quantile passes; values are verified by the oracle suite, which
+    models the per-config semantics."""
     thr_schema = StructType(
         [
             StructField("formation", cand.schema["formation"].dataType),
             StructField("feature", cand.schema["feature1"].dataType),
             StructField("q", DoubleType()),
+            StructField("partner", cand.schema["feature2"].dataType),
             StructField("symbol", cand.schema["symbol"].dataType),
             StructField("rn", cand.schema["rn"].dataType),
             StructField("thr", DoubleType()),
@@ -223,13 +228,14 @@ def with_signalset_quantiles(
             float(pdf["q"].iloc[0]),
             lookback,
         )
-        return pdf[["formation", "feature", "q", "symbol", "rn", "thr"]]
+        return pdf[["formation", "feature", "q", "partner", "symbol", "rn", "thr"]]
 
     sides = [
         cand.select(
             "formation",
             F.col(f"feature{i}").alias("feature"),
             F.col(f"q{i}").alias("q"),
+            F.col(f"feature{3 - i}").alias("partner"),
             "symbol",
             "rn",
             F.col(f"f{i}_val").alias("val"),
@@ -237,22 +243,26 @@ def with_signalset_quantiles(
         for i in (1, 2)
     ]
     thr_input = sides[0].unionByName(sides[1]).dropDuplicates(
-        ["formation", "feature", "q", "symbol", "rn"]
+        ["formation", "feature", "q", "partner", "symbol", "rn"]
     )
     # referenced by both join sides below — persist so the Arrow quantile
     # pass runs once (the relation is small: one row per deduped
-    # (formation, feature, q) candidate)
+    # (formation, feature, q, partner) candidate)
     thr = (
-        thr_input.groupBy("formation", "feature", "q", "symbol")
+        thr_input.groupBy("formation", "feature", "q", "partner", "symbol")
         .applyInPandas(compute, thr_schema)
         .persist()
     )
     out = cand.join(
-        thr.withColumnsRenamed({"feature": "feature1", "q": "q1", "thr": "f1_thr"}),
-        ["formation", "feature1", "q1", "symbol", "rn"],
+        thr.withColumnsRenamed(
+            {"feature": "feature1", "q": "q1", "partner": "feature2", "thr": "f1_thr"}
+        ),
+        ["formation", "feature1", "q1", "feature2", "symbol", "rn"],
     ).join(
-        thr.withColumnsRenamed({"feature": "feature2", "q": "q2", "thr": "f2_thr"}),
-        ["formation", "feature2", "q2", "symbol", "rn"],
+        thr.withColumnsRenamed(
+            {"feature": "feature2", "q": "q2", "partner": "feature1", "thr": "f2_thr"}
+        ),
+        ["formation", "feature2", "q2", "feature1", "symbol", "rn"],
     )
     return out.select(*_CAND_COLUMNS, "f1_thr", "f2_thr")
 

@@ -110,3 +110,31 @@ def with_forward_arrays(df: DataFrame, max_bars: int) -> DataFrame:
     ]:
         df = df.withColumn(dst, F.slice(F.collect_list(src).over(w), 2, max_bars))
     return df
+
+
+def with_gate_quantiles(
+    df: DataFrame,
+    names: tuple[str, ...] | None = None,
+    rolling_window: int = 999,
+) -> DataFrame:
+    """Rolling no-lookahead gate thresholds for the non-ti formation gates
+    (signals.GATE_QUANTILES): exhaustion p75s, high-volume p90, VWAP
+    p10/p90 — each ``quantileExactExclusive(p)(col) OVER (... ROWS BETWEEN
+    999 PRECEDING AND 1 PRECEDING)`` per the gen600 running_stats CTEs
+    (reference sql/gen600_exh_l_template.sql:68-79 etc.).
+
+    ``ti_p95_prior`` is excluded by default — ``with_bar_features`` already
+    computes it.  All requested thresholds run in ONE Arrow pass per
+    series (functions/series_quantile.with_series_excl_quantiles).
+    """
+    from ..functions.series_quantile import with_series_excl_quantiles
+    from .signals import GATE_QUANTILES
+
+    wanted = {
+        out: GATE_QUANTILES[out]
+        for out in (names if names is not None else GATE_QUANTILES)
+        if out != "ti_p95_prior"
+    }
+    if not wanted:
+        return df
+    return with_series_excl_quantiles(df, wanted, lookback=rolling_window)

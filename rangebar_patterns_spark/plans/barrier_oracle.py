@@ -32,48 +32,61 @@ def barrier_pipeline_ctes(
     grid: list[BarrierConfig],
     signal_where: str,
     feat_relation: str = "feat",
+    side_expr: str = "'long'",
 ) -> str:
     """CTE chain ``fwd -> sigs -> trades`` (append after bars/feat CTEs).
 
     ``signal_where``: SQL predicate over the feat relation selecting signal
-    bars (include eligibility).
+    bars (include eligibility).  ``side_expr``: SQL expression for the
+    trade side ('long'/'short') — SHORT inverts the barrier geometry
+    (gen600_2up_s_template.sql:141-150).
     """
     return f"""{grid_to_duckdb_values(grid)},
 {fwd_cte(max_bars_cap(grid), feat_relation)},
 sigs AS (
     SELECT * FROM fwd WHERE {signal_where}
 ),
-{trades_chain_ctes()}"""
+{trades_chain_ctes(side_expr=side_expr)}"""
 
 
-def trades_chain_ctes(id_cols: tuple[str, ...] = ("symbol",)) -> str:
+def trades_chain_ctes(
+    id_cols: tuple[str, ...] = ("symbol",), side_expr: str = "'long'"
+) -> str:
     """CTE chain ``trades1 .. trades`` over a ``sigs`` relation (must carry
     entry_price, threshold_decimal_bps, fwd_* arrays and ``id_cols``) and a
-    ``barrier_grid`` relation."""
+    ``barrier_grid`` relation.  ``side_expr`` may reference sigs columns
+    (e.g. ``s.side``); the long branches are byte-identical to the unsided
+    original, so long-only oracles are unaffected."""
     ids = ", ".join(id_cols)
     return f"""trades1 AS (
-    SELECT s.*, g.*,
+    SELECT s.*, g.*, {side_expr} AS _side,
         CAST(threshold_decimal_bps AS DOUBLE) / 100000.0 AS bar_range
     FROM sigs s CROSS JOIN barrier_grid g
 ),
 trades2 AS (
     SELECT *,
-        entry_price * (1.0 + tp_mult * bar_range) AS tp_price,
-        entry_price * (1.0 - sl_mult * bar_range) AS sl_wide_price,
-        entry_price * (1.0 - sl_tight_mult * bar_range) AS sl_tight_price
+        CASE WHEN _side = 'short' THEN entry_price * (1.0 - tp_mult * bar_range)
+             ELSE entry_price * (1.0 + tp_mult * bar_range) END AS tp_price,
+        CASE WHEN _side = 'short' THEN entry_price * (1.0 + sl_mult * bar_range)
+             ELSE entry_price * (1.0 - sl_mult * bar_range) END AS sl_wide_price,
+        CASE WHEN _side = 'short' THEN entry_price * (1.0 + sl_tight_mult * bar_range)
+             ELSE entry_price * (1.0 - sl_tight_mult * bar_range) END AS sl_tight_price
     FROM trades1
     WHERE entry_price IS NOT NULL AND len(fwd_highs) >= max_bars
 ),
 trades3 AS (
     SELECT *,
         CAST(coalesce(list_position(list_transform(
-            list_slice(fwd_highs, 1, max_bars), h -> h >= tp_price), true), 0) AS INT)
+            list_slice(CASE WHEN _side = 'short' THEN fwd_lows ELSE fwd_highs END, 1, max_bars),
+            x -> CASE WHEN _side = 'short' THEN x <= tp_price ELSE x >= tp_price END), true), 0) AS INT)
             AS tp_idx,
         CAST(coalesce(list_position(list_transform(
-            list_slice(fwd_lows, 1, least(phase1_bars, max_bars)), x -> x <= sl_wide_price), true), 0) AS INT)
+            list_slice(CASE WHEN _side = 'short' THEN fwd_highs ELSE fwd_lows END, 1, least(phase1_bars, max_bars)),
+            x -> CASE WHEN _side = 'short' THEN x >= sl_wide_price ELSE x <= sl_wide_price END), true), 0) AS INT)
             AS sl_wide_idx,
         CAST(coalesce(list_position(list_transform(
-            list_slice(fwd_lows, phase1_bars + 1, max_bars), x -> x <= sl_tight_price), true), 0) AS INT)
+            list_slice(CASE WHEN _side = 'short' THEN fwd_highs ELSE fwd_lows END, phase1_bars + 1, max_bars),
+            x -> CASE WHEN _side = 'short' THEN x >= sl_tight_price ELSE x <= sl_tight_price END), true), 0) AS INT)
             AS sl_tight_rel
     FROM trades2
 ),
@@ -94,8 +107,13 @@ trades6 AS (
     SELECT *,
         CASE WHEN is_sl THEN 'SL' WHEN is_tp THEN 'TP' ELSE 'TIME' END AS exit_type,
         CAST(CASE WHEN is_sl THEN sl_idx WHEN is_tp THEN tp_idx ELSE max_bars END AS BIGINT) AS exit_bar,
-        CASE WHEN is_sl THEN least(fwd_opens[sl_idx],
-                 CASE WHEN sl_idx <= phase1_bars THEN sl_wide_price ELSE sl_tight_price END)
+        CASE WHEN is_sl THEN
+                 CASE WHEN _side = 'short'
+                      THEN greatest(fwd_opens[sl_idx],
+                          CASE WHEN sl_idx <= phase1_bars THEN sl_wide_price ELSE sl_tight_price END)
+                      ELSE least(fwd_opens[sl_idx],
+                          CASE WHEN sl_idx <= phase1_bars THEN sl_wide_price ELSE sl_tight_price END)
+                 END
              WHEN is_tp THEN tp_price
              ELSE fwd_closes[max_bars] END AS exit_price
     FROM trades5
@@ -103,7 +121,8 @@ trades6 AS (
 trades AS (
     SELECT {ids}, rn AS signal_rn, close_time_ms AS signal_ts_ms, barrier_id,
         entry_price, exit_type, exit_bar, exit_price,
-        (exit_price - entry_price) / entry_price AS return_pct
+        CASE WHEN _side = 'short' THEN (entry_price - exit_price) / entry_price
+             ELSE (exit_price - entry_price) / entry_price END AS return_pct
     FROM trades6
 )"""
 
@@ -149,3 +168,61 @@ SELECT symbol, barrier_id,
 FROM trades
 GROUP BY symbol, barrier_id
 """
+
+
+def trailing_chain_ctes(id_cols: tuple[str, ...] = ("symbol",)) -> str:
+    """DuckDB twin of ``operators.barriers.simulate_trailing_barriers``
+    (gen201_trailing_stop.sql:144-230 / gen202_combined_barrier.sql):
+    fixed TP + ratcheting trailing SL over a ``sigs`` relation and a
+    ``trail_grid`` relation; TRAIL wins same-bar ties."""
+    ids = ", ".join(id_cols)
+    return f"""ttr1 AS (
+    SELECT s.*, g.*,
+        CAST(threshold_decimal_bps AS DOUBLE) / 100000.0 AS bar_range
+    FROM sigs s CROSS JOIN trail_grid g
+),
+ttr2 AS (
+    SELECT *,
+        entry_price * (1.0 + tp_mult * bar_range) AS tp_price,
+        trail_mult * bar_range AS trail_pct
+    FROM ttr1
+    WHERE entry_price IS NOT NULL AND len(fwd_highs) >= max_bars
+),
+ttr3 AS (
+    SELECT *,
+        list_transform(generate_series(1, max_bars),
+            i -> greatest(entry_price, list_max(list_slice(fwd_highs, 1, i)))
+                 * (1.0 - trail_pct)) AS trailing_sls
+    FROM ttr2
+),
+ttr4 AS (
+    SELECT *,
+        CAST(coalesce(list_position(list_transform(
+            list_slice(fwd_highs, 1, max_bars), h -> h >= tp_price), true), 0) AS INT)
+            AS tp_idx,
+        CAST(coalesce(list_position(list_transform(generate_series(1, max_bars),
+            i -> fwd_lows[i] <= trailing_sls[i]), true), 0) AS INT)
+            AS trail_idx
+    FROM ttr3
+),
+ttr5 AS (
+    SELECT *,
+        (trail_idx > 0 AND (tp_idx = 0 OR trail_idx <= tp_idx)) AS is_trail,
+        (tp_idx > 0 AND (trail_idx = 0 OR tp_idx < trail_idx)) AS is_tp
+    FROM ttr4
+),
+ttr6 AS (
+    SELECT *,
+        CASE WHEN is_trail THEN 'TRAIL' WHEN is_tp THEN 'TP' ELSE 'TIME' END AS exit_type,
+        CAST(CASE WHEN is_trail THEN trail_idx WHEN is_tp THEN tp_idx ELSE max_bars END AS BIGINT) AS exit_bar,
+        CASE WHEN is_trail THEN least(fwd_opens[trail_idx], trailing_sls[trail_idx])
+             WHEN is_tp THEN tp_price
+             ELSE fwd_closes[max_bars] END AS exit_price
+    FROM ttr5
+),
+trades AS (
+    SELECT {ids}, rn AS signal_rn, close_time_ms AS signal_ts_ms, barrier_id,
+        entry_price, exit_type, exit_bar, exit_price,
+        (exit_price - entry_price) / entry_price AS return_pct
+    FROM ttr6
+)"""

@@ -13,8 +13,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.signals import FORMATIONS, champion_signal, eligibility
-from ..operators.windows import bar_window, with_bar_features
+from ..operators.signals import (
+    FORMATIONS,
+    base_eligibility,
+    base_eligibility_sql,
+    champion_signal,
+    eligibility,
+)
+from ..operators.windows import bar_window, with_bar_features, with_gate_quantiles
 from ..sources.bars import BAR_COLUMNS, BARS_DUCKDB_CTE, bars_from_events
 from . import fragments as frag
 from ..functions import detsum as _det
@@ -171,42 +177,63 @@ def q_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _duck_formation_predicates() -> dict[str, str]:
-    return {
-        "2down": "dir_1 = 0 AND direction = 0",
-        "3down": "dir_2 = 0 AND dir_1 = 0 AND direction = 0",
-        "udd": "dir_2 = 1 AND dir_1 = 0 AND direction = 0",
-        "dud": "dir_2 = 0 AND dir_1 = 1 AND direction = 0",
-        "wl1d": (
-            "direction = 0 AND opposite_wick_pct IS NOT NULL"
-            " AND opposite_wick_pct < 0.001"
-        ),
-        "wl2d": (
-            "dir_1 = 0 AND direction = 0"
-            " AND opposite_wick_pct IS NOT NULL AND opposite_wick_pct < 0.001"
-            " AND wick_1 IS NOT NULL AND wick_1 < 0.001"
-        ),
-    }
+#: rolling window for the gen600 family (sql/CLAUDE.md Rolling Window
+#: Policy: 999 PRECEDING .. 1 PRECEDING) — defined here because both the
+#: formation queries and the sweep share it
+GEN600_ROLLING = 999
+
+
+_FEATG_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _featg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bar features with ROLLING ti threshold + the 5 non-ti gate
+    thresholds — the shared input of every all-formation query.  Persisted:
+    the gate-quantile Arrow pass is the expensive step."""
+    key = (id(spark), sf_dir)
+    if key not in _FEATG_CACHE:
+        feat = with_bar_features(_bars(spark, sf_dir), rolling_window=GEN600_ROLLING)
+        _FEATG_CACHE[key] = with_gate_quantiles(feat).persist()
+    return _FEATG_CACHE[key]
+
+
+def _featg_ctes() -> str:
+    """Oracle twin of ``_featg``: feat (rolling ti) + featg (gate
+    thresholds)."""
+    return f"{frag.feat_cte(rolling=GEN600_ROLLING)},\n{frag.gate_quantiles_cte()}"
 
 
 _FORMATION_ORACLE = f"""
 WITH {BARS_DUCKDB_CTE},
-{frag.feat_cte()}
-SELECT symbol,
-    {", ".join(f'CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_{name}' for name, pred in _duck_formation_predicates().items())}
-FROM feat
-WHERE dir_2 IS NOT NULL
-GROUP BY symbol
-"""
+{_featg_ctes()}
+SELECT * FROM (
+{chr(10).join(
+    ("UNION ALL " if i else "")
+    + f"SELECT symbol, '{name}' AS formation, count(*) AS n_signals"
+    + f" FROM featg WHERE {f.signal_sql()} AND {{elig}} GROUP BY symbol"
+    for i, (name, f) in enumerate(FORMATIONS.items())
+)}
+)
+""".replace("{elig}", base_eligibility_sql(WARMUP))
 
 
 @register("formation_counts", _FORMATION_ORACLE)
 def q_formation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feat = with_bar_features(_bars(spark, sf_dir))
-    aggs = [
-        _cnt(pred_fn()).alias(f"n_{name}") for name, pred_fn in FORMATIONS.items()
-    ]
-    return feat.filter(F.col("dir_2").isNotNull()).groupBy("symbol").agg(*aggs)
+    """All 22 gen600 formations (pattern ∧ formation-specific gate) as
+    long-format signal counts — the reference's 22 sed templates
+    (sql/gen600_*_template.sql champion_signals CTEs) as one explode."""
+    featg = _featg(spark, sf_dir)
+    formation_arr = F.array(
+        *[F.when(f.signal(), F.lit(name)) for name, f in FORMATIONS.items()]
+    )
+    return (
+        featg.filter(base_eligibility(WARMUP))
+        .withColumn(
+            "formation", F.explode(F.filter(formation_arr, lambda x: x.isNotNull()))
+        )
+        .groupBy("symbol", "formation")
+        .agg(F.count("*").alias("n_signals"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -290,6 +317,121 @@ SELECT * FROM trades
 @register("triple_barrier_trades", _TRADES_ORACLE)
 def q_triple_barrier_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _trades_df(spark, sf_dir, gen720_grid(), champion_signal())
+
+
+def _short_trades_oracle() -> str:
+    where = (
+        f"{FORMATIONS['2up_s'].signal_sql()} AND {base_eligibility_sql(WARMUP)}"
+    )
+    return f"""
+WITH {BARS_DUCKDB_CTE},
+{_featg_ctes()},
+{barrier_pipeline_ctes(gen720_grid(), where, feat_relation="featg", side_expr="'short'")}
+SELECT * FROM trades
+"""
+
+
+@register("short_barrier_trades", _short_trades_oracle())
+def q_short_barrier_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHORT-side barrier simulation (gen600_2up_s_template.sql; the gen720
+    WFO engine runs SHORT formations first-class —
+    scripts/walk_forward_barriers.py:69-75): 2up_s signals (two up bars +
+    ti above rolling p95 + NEGATIVE Kyle lambda), TP below entry scanning
+    forward lows, SL above scanning forward highs, gap-up SL fills at the
+    worse price, returns as (entry-exit)/entry."""
+    grid = gen720_grid()
+    fwd = with_entry_and_forward(_featg(spark, sf_dir), cap=max_bars_cap(grid))
+    sigs = fwd.filter(
+        FORMATIONS["2up_s"].signal() & base_eligibility(WARMUP)
+    ).withColumn("side", F.lit("short"))
+    return simulate_barriers(sigs, grid_to_spark(spark, grid))
+
+
+# --- gen201/gen202: trailing-stop and combined barrier exits -------------
+
+from ..config import (  # noqa: E402
+    gen201_grid,
+    trailing_grid_to_duckdb_values,
+    trailing_grid_to_spark,
+)
+from ..operators.barriers import simulate_trailing_barriers  # noqa: E402
+from .barrier_oracle import fwd_cte, trailing_chain_ctes  # noqa: E402
+
+
+def _trailing_trades_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion signals × gen201 trailing grid.  The ti threshold is the
+    gen111-style EXPANDING quantile — gen201 copies it verbatim
+    (gen201_trailing_stop.sql:57 "Copied from Gen111")."""
+    grid = gen201_grid()
+    feat = with_bar_features(_bars(spark, sf_dir))
+    fwd = with_entry_and_forward(feat, cap=max(c.max_bars for c in grid))
+    sigs = fwd.filter(champion_signal() & eligibility(WARMUP))
+    return simulate_trailing_barriers(sigs, trailing_grid_to_spark(spark, grid))
+
+
+def _trailing_oracle_ctes() -> str:
+    grid = gen201_grid()
+    cap = max(c.max_bars for c in grid)
+    where = f"{frag.CHAMPION_SIGNAL} AND {frag.eligibility(WARMUP)}"
+    return f"""
+WITH {BARS_DUCKDB_CTE},
+{frag.feat_cte()},
+{trailing_grid_to_duckdb_values(grid)},
+{fwd_cte(cap)},
+sigs AS (
+    SELECT * FROM fwd WHERE {where}
+),
+{trailing_chain_ctes()}"""
+
+
+@register("trailing_stop_trades", _trailing_oracle_ctes() + "\nSELECT * FROM trades")
+def q_trailing_stop_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gen201: fixed TP + per-bar ratcheting trailing SL, per-trade long
+    format.  TRAIL wins same-bar ties; gap-down TRAIL fills at
+    least(open, trailing_sl[bar])."""
+    return _trailing_trades_df(spark, sf_dir)
+
+
+_COMBINED_METRICS_ORACLE = _trailing_oracle_ctes() + """
+SELECT symbol, barrier_id,
+    count(*) AS n_trades,
+    CAST(sum(CASE WHEN exit_type = 'TP' THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+    CAST(sum(CASE WHEN exit_type = 'TRAIL' THEN 1 ELSE 0 END) AS BIGINT) AS n_trail,
+    CAST(sum(CASE WHEN exit_type = 'TIME' THEN 1 ELSE 0 END) AS BIGINT) AS n_time,
+    round(CAST(sum(CASE WHEN return_pct > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS win_rate,
+    round(list_reduce(list_prepend(0.0, list(return_pct ORDER BY signal_ts_ms)),
+        (acc, x) -> acc + x) / CAST(count(*) AS DOUBLE), 6) AS expected_value,
+    round(avg(CAST(exit_bar AS DOUBLE)), 6) AS avg_bars_held
+FROM trades
+GROUP BY symbol, barrier_id
+"""
+
+
+@register("combined_barrier_metrics", _COMBINED_METRICS_ORACLE)
+def q_combined_barrier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gen202: the combined TP + trailing-SL + time sweep aggregated per
+    barrier cell (gen202_combined_barrier.sql final SELECT; identical
+    mechanics to gen201, aggregate comparison vs the gen200 fixed-SL grid
+    is the point).  TRAIL exits can be wins OR losses — win_rate is
+    return-based, not exit-type-based."""
+    trades = _trailing_trades_df(spark, sf_dir)
+    r = F.col("return_pct")
+    win_rate = (
+        F.sum(F.when(r > 0, 1).otherwise(0)).cast("double")
+        / F.count("*").cast("double")
+    )
+    return trades.groupBy("symbol", "barrier_id").agg(
+        F.count("*").alias("n_trades"),
+        _cnt(F.col("exit_type") == "TP").alias("n_tp"),
+        _cnt(F.col("exit_type") == "TRAIL").alias("n_trail"),
+        _cnt(F.col("exit_type") == "TIME").alias("n_time"),
+        F.round(win_rate, 6).alias("win_rate"),
+        F.round(
+            _det.osum(F.col("signal_ts_ms"), r) / F.count("*").cast("double"), 6
+        ).alias("expected_value"),
+        F.round(F.avg(F.col("exit_bar").cast("double")), 6).alias("avg_bars_held"),
+    )
 
 
 _METRICS_ORACLE = f"""

@@ -57,3 +57,33 @@ def eligibility(warmup: int) -> str:
         "dir_1 IS NOT NULL AND ti_p95_prior IS NOT NULL "
         f"AND ti_p95_prior > 0 AND bar_count > {warmup}"
     )
+
+
+def gate_quantiles_cte(
+    rolling: int = 999,
+    in_relation: str = "feat",
+    name: str = "featg",
+    names: tuple[str, ...] | None = None,
+) -> str:
+    """DuckDB twin of ``operators.windows.with_gate_quantiles``: the non-ti
+    formation-gate thresholds as rolling type-6 window quantiles.  DuckDB's
+    ``list()`` window keeps NULLs; ``duck_q6_expr`` filters them, matching
+    the stream kernel's NaN-skipping."""
+    from ..operators.signals import GATE_QUANTILES
+
+    wanted = {
+        out: GATE_QUANTILES[out]
+        for out in (names if names is not None else GATE_QUANTILES)
+        if out != "ti_p95_prior"
+    }
+    cols = ",\n        ".join(
+        f"{duck_q6_expr(f'list({src}) OVER gw', p)} AS {out}"
+        for out, (src, p) in wanted.items()
+    )
+    return f"""{name} AS (
+    SELECT *,
+        {cols}
+    FROM {in_relation}
+    WINDOW gw AS (PARTITION BY symbol ORDER BY rn
+                  ROWS BETWEEN {rolling} PRECEDING AND 1 PRECEDING)
+)"""

@@ -16,30 +16,16 @@ from ..operators.sweep import SIGNALSET_LOOKBACK, SweepConfig
 from . import fragments as frag
 from .barrier_oracle import barrier_metrics_select, fwd_cte, trades_chain_ctes
 
-_FORMATION_PREDS = {
-    "2down": "dir_1 = 0 AND direction = 0",
-    "3down": "dir_2 = 0 AND dir_1 = 0 AND direction = 0",
-    "udd": "dir_2 = 1 AND dir_1 = 0 AND direction = 0",
-    "dud": "dir_2 = 0 AND dir_1 = 1 AND direction = 0",
-    "wl1d": (
-        "direction = 0 AND opposite_wick_pct IS NOT NULL"
-        " AND opposite_wick_pct < 0.001"
-    ),
-    "wl2d": (
-        "dir_1 = 0 AND direction = 0"
-        " AND opposite_wick_pct IS NOT NULL AND opposite_wick_pct < 0.001"
-        " AND wick_1 IS NOT NULL AND wick_1 < 0.001"
-    ),
-}
+from ..operators.signals import FORMATIONS, base_eligibility_sql
 
 
 def _base_where(formation: str, warmup: int, f1: str, f2: str) -> str:
+    """Per-config candidate WHERE: the formation's own pattern ∧ gate
+    (signals.FORMATIONS — wl* formations carry no ti/kyle gate, matching
+    the reference templates) plus the shared warmup/entry/feature checks."""
     return (
-        f"{_FORMATION_PREDS[formation]}"
-        " AND trade_intensity > ti_p95_prior AND kyle_lambda_proxy > 0"
-        " AND ti_p95_prior IS NOT NULL AND ti_p95_prior > 0"
-        f" AND bar_count > {warmup}"
-        " AND entry_price IS NOT NULL AND entry_price > 0"
+        f"{FORMATIONS[formation].signal_sql()}"
+        f" AND {base_eligibility_sql(warmup)}"
         f" AND {f1} IS NOT NULL AND {f2} IS NOT NULL"
     )
 

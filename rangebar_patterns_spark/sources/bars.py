@@ -145,7 +145,10 @@ def bars_from_events(spark_or_df, sf_dir: str | None = None) -> DataFrame:
         )
 
     # intra_* features with NULL bands (FIXTURES.md: 10-35% NULLs to
-    # exercise NULL-skipping quantile semantics)
+    # exercise NULL-skipping quantile semantics).  intra_mdd / intra_mru
+    # (intra-bar max drawdown / max run-up) feed the exhaustion-formation
+    # gates (reference gen600_exh_l_template.sql:75-95: intra_max_drawdown
+    # vs its rolling p75; gen600_exh_s_template.sql twin on max run-up).
     df = (
         df.withColumn(
             "intra_hurst",
@@ -157,6 +160,18 @@ def bars_from_events(spark_or_df, sf_dir: str | None = None) -> DataFrame:
             "intra_permutation_entropy",
             F.when(F.col("u10") < 0.15, F.lit(None).cast("double")).otherwise(
                 F.col("u7") + 0.5
+            ),
+        )
+        .withColumn(
+            "intra_mdd",
+            F.when(F.col("u5") < 0.2, F.lit(None).cast("double")).otherwise(
+                F.col("u8") * 0.05
+            ),
+        )
+        .withColumn(
+            "intra_mru",
+            F.when(F.col("u4") < 0.2, F.lit(None).cast("double")).otherwise(
+                F.col("u7") * 0.05
             ),
         )
     )
@@ -222,7 +237,9 @@ base_bars3 AS (
         u2 * 100.0 + 1.0 AS volume_per_trade,
         u3 * 50.0 + 1.0 AS aggregation_density,
         CASE WHEN u9 < 0.25 THEN NULL ELSE u6 * 0.5 + 0.25 END AS intra_hurst,
-        CASE WHEN u10 < 0.15 THEN NULL ELSE u7 + 0.5 END AS intra_permutation_entropy
+        CASE WHEN u10 < 0.15 THEN NULL ELSE u7 + 0.5 END AS intra_permutation_entropy,
+        CASE WHEN u5 < 0.2 THEN NULL ELSE u8 * 0.05 END AS intra_mdd,
+        CASE WHEN u4 < 0.2 THEN NULL ELSE u7 * 0.05 END AS intra_mru
     FROM base_bars2
 ),
 bars AS (
@@ -231,7 +248,7 @@ bars AS (
         trade_intensity, kyle_lambda_proxy, ofi, aggression_ratio,
         turnover_imbalance, price_impact, vwap_close_deviation,
         volume_per_trade, aggregation_density, intra_hurst,
-        intra_permutation_entropy,
+        intra_permutation_entropy, intra_mdd, intra_mru,
         {lookback}
     FROM base_bars3
     WINDOW lbw AS (PARTITION BY symbol ORDER BY rn ROWS BETWEEN {lb} PRECEDING AND 1 PRECEDING)
@@ -265,6 +282,8 @@ BAR_COLUMNS = [
     "aggregation_density",
     "intra_hurst",
     "intra_permutation_entropy",
+    "intra_mdd",
+    "intra_mru",
     "lookback_ofi",
     "lookback_trade_intensity",
 ]

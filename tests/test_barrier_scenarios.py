@@ -92,3 +92,177 @@ def test_tp_before_sl_by_bar_order(spark):
     ] + flat(5)
     (t,) = run_case(spark, fwd)
     assert (t.exit_type, t.exit_bar) == ("TP", 2)
+
+
+def run_case_short(spark, fwd_bars, cfg=CFG):
+    """SHORT twin of run_case: same bar layout, side='short'.
+    With entry=100, bar_range=0.01: TP 97.5 (below), wide SL 105 (above),
+    tight SL 101, phase1_bars=5, max_bars=10."""
+    rows = [(1, 100.0, 100.0, 100.0, 100.0), (2, 100.0, 100.0, 100.0, 100.0)]
+    rows += [(i + 3, o, h, lo, c) for i, (o, h, lo, c) in enumerate(fwd_bars)]
+    df = spark.createDataFrame(
+        [("T", rn, float(o), float(h), float(lo), float(c), 1000, rn * 1000) for rn, o, h, lo, c in rows],
+        "symbol string, rn long, open double, high double, low double, "
+        "close double, threshold_decimal_bps int, close_time_ms long",
+    )
+    feat = with_entry_and_forward(df, cap=cfg.max_bars)
+    signals = feat.filter(F.col("rn") == 1).withColumn("side", F.lit("short"))
+    trades = simulate_barriers(signals, grid_to_spark(spark, [cfg]))
+    return trades.collect()
+
+
+def test_short_tp_hit(spark):
+    # low 97.0 <= TP 97.5 on forward bar 4 -> TP at exactly 97.5
+    fwd = flat(3) + [(100.0, 100.0, 97.0, 100.0)] + flat(6)
+    (t,) = run_case_short(spark, fwd)
+    assert (t.exit_type, t.exit_bar) == ("TP", 4)
+    assert t.exit_price == pytest.approx(97.5)
+    assert t.return_pct == pytest.approx(0.025)
+
+
+def test_short_sl_gap_up_ap13(spark):
+    # gap-up against the short: opens at 106 above SL 105 -> fills at the
+    # WORSE price (the open), mirror of the long gap-down rule
+    fwd = flat(2) + [(106.0, 107.0, 105.5, 106.0)] + flat(7)
+    (t,) = run_case_short(spark, fwd)
+    assert (t.exit_type, t.exit_bar, t.exit_price) == ("SL", 3, 106.0)
+    assert t.return_pct == pytest.approx(-0.06)
+
+
+def test_short_same_bar_tie_sl_wins_ap12(spark):
+    # bar 2 touches both TP (low 97) and SL (high 105) -> SL wins
+    fwd = flat(1) + [(100.0, 105.0, 97.0, 100.0)] + flat(8)
+    (t,) = run_case_short(spark, fwd)
+    assert (t.exit_type, t.exit_bar) == ("SL", 2)
+    assert t.exit_price == pytest.approx(105.0)
+
+
+def test_short_phase2_tight_sl(spark):
+    # phase 1 (bar 4): high 101.4 breaches tight 101 but not wide 105 ->
+    # no exit; phase 2 (bar 7): high 101.5 breaches tight -> SL@101
+    fwd = flat(3) + [(100.0, 101.4, 100.0, 100.0)] + flat(2) + [
+        (100.0, 101.5, 100.0, 100.0)
+    ] + flat(3)
+    (t,) = run_case_short(spark, fwd)
+    assert (t.exit_type, t.exit_bar) == ("SL", 7)
+    assert t.exit_price == pytest.approx(101.0)
+
+
+def test_short_time_exit_negative_return(spark):
+    fwd = flat(9) + [(100.0, 100.6, 100.0, 100.5)]
+    (t,) = run_case_short(spark, fwd)
+    assert (t.exit_type, t.exit_bar, t.exit_price) == ("TIME", 10, 100.5)
+    assert t.return_pct == pytest.approx(-0.005)
+
+
+def test_mixed_sides_one_pass(spark):
+    """LONG and SHORT signals flow through ONE simulate_barriers call with
+    per-row geometry (the gen720 engine runs both sides in one sweep)."""
+    rows = [(1, 100.0, 100.0, 100.0, 100.0), (2, 100.0, 100.0, 100.0, 100.0)]
+    rows += [(i + 3, 100.0, 106.0, 94.0, 100.0) for i in range(CFG.max_bars)]
+    df = spark.createDataFrame(
+        [("T", rn, float(o), float(h), float(lo), float(c), 1000, rn * 1000) for rn, o, h, lo, c in rows],
+        "symbol string, rn long, open double, high double, low double, "
+        "close double, threshold_decimal_bps int, close_time_ms long",
+    )
+    feat = with_entry_and_forward(df, cap=CFG.max_bars)
+    sig = feat.filter(F.col("rn") == 1)
+    both = sig.withColumn("side", F.lit("long")).unionByName(
+        sig.withColumn("side", F.lit("short"))
+    )
+    trades = simulate_barriers(both, grid_to_spark(spark, [CFG]), id_cols=("side",))
+    by_side = {t.side: t for t in trades.collect()}
+    # bar 1 touches TP and SL on both sides -> SL wins both, at each side's
+    # own SL price
+    assert by_side["long"].exit_price == pytest.approx(95.0)
+    assert by_side["short"].exit_price == pytest.approx(105.0)
+
+
+# --- gen201/gen202 trailing-stop scenarios -------------------------------
+
+from rangebar_patterns_spark.config import TrailingConfig, trailing_grid_to_spark
+from rangebar_patterns_spark.operators.barriers import simulate_trailing_barriers
+
+# entry=100, bar_range=0.01 (1000 dbps): TP 110, trail_pct 5% — initial
+# trailing SL 95, ratchets to running_max * 0.95
+TCFG = TrailingConfig(tp_mult=10.0, trail_mult=5.0, max_bars=10)
+
+
+def run_case_trailing(spark, fwd_bars, cfg=TCFG):
+    rows = [(1, 100.0, 100.0, 100.0, 100.0), (2, 100.0, 100.0, 100.0, 100.0)]
+    rows += [(i + 3, o, h, lo, c) for i, (o, h, lo, c) in enumerate(fwd_bars)]
+    df = spark.createDataFrame(
+        [("T", rn, float(o), float(h), float(lo), float(c), 1000, rn * 1000) for rn, o, h, lo, c in rows],
+        "symbol string, rn long, open double, high double, low double, "
+        "close double, threshold_decimal_bps int, close_time_ms long",
+    )
+    feat = with_entry_and_forward(df, cap=cfg.max_bars)
+    signals = feat.filter(F.col("rn") == 1)
+    return simulate_trailing_barriers(
+        signals, trailing_grid_to_spark(spark, [cfg])
+    ).collect()
+
+
+def test_trailing_ratchet_up_then_stop(spark):
+    # bar 1 runs to 106 -> trailing SL ratchets to 106*0.95 = 100.7 (the
+    # ratchet uses the CURRENT bar's high; its own low 104.9 stays above);
+    # bar 3 low 100.5 <= 100.7 -> TRAIL exit at 100.7 (a PROFITABLE stop,
+    # impossible under a fixed SL)
+    fwd = [(100.0, 106.0, 104.9, 105.0), (105.0, 106.0, 101.0, 105.0),
+           (105.0, 105.0, 100.5, 101.0)] + flat(7)
+    (t,) = run_case_trailing(spark, fwd)
+    assert (t.exit_type, t.exit_bar) == ("TRAIL", 3)
+    assert t.exit_price == pytest.approx(106.0 * 0.95)
+    assert t.return_pct > 0
+
+
+def test_trailing_same_bar_spike_stops_out(spark):
+    # the ratchet includes bar i's own high BEFORE checking bar i's low
+    # (gen201:150-152 arrayMap over arraySlice(1, i)): a single bar spiking
+    # to 106 with a 100 low sets the stop to 100.7 and breaches it same-bar;
+    # the open (100) is below the stop -> gap-rule fill at the open
+    fwd = [(100.0, 106.0, 100.0, 105.0)] + flat(9, 105.0)
+    (t,) = run_case_trailing(spark, fwd)
+    assert (t.exit_type, t.exit_bar, t.exit_price) == ("TRAIL", 1, 100.0)
+
+
+def test_trailing_initial_stop_no_ratchet(spark):
+    # no new high: running max stays entry=100, SL 95; bar 2 low 94.5 -> 95
+    fwd = flat(1) + [(100.0, 100.0, 94.5, 95.0)] + flat(8)
+    (t,) = run_case_trailing(spark, fwd)
+    assert (t.exit_type, t.exit_bar, t.exit_price) == ("TRAIL", 2, 95.0)
+
+
+def test_trailing_gap_down_fills_at_open(spark):
+    # bar 2 opens at 93 below the 95 stop -> fills at the open
+    fwd = flat(1) + [(93.0, 94.0, 92.0, 93.0)] + flat(8)
+    (t,) = run_case_trailing(spark, fwd)
+    assert (t.exit_type, t.exit_bar, t.exit_price) == ("TRAIL", 2, 93.0)
+
+
+def test_trailing_same_bar_tie_trail_wins(spark):
+    # bar 1 touches TP 110 AND (via its own high ratchet) the trailing
+    # stop: high 112 -> SL ratchets to 106.4, low 106 <= 106.4 -> both
+    # barriers in bar 1 -> TRAIL wins (gen201 tie rule); open 107 above
+    # the stop -> fills at the stop price
+    fwd = [(107.0, 112.0, 106.0, 107.0)] + flat(9, 107.0)
+    (t,) = run_case_trailing(spark, fwd)
+    assert (t.exit_type, t.exit_bar) == ("TRAIL", 1)
+    assert t.exit_price == pytest.approx(112.0 * 0.95)
+
+
+def test_trailing_tp_exact_fill(spark):
+    # clean TP: bar 2 high 111 >= 110 with lows above even the ratcheted
+    # stop (111*0.95 = 105.45 < low 110)
+    fwd = [(100.0, 105.0, 104.0, 105.0), (105.0, 111.0, 110.0, 110.0)] + flat(8, 110.0)
+    (t,) = run_case_trailing(spark, fwd)
+    assert (t.exit_type, t.exit_bar) == ("TP", 2)
+    # fills exactly at tp_price = 100*(1 + 10*0.01) (float product, 110+1ulp)
+    assert t.exit_price == pytest.approx(110.0)
+
+
+def test_trailing_time_exit(spark):
+    fwd = [(100.0, 100.5, 99.9, 100.2)] * 10
+    (t,) = run_case_trailing(spark, fwd)
+    assert (t.exit_type, t.exit_bar) == ("TIME", 10)
+    assert t.exit_price == pytest.approx(100.2)

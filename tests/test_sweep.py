@@ -59,3 +59,57 @@ def test_sweep_scan_count_independent_of_config_count(spark):
     # materialization) — what must never happen is scans scaling with the
     # config grid, asserted above
     assert ns > 0
+
+
+def test_feature_quantile_trap_partner_nulls(spark):
+    """Regression for the Feature Quantile Trap: two configs sharing
+    (formation, feature1, q1) but with different feature2 must get
+    feature1 thresholds computed over their OWN candidate sequence when
+    the partner feature has post-warmup NULLs (a NULL partner drops the
+    row from one config's candidate set but not the other's)."""
+    import numpy as np
+
+    from rangebar_patterns_spark.functions.series_quantile import (
+        excl_quantile_stream,
+    )
+    from rangebar_patterns_spark.operators.sweep import (
+        _CAND_COLUMNS,
+        with_signalset_quantiles,
+    )
+
+    # candidate stream for two configs: cfgA pairs f1 with "dense" (all
+    # rows survive), cfgB pairs f1 with "sparse" (every 3rd row dropped
+    # upstream by the non-NULL filter)
+    f1_vals = [float(((i * 37) % 101)) for i in range(60)]
+    rows = []
+    for i, v in enumerate(f1_vals):
+        rows.append(
+            ("cfgA", "form", "f1", 0.5, ">", "dense", 0.5, ">", "S", i + 1,
+             1000 + i, 250, 100.0, 1, v, 1.0)
+        )
+        if i % 3 != 0:
+            rows.append(
+                ("cfgB", "form", "f1", 0.5, ">", "sparse", 0.5, ">", "S", i + 1,
+                 1000 + i, 250, 100.0, 1, v, 1.0)
+            )
+    cand = spark.createDataFrame(
+        rows,
+        "config_id string, formation string, feature1 string, q1 double, "
+        "dir1 string, feature2 string, q2 double, dir2 string, symbol string, "
+        "rn long, close_time_ms long, threshold_decimal_bps int, "
+        "entry_price double, next_dir int, f1_val double, f2_val double",
+    ).select(*_CAND_COLUMNS)
+
+    out = with_signalset_quantiles(cand, lookback=10).toPandas()
+    for cfg, seq in [
+        ("cfgA", f1_vals),
+        ("cfgB", [v for i, v in enumerate(f1_vals) if i % 3 != 0]),
+    ]:
+        expected = excl_quantile_stream(np.array(seq), 0.5, 10)
+        got = (
+            out[out.config_id == cfg]
+            .sort_values("rn")["f1_thr"]
+            .to_numpy("float64", na_value=np.nan)
+        )
+        assert len(got) == len(expected), cfg
+        assert np.array_equal(got, expected, equal_nan=True), cfg
