@@ -466,7 +466,11 @@ from ..operators.sweep import (  # noqa: E402
     sweep_trades,
     with_signalset_quantiles,
 )
-from .sweep_oracle import sweep_funnel_oracle, sweep_metrics_oracle  # noqa: E402
+from .sweep_oracle import (  # noqa: E402
+    sweep_funnel_oracle,
+    sweep_funnel_oracle_bulk,
+    sweep_metrics_oracle,
+)
 
 #: features the demo sweep grid filters on (any bar column works)
 SWEEP_FEATURES = ["ofi", "price_impact", "turnover_imbalance", "aggression_ratio"]
@@ -512,13 +516,23 @@ WITH {BARS_DUCKDB_CTE},
 """
 
 
-@register("sweep_gen500_1008cfg")  # rows-only: same operator chain as the
-# oracle-checked 24-config sweep_funnel, at the reference's gen500 grid
-# scale (1,008 configs in ONE shared plan — BASELINE.md's headline
-# comparison: the reference needs 1,008 queries 16-way for this)
-def q_sweep_gen500(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sweep import gen500_grid
+from ..operators.sweep import gen500_grid  # noqa: E402
 
+_SWEEP_GEN500_ORACLE = f"""
+WITH {BARS_DUCKDB_CTE},
+{frag.feat_cte(rolling=SWEEP_ROLLING)},
+{sweep_funnel_oracle_bulk(gen500_grid(), WARMUP, SWEEP_FEATURES)}
+"""
+
+
+@register("sweep_gen500_1008cfg", _SWEEP_GEN500_ORACLE)
+# the reference's gen500 grid scale: 1,008 configs in ONE shared plan —
+# BASELINE.md's headline comparison (the reference needs 1,008 queries
+# 16-way for this).  The oracle is the bulk shared-threshold DuckDB twin
+# (sweep_oracle.sweep_funnel_oracle_bulk) — the faithful per-config
+# template expansion is O(configs) window passes and needs >10 min at
+# this grid size; the 24-config sweep_funnel keeps exercising it.
+def q_sweep_gen500(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = with_bar_features(_bars(spark, sf_dir), rolling_window=SWEEP_ROLLING)
     cand = sweep_candidates(
         feat, sweep_grid_to_spark(spark, gen500_grid()), SWEEP_FEATURES, WARMUP

@@ -115,3 +115,111 @@ def sweep_metrics_oracle(
 
 # re-export for catalog composition
 FEAT_CTE_SWEEP = frag.feat_cte  # rolling feat twin builder
+
+
+def sweep_funnel_oracle_bulk(
+    grid: list[SweepConfig], warmup: int, features: list[str]
+) -> str:
+    """Grid-scale funnel oracle (the gen500 1,008-config workload).
+
+    The per-config template expansion above is the faithful reference
+    shape but O(configs) window passes — DuckDB needs >10 min at 1,008
+    configs.  This variant keeps the arithmetic identical while exploiting
+    the same structural fact the engine's threshold dedup uses: configs
+    sharing (formation, ordered feature pair) share a candidate sequence,
+    so each rolling threshold series is computed ONCE per
+    (formation, feature, partner, symbol) and every requested quantile is
+    a projection over the same window list.  Still an independent DuckDB
+    implementation (window lists + CASE feature map vs Spark's Arrow
+    stream kernel + map lookup); values are bit-identical.
+    """
+    formations = sorted({c.formation for c in grid})
+    qs = sorted({q for c in grid for q in (c.q1, c.q2)})
+    win = (
+        "PARTITION BY formation, feature, partner, symbol ORDER BY rn "
+        f"ROWS BETWEEN {SIGNALSET_LOOKBACK} PRECEDING AND 1 PRECEDING"
+    )
+
+    grid_rows = ",\n        ".join(
+        f"('{c.config_id}', '{c.formation}', '{c.feature1}', CAST({c.q1!r} AS DOUBLE), "
+        f"'{c.dir1}', '{c.feature2}', CAST({c.q2!r} AS DOUBLE), '{c.dir2}')"
+        for c in grid
+    )
+    fmap1 = " ".join(f"WHEN '{f}' THEN {f}" for f in features)
+    cand0 = "\n    UNION ALL\n    ".join(
+        f"SELECT '{name}' AS formation, * FROM feat"
+        f" WHERE {FORMATIONS[name].signal_sql()} AND {base_eligibility_sql(warmup)}"
+        for name in formations
+    )
+    thr_cols = ",\n        ".join(
+        f"{duck_q6_expr(f'list(val) OVER ({win})', q)} AS thr_{int(q * 100):02d}"
+        for q in qs
+    )
+    pick1 = " ".join(
+        f"WHEN {q!r} THEN t1.thr_{int(q * 100):02d}" for q in qs
+    )
+    pick2 = " ".join(
+        f"WHEN {q!r} THEN t2.thr_{int(q * 100):02d}" for q in qs
+    )
+    return f"""sweep_grid AS (
+    SELECT * FROM (VALUES
+        {grid_rows}
+    ) AS t(config_id, formation, feature1, q1, dir1, feature2, q2, dir2)
+),
+cand0 AS (
+    {cand0}
+),
+candc AS (
+    SELECT g.config_id, g.formation, g.feature1, g.q1, g.dir1,
+        g.feature2, g.q2, g.dir2,
+        c.symbol, c.rn, c.close_time_ms, c.threshold_decimal_bps,
+        c.entry_price, c.next_dir,
+        CASE g.feature1 {fmap1} END AS f1_val,
+        CASE g.feature2 {fmap1} END AS f2_val
+    FROM cand0 c JOIN sweep_grid g ON g.formation = c.formation
+),
+candn AS (
+    SELECT * FROM candc WHERE f1_val IS NOT NULL AND f2_val IS NOT NULL
+),
+thrin AS (
+    SELECT DISTINCT formation, feature1 AS feature, feature2 AS partner,
+        symbol, rn, f1_val AS val
+    FROM candn
+    UNION
+    SELECT DISTINCT formation, feature2, feature1, symbol, rn, f2_val
+    FROM candn
+),
+thr AS (
+    SELECT formation, feature, partner, symbol, rn,
+        {thr_cols}
+    FROM thrin
+),
+candp AS (
+    SELECT c.*,
+        CASE c.q1 {pick1} END AS f1_thr,
+        CASE c.q2 {pick2} END AS f2_thr,
+        (CASE c.q1 {pick1} END IS NOT NULL
+         AND CASE c.q2 {pick2} END IS NOT NULL
+         AND CASE WHEN c.dir1 = '>' THEN c.f1_val > CASE c.q1 {pick1} END
+                  ELSE c.f1_val < CASE c.q1 {pick1} END END
+         AND CASE WHEN c.dir2 = '>' THEN c.f2_val > CASE c.q2 {pick2} END
+                  ELSE c.f2_val < CASE c.q2 {pick2} END END) AS passed
+    FROM candn c
+    JOIN thr t1 ON t1.formation = c.formation AND t1.feature = c.feature1
+        AND t1.partner = c.feature2 AND t1.symbol = c.symbol AND t1.rn = c.rn
+    JOIN thr t2 ON t2.formation = c.formation AND t2.feature = c.feature2
+        AND t2.partner = c.feature1 AND t2.symbol = c.symbol AND t2.rn = c.rn
+)
+SELECT config_id, symbol,
+    count(*) AS n_candidates,
+    CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_signals,
+    CAST(sum(CASE WHEN passed AND next_dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+    sum(CASE WHEN passed AND next_dir = 1 THEN 1 ELSE 0 END)
+        / nullif(CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS DOUBLE), 0.0) AS hit_rate,
+    sum(CASE WHEN passed AND next_dir = 1 THEN 1 ELSE 0 END)
+        / nullif(CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS DOUBLE), 0.0) - 0.5 AS edge_pct,
+    (sum(CASE WHEN passed AND next_dir = 1 THEN 1 ELSE 0 END)
+        / nullif(CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS DOUBLE), 0.0) - 0.5)
+        / sqrt(0.25 / nullif(CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS DOUBLE), 0.0)) AS z_score
+FROM candp
+GROUP BY config_id, symbol"""
