@@ -695,13 +695,49 @@ _SPEARMAN_ORACLE = (
 )
 
 
-@register("hmm_regime_labels")  # rows-only: EM is the documented
-# non-SQL-expressible case (COVERAGE.md E24); deterministic unit contract
-# in tests/test_hmm.py
+from .hmm_fixture import SEGMENTS_BY_NBARS  # noqa: E402
+
+
+def _hmm_oracle() -> str:
+    """E24 fixture oracle (reference scripts/regime_hmm.py): the EM fit is
+    the documented non-SQL-expressible case, so the DuckDB twin recomputes
+    the feature column independently from the bars CTE and joins the
+    regime labels from a pinned run-length-encoded fixture (regenerate via
+    tools/gen_hmm_fixture.py when the algorithm intentionally changes).
+    Pinned at both correctness-gate scales (sf0.001 local pytest, sf0.01
+    driver); the fixture self-selects on total bar count.  The fit itself
+    is determinism-pinned in tests/test_hmm.py."""
+    blocks = []
+    for nbars, segs in SEGMENTS_BY_NBARS.items():
+        vals = ",\n    ".join(
+            f"('{s}', {lo}, {hi}, {r})" for s, lo, hi, r in segs
+        )
+        blocks.append(
+            f"SELECT * FROM (VALUES\n    {vals}) v(symbol, rn_lo, rn_hi, regime)\n"
+            f"WHERE (SELECT count(*) FROM bars) = {nbars}"
+        )
+    segs_union = "\nUNION ALL\n".join(blocks)
+    return f"""WITH {BARS_DUCKDB_CTE},
+segs AS (
+{segs_union}
+)
+SELECT b.symbol, b.rn, b.intra_hurst AS feature,
+       CAST(s.regime AS BIGINT) AS regime
+FROM bars b JOIN segs s
+  ON b.symbol = s.symbol AND b.rn BETWEEN s.rn_lo AND s.rn_hi"""
+
+
+@register("hmm_regime_labels", _hmm_oracle())
 def q_hmm_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.hmm import hmm_regimes
 
-    return hmm_regimes(_bars(spark, sf_dir))
+    out = hmm_regimes(_bars(spark, sf_dir))
+    # the operator passes NULL intra_hurst through numpy as NaN; map back
+    # to NULL so the feature column matches the oracle's bars CTE exactly
+    return out.withColumn(
+        "feature",
+        F.when(F.isnan("feature"), F.lit(None)).otherwise(F.col("feature")),
+    )
 
 
 from .laguerre_oracle import laguerre_select  # noqa: E402
