@@ -1119,3 +1119,113 @@ def q_rolling_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("low").over(w), 6).alias("min_low_1d"),
         F.round(F.max("high").over(w), 6).alias("max_high_1d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# gen05/gen110 cross-asset validation: per-symbol combo stats as one
+# grouped plan, plus the cross-series as-of confluence join shape
+# ---------------------------------------------------------------------------
+
+from ..operators.crossasset import (  # noqa: E402
+    CROSSASSET_COMBOS,
+    crossasset_confluence,
+    crossasset_validation,
+)
+
+
+def _xstat_sql(sig: str) -> str:
+    """DuckDB twin of crossasset._stat_block — identical arithmetic shape
+    to the gen111 champion oracle."""
+    cnt = f"sum(CASE WHEN {sig} THEN 1 ELSE 0 END)"
+    hits = f"sum(CASE WHEN ({sig}) AND next_dir = 1 THEN 1 ELSE 0 END)"
+    sc = f"nullif(CAST({cnt} AS DOUBLE), 0.0)"
+    return f"""count(*) AS total_bars,
+    CAST({cnt} AS BIGINT) AS signal_count,
+    CAST({hits} AS BIGINT) AS hits,
+    {hits} / {sc} AS hit_rate,
+    {hits} / {sc} - 0.5 AS edge_pct,
+    ({hits} / {sc} - 0.5) / sqrt(0.25 / {sc}) AS z_score"""
+
+
+_XA_CTE = f"""cx AS (
+    SELECT symbol, rn, close_time_ms,
+        trade_intensity AS ti, kyle_lambda_proxy AS kyle,
+        {frag.DIRECTION} AS direction,
+        CAST(year(epoch_ms(close_time_ms)) AS BIGINT) AS yr,
+        lag({frag.DIRECTION}, 1) OVER w AS dir_1,
+        lead({frag.DIRECTION}, 1) OVER w AS next_dir
+    FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY rn)
+)"""
+
+_XA_SIGS = {
+    CROSSASSET_COMBOS[0]: ("ti > p95f AND kyle > 0", "next_dir IS NOT NULL"),
+    CROSSASSET_COMBOS[1]: (
+        "dir_1 = 0 AND direction = 0 AND ti > p95y AND kyle > 0",
+        "dir_1 IS NOT NULL AND next_dir IS NOT NULL",
+    ),
+    CROSSASSET_COMBOS[2]: (
+        "dir_1 = 0 AND direction = 0 AND kyle > 0",
+        "dir_1 IS NOT NULL AND next_dir IS NOT NULL",
+    ),
+}
+
+_CROSSASSET_ORACLE = f"""
+WITH {BARS_DUCKDB_CTE},
+{_XA_CTE},
+p95f AS (SELECT symbol, {frag.duck_q6_expr("list(ti)", 0.95)} AS p95f
+         FROM cx GROUP BY symbol),
+p95y AS (SELECT symbol, yr, {frag.duck_q6_expr("list(ti)", 0.95)} AS p95y
+         FROM cx GROUP BY symbol, yr),
+cxj AS (
+    SELECT c.*, f.p95f, y.p95y
+    FROM cx c
+    JOIN p95f f ON c.symbol = f.symbol
+    JOIN p95y y ON c.symbol = y.symbol AND c.yr = y.yr
+)
+{chr(10).join(
+    ("UNION ALL " if i else "")
+    + f"SELECT symbol, '{name}' AS combo, " + _xstat_sql(sig)
+    + f" FROM cxj WHERE {pop} GROUP BY symbol"
+    for i, (name, (sig, pop)) in enumerate(_XA_SIGS.items())
+)}
+"""
+
+
+@register("crossasset_validation", _CROSSASSET_ORACLE)
+def q_crossasset_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gen05 + gen110 cross-asset combo validation, all symbols in one
+    grouped plan (reference sql/gen05_crossasset.sql,
+    sql/gen110_nla_crossasset.sql — one sed block per symbol there)."""
+    return crossasset_validation(_bars(spark, sf_dir))
+
+
+_XA_CONF_SIG = (
+    "dir_1 = 0 AND direction = 0 AND kyle > 0 AND ldir = 0 AND lkyle > 0"
+)
+
+_CONFLUENCE_ORACLE = f"""
+WITH {BARS_DUCKDB_CTE},
+{_XA_CTE},
+lead_sym AS (SELECT min(symbol) AS lsym FROM cx),
+lb AS (
+    SELECT close_time_ms, CAST(direction AS DOUBLE) AS ldir, kyle AS lkyle
+    FROM cx WHERE symbol = (SELECT lsym FROM lead_sym)
+),
+px AS (SELECT * FROM cx WHERE symbol <> (SELECT lsym FROM lead_sym)),
+pj AS (
+    SELECT p.symbol, p.direction, p.dir_1, p.next_dir, p.kyle,
+           b.ldir, b.lkyle
+    FROM px p ASOF LEFT JOIN lb b ON p.close_time_ms >= b.close_time_ms
+)
+SELECT symbol, {_xstat_sql(_XA_CONF_SIG)}
+FROM pj WHERE dir_1 IS NOT NULL AND next_dir IS NOT NULL
+GROUP BY symbol
+"""
+
+
+@register("crossasset_confluence", _CONFLUENCE_ORACLE)
+def q_crossasset_confluence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series as-of confluence: leader-symbol state at-or-before
+    each probe bar gates the 2-down pattern (the cross-symbol join shape
+    of the gen05/gen110 family; DuckDB-native ASOF twin)."""
+    return crossasset_confluence(_bars(spark, sf_dir))
