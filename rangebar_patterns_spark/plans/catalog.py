@@ -450,6 +450,26 @@ def q_barrier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return barrier_metrics(trades)
 
 
+_TIME_DECAY_ORACLE = f"""
+WITH {BARS_DUCKDB_CTE},
+{frag.feat_cte()},
+{barrier_pipeline_ctes(gen720_grid(), f"{frag.CHAMPION_SIGNAL} AND {frag.eligibility(WARMUP)}")}
+{BARRIER_METRICS_SELECT}
+"""
+
+
+@register("time_decay_metrics", _TIME_DECAY_ORACLE)
+def q_time_decay_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gen710 time-decay barrier family: per-config funnel aggregates over
+    the 2-segment SL grid (wide SL for bars 1..phase1_bars, tightened SL
+    after — sql/gen710_time_decay_template.sql:159-200 barrier_scan /
+    barrier_merged), champion signal as the base pattern.  The grid's
+    sl_tight × phase1_bars axes ARE the time-decay sweep; the simulator's
+    segment-merge reproduces the reference's seg1-priority semantics."""
+    trades = _trades_df(spark, sf_dir, gen720_grid(), champion_signal())
+    return barrier_metrics(trades)
+
+
 # ---------------------------------------------------------------------------
 # §7.1 step 5 — the sweep engine: configs-as-data replacing the reference's
 # 301K-file sed harness (generate.sh).  One shared scan + window stack
