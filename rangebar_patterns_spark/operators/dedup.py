@@ -89,10 +89,21 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_arrays(docs: DataFrame) -> DataFrame:
+def _shingle_arrays(docs: DataFrame, max_df: int | None = None) -> DataFrame:
     """(doc_id, sh_arr, n_sh): distinct shingles per doc, ordered
     rarest-first (global posting-list frequency asc, shingle asc) — the
-    PPJoin canonical order that makes prefix filtering maximally selective."""
+    PPJoin canonical order that makes prefix filtering maximally selective.
+
+    ``max_df`` is the hot-shingle guard (standard web-dedup stop-listing):
+    shingles whose document frequency exceeds it are dropped from the
+    representation entirely, so similarity is computed over the remaining
+    vocabulary.  At 100 TB this is what keeps one boilerplate shingle
+    (a license header, a template footer) from producing an O(N²) posting
+    list that serializes a single reducer: the candidate join's fan-out is
+    bounded by max_df² per shingle.  The trade-off is explicit and
+    intended — pairs whose ONLY overlap is stop-listed boilerplate no
+    longer count as near-duplicates.  None (default) disables the guard,
+    preserving exact-Jaccard parity with the uncapped oracle."""
     from pyspark.sql import Window
 
     # posting-list frequency via a window over the single exploded relation
@@ -101,6 +112,8 @@ def _shingle_arrays(docs: DataFrame) -> DataFrame:
     sh = _doc_shingles(docs).withColumn(
         "_f", F.count("*").over(Window.partitionBy("shingle"))
     )
+    if max_df is not None:
+        sh = sh.filter(F.col("_f") <= max_df)
     return (
         sh.groupBy("doc_id")
         .agg(
@@ -141,21 +154,12 @@ def _verify_jaccard(cand: DataFrame, arrs: DataFrame, threshold: float) -> DataF
     return out.filter(F.col("jaccard") >= threshold)
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    threshold: float = JACCARD_THRESHOLD,
-    arrs: DataFrame | None = None,
-) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard, PPJoin-style (Xiao et al.,
-    WWW'08): candidates only from *prefix* tokens (first
-    n − ⌈t·n⌉ + 1 in rare-first order) with the |B| ∈ [t·|A|, |A|/t]
-    length filter, then exact ``array_intersect`` verification.  Identical
-    output to the brute-force shingle self-join (the DuckDB twin), but the
-    join fans out on prefix postings only — at 100 TB this is the
-    difference between posting-list blowup on hot shingles and a bounded
-    candidate set."""
-    if arrs is None:
-        arrs = _shingle_arrays(docs)
+def ngram_candidates(arrs: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin candidate generation: (doc_a, doc_b) pairs sharing at least
+    one *prefix* shingle (first n − ⌈t·n⌉ + 1 in rare-first order), with
+    the |B| ∈ [t·|A|, |A|/t] length filter.  Exposed separately so the
+    candidate-set size itself is testable (the scale-critical quantity —
+    see tests/test_dedup_guard.py)."""
     p_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("long") + F.lit(1)
     pref = arrs.select(
         "doc_id",
@@ -163,7 +167,7 @@ def ngram_jaccard_pairs(
         F.explode(F.slice(F.col("sh_arr"), F.lit(1), p_len.cast("int"))).alias("shingle"),
     )
     a, b = pref.alias("a"), pref.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -174,6 +178,28 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    arrs: DataFrame | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard, PPJoin-style (Xiao et al.,
+    WWW'08): candidates only from *prefix* tokens with the length filter,
+    then exact ``array_intersect`` verification.  Identical output to the
+    brute-force shingle self-join (the DuckDB twin), but the join fans out
+    on prefix postings only — at 100 TB this is the difference between
+    posting-list blowup on hot shingles and a bounded candidate set.
+
+    ``max_df`` stop-lists shingles with document frequency above the cap
+    before ANY of this runs (see ``_shingle_arrays``) — the guard against
+    the one failure mode prefix filtering alone can't bound: short docs
+    whose prefixes are dominated by a corpus-wide boilerplate shingle."""
+    if arrs is None:
+        arrs = _shingle_arrays(docs, max_df=max_df)
+    cand = ngram_candidates(arrs, threshold)
     return _verify_jaccard(cand, arrs, threshold).select(
         "doc_a", "doc_b", "inter", "jaccard"
     )

@@ -69,6 +69,32 @@ SELECT doc_a, doc_b, inter, jaccard FROM shjac WHERE jaccard >= {JACCARD_THRESHO
 """
 
 
+def ngram_jaccard_capped_sql(max_df: int, threshold: float = JACCARD_THRESHOLD) -> str:
+    """Twin of ``ngram_jaccard_pairs(..., max_df=...)``: document-frequency
+    stop-listing applied to the shingle relation before sizes/intersections,
+    so Jaccard is computed over the capped vocabulary on both engines."""
+    capped = _SHINGLE_REL.replace(
+        "docsh AS (",
+        "docsh0 AS (",
+        1,
+    ).replace(
+        "shsizes AS (",
+        f"""dfreq AS (
+    SELECT shingle, count(*) AS df FROM docsh0 GROUP BY shingle
+),
+docsh AS (
+    SELECT d.doc_id, d.shingle FROM docsh0 d
+    JOIN dfreq f ON d.shingle = f.shingle WHERE f.df <= {max_df}
+),
+shsizes AS (""",
+        1,
+    )
+    return f"""
+WITH {capped}
+SELECT doc_a, doc_b, inter, jaccard FROM shjac WHERE jaccard >= {threshold!r}
+"""
+
+
 def _minhash_sql() -> str:
     rows = MINHASH_SEEDS // MINHASH_BANDS
     mh_cols = ",\n        ".join(

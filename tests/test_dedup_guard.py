@@ -1,0 +1,71 @@
+"""Hot-shingle guard (max_df stop-listing) for n-gram Jaccard dedup.
+
+The skewed fixture is the 100 TB failure mode in miniature: every doc
+shares one boilerplate phrase, so the uncapped prefix join degenerates to
+all-pairs on that shingle's posting list (the serialized-reducer
+scenario).  The guard must (a) bound the candidate set and (b) keep the
+capped result in exact agreement with a DuckDB twin applying the same
+document-frequency cut.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from conftest import compare_frames
+
+from rangebar_patterns_spark.operators.dedup import (
+    _shingle_arrays,
+    ngram_candidates,
+    ngram_jaccard_pairs,
+)
+from rangebar_patterns_spark.plans.textops_oracle import ngram_jaccard_capped_sql
+
+N_DOCS = 40
+THRESHOLD = 0.5
+MAX_DF = 10
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    # "h1..h5" yields 3 hot shingles (df = N_DOCS); the unique tail word
+    # yields 1 rare shingle per doc.  Prefix length at t=0.5 over 4
+    # shingles is 3, so the hot shingles DO enter the prefix join.
+    rows = [(i, f"h1 h2 h3 h4 h5 u{i}") for i in range(N_DOCS)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_uncapped_posting_list_degenerates(spark, skewed_docs):
+    cand = ngram_candidates(_shingle_arrays(skewed_docs), THRESHOLD)
+    assert cand.count() == N_DOCS * (N_DOCS - 1) // 2  # all-pairs blowup
+
+
+def test_capped_candidates_bounded(spark, skewed_docs):
+    arrs = _shingle_arrays(skewed_docs, max_df=MAX_DF)
+    # hot shingles dropped -> each doc keeps only its unique shingle
+    assert ngram_candidates(arrs, THRESHOLD).count() == 0
+    # guard boundary: a cap at exactly df keeps the shingles
+    arrs_loose = _shingle_arrays(skewed_docs, max_df=N_DOCS)
+    assert ngram_candidates(arrs_loose, THRESHOLD).count() == N_DOCS * (N_DOCS - 1) // 2
+
+
+def test_capped_matches_duckdb_twin(spark, skewed_docs):
+    # mixed corpus: boilerplate + genuinely near-duplicate pairs that
+    # survive the cap through their rare shingles
+    rows = [(i, f"h1 h2 h3 h4 h5 u{i}") for i in range(20)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta"),
+        (101, "alpha beta gamma delta epsilon eta"),
+        (102, "totally different words here indeed"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sp = ngram_jaccard_pairs(docs, THRESHOLD, max_df=MAX_DF)
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    du = con.execute(ngram_jaccard_capped_sql(MAX_DF, THRESHOLD)).df()
+    compare_frames(sp, du)
+    # the near-dup pair must survive the cap (its overlap is rare shingles)
+    got = {(r["doc_a"], r["doc_b"]) for r in sp.collect()}
+    assert (100, 101) in got
