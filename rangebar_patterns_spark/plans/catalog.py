@@ -929,6 +929,21 @@ def q_mbb_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WF.mbb_bootstrap_ci(_champion_trades(spark, sf_dir))
 
 
+@register(
+    "wf_fold_objectives",
+    f"{_WF_BASE},\n{WO.wf_objectives_ctes()}\n{WO.wf_objectives_select()}",
+)
+def q_wf_fold_objectives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23 Stage-4 input: the per-fold stability matrix (omega, rachev,
+    total_return; distributional metrics only) — reference
+    build_stability_matrix (eval/walk_forward.py:713-767).  The Vorob'ev
+    expectation/deviation over this matrix is driver-side exact geometry
+    (operators/stability.py, unit-tested), as in the reference."""
+    from ..operators.stability import fold_objectives
+
+    return fold_objectives(_champion_trades(spark, sf_dir))
+
+
 _GT_ORACLE = (
     f"{_TRADES_BASE},\n{EO.MSUMS_CTE},\n{EO.TAIL_CTES},\n{WO.TN_CTE},\n"
     f"{WO.wf_fold_ctes()},\n{WO.cpcv_ctes()}"

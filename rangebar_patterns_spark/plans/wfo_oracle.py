@@ -273,3 +273,55 @@ JOIN dsrout d ON t.symbol = d.symbol AND t.barrier_id = d.barrier_id
 JOIN gtm w ON t.symbol = w.symbol AND t.barrier_id = w.barrier_id
 JOIN (SELECT symbol, pbo FROM ({CPCV_PBO_SELECT.strip()}) ) p ON t.symbol = p.symbol
 """
+
+
+def wf_objectives_ctes(k: int = N_FOLDS) -> str:
+    """Twin of ``stability.fold_objectives``: test-block-only per-fold
+    (omega, rachev, total_return) — the E23 stability matrix input
+    (reference build_stability_matrix, walk_forward.py:713-767)."""
+    from ..operators.eval_metrics import MIN_TRADES_RACHEV, RACHEV_ALPHA
+
+    tot = _FOLD.format(arr="list(return_pct ORDER BY tn)")
+    return f"""wobj_f AS (
+    SELECT t.*, f.fold, CAST(floor(n_total / {k}) AS INT) AS tsz
+    FROM wft t, (SELECT unnest(generate_series(0, {k - 1})) AS fold) f
+),
+wobj_t AS (
+    SELECT * FROM wobj_f
+    WHERE tn > fold * tsz
+      AND tn <= CASE WHEN fold = {k - 1} THEN n_total ELSE (fold + 1) * tsz END
+),
+wobj_a AS (
+    SELECT symbol, barrier_id, fold,
+        count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+        list(return_pct ORDER BY return_pct) AS rs,
+        {tot} AS tot
+    FROM wobj_t GROUP BY symbol, barrier_id, fold
+),
+wobj_k AS (
+    SELECT *, greatest(1, CAST(floor(nd * {RACHEV_ALPHA!r}) AS INT)) AS k_tail
+    FROM wobj_a
+),
+wobj_x AS (
+    SELECT symbol, barrier_id, fold, n, tot,
+        {_omega_sql("rs")} AS omega_raw,
+        list_aggregate(list_slice(list_reverse(rs), 1, k_tail), 'sum')
+            / CAST(k_tail AS DOUBLE) AS cvar_up,
+        abs(list_aggregate(list_slice(rs, 1, k_tail), 'sum')
+            / CAST(k_tail AS DOUBLE)) AS cvar_lo_abs
+    FROM wobj_k
+)"""
+
+
+def wf_objectives_select() -> str:
+    from ..operators.eval_metrics import MIN_TRADES_RACHEV
+
+    return f"""
+SELECT symbol, barrier_id, fold, CAST(n AS BIGINT) AS test_n,
+    round(omega_raw, 6) AS omega,
+    round(CASE WHEN n < {MIN_TRADES_RACHEV} THEN NULL
+               WHEN cvar_lo_abs < 1e-12 THEN NULL
+               ELSE least(cvar_up / cvar_lo_abs, 10.0) END, 6) AS rachev_ratio,
+    round(tot, 6) AS total_return
+FROM wobj_x
+"""
