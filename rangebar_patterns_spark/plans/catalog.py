@@ -693,6 +693,39 @@ def q_eval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EM.ranking_survivors(m, ["omega", "cdar_inv"], top_pct=0.5)
 
 
+from ..operators.cutoff_search import grid_candidates  # noqa: E402
+
+_CUTOFF_METRICS = ["omega", "cdar_inv"]
+
+_CUTOFF_GRID_ORACLE = (
+    f"{_TRADES_BASE},\n{EO.TAIL_CTES}"
+    + EO.cutoff_grid_select(
+        {"omega": "omega_raw", "cdar_inv": "-cdar_raw"},
+        grid_candidates(len(_CUTOFF_METRICS)),
+        "tfinal",
+    )
+)
+
+
+@register("cutoff_grid_search", _CUTOFF_GRID_ORACLE)
+def q_cutoff_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E29 cutoff optimization (reference scripts/rank_optimize.py): the
+    deterministic structured grid scored in one plan — survivors, mean
+    survivor quality, mean cutoff, and the survivors/mean-cutoff
+    objective per candidate vector.  The evolutionary refinement loop
+    (operators/cutoff_search.evolve_cutoffs) drives this same evaluator
+    per generation and is unit-tested for bit-determinism."""
+    from ..operators.cutoff_search import evaluate_cutoffs
+
+    tail = _eval_layer(spark, sf_dir, "tail")
+    m = tail.withColumn("omega", F.col("_omega_raw")).withColumn(
+        "cdar_inv", -F.col("_cdar_raw")
+    )
+    return evaluate_cutoffs(
+        m, _CUTOFF_METRICS, grid_candidates(len(_CUTOFF_METRICS))
+    )
+
+
 from ..operators import synthesis as SY  # noqa: E402
 from . import synthesis_oracle as SO  # noqa: E402
 

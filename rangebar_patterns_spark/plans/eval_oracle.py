@@ -390,3 +390,54 @@ SELECT symbol, barrier_id, {rank_cols},
     round(sqrt({d_neg}) / nullif(sqrt({d_pos}) + sqrt({d_neg}), 0.0), 6) AS topsis_score
 FROM rk3
 """
+
+
+def cutoff_grid_select(
+    metric_exprs: dict[str, str],
+    candidates: list[tuple[int, ...]],
+    src: str,
+) -> str:
+    """E29 twin (operators/cutoff_search.evaluate_cutoffs over the
+    deterministic grid): percent-rank each metric, cross join the
+    candidate cutoff vectors, aggregate survivors / value-sorted mean
+    quality / objective per candidate."""
+    from ..functions.detsum import duck_fold
+
+    cols = list(metric_exprs)
+    m = len(cols)
+    sel_metrics = ", ".join(f"round({e}, 6) AS {c}" for c, e in metric_exprs.items())
+    ranks = ", ".join(
+        f"percent_rank() OVER (ORDER BY {c} ASC NULLS FIRST) AS {c}_pctrank"
+        for c in cols
+    )
+    cut_cols = ", ".join(f"cut_{c}" for c in cols)
+    vals = ",\n        ".join(
+        f"({i}, " + ", ".join(str(x) for x in v) + ")"
+        for i, v in enumerate(candidates)
+    )
+    passes = " AND ".join(
+        f"{c}_pctrank >= 1.0 - CAST(cut_{c} AS DOUBLE) / 100.0" for c in cols
+    )
+    quality = "(" + " + ".join(f"{c}_pctrank" for c in cols) + f") / {float(m)!r}"
+    mean_cut = (
+        "CAST(" + " + ".join(f"cut_{c}" for c in cols) + f" AS DOUBLE) / {float(m)!r}"
+    )
+    qual_fold = duck_fold(quality, quality, passes)
+    return f"""
+, co0 AS (SELECT symbol, barrier_id, {sel_metrics} FROM {src}),
+co1 AS (SELECT *, {ranks} FROM co0),
+cands(cand_id, {cut_cols}) AS (VALUES
+        {vals}),
+co2 AS (
+    SELECT cand_id, {cut_cols},
+        CAST(sum(CASE WHEN {passes} THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+        round({qual_fold}
+            / nullif(CAST(sum(CASE WHEN {passes} THEN 1 ELSE 0 END) AS DOUBLE), 0.0), 6)
+            AS avg_quality
+    FROM co1 CROSS JOIN cands
+    GROUP BY cand_id, {cut_cols}
+)
+SELECT *, {mean_cut} AS mean_cutoff,
+    round(CAST(n_survivors AS DOUBLE) / ({mean_cut}), 6) AS objective
+FROM co2
+"""
