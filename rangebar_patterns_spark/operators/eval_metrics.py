@@ -210,10 +210,16 @@ def evalues(trades: DataFrame, moments: DataFrame, keys: list[str] | None = None
         F.count("*").cast("long").alias("n_trades"),
         F.round(F.exp(F.max_by(F.col("_cum"), F.col("_tn"))), 6).alias("final_evalue"),
         F.round(F.exp(F.max("_cum")), 6).alias("max_evalue"),
-        F.round(
-            osum(F.col("signal_ts_ms"), F.col("_logf"))
-            / F.count("*").cast("double"),
-            8,
+        # + 0.0 normalizes IEEE -0.0 to +0.0 so both engines serialize a tiny
+        # negative mean that rounds to zero identically (DuckDB round keeps the
+        # sign bit; the gate's value-hash distinguishes -0.0 from 0.0).
+        (
+            F.round(
+                osum(F.col("signal_ts_ms"), F.col("_logf"))
+                / F.count("*").cast("double"),
+                8,
+            )
+            + F.lit(0.0)
         ).alias("grow_criterion"),
         (F.exp(F.max("_cum")) >= E_THRESHOLD).alias("rejects_null_at_005"),
         F.min(F.when(F.col("_cum") >= ln_thresh, F.col("_tn"))).alias(

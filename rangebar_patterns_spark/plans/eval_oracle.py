@@ -186,7 +186,7 @@ evagg AS (
         round(exp(max_by(cum, tn)), 6) AS final_evalue,
         round(exp(max(cum)), 6) AS max_evalue,
         round(list_reduce(list_prepend(0.0, list(logf ORDER BY tn)),
-            (acc, x) -> acc + x) / CAST(count(*) AS DOUBLE), 8) AS grow_criterion,
+            (acc, x) -> acc + x) / CAST(count(*) AS DOUBLE), 8) + 0.0 AS grow_criterion,
         exp(max(cum)) >= {E_THRESHOLD!r} AS rejects_null_at_005,
         min(CASE WHEN cum >= {math.log(E_THRESHOLD)!r} THEN tn END) AS first_rejection_trade,
         round(max(fbet), 6) AS kelly_used

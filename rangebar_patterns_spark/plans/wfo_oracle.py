@@ -322,6 +322,6 @@ SELECT symbol, barrier_id, fold, CAST(n AS BIGINT) AS test_n,
     round(CASE WHEN n < {MIN_TRADES_RACHEV} THEN NULL
                WHEN cvar_lo_abs < 1e-12 THEN NULL
                ELSE least(cvar_up / cvar_lo_abs, 10.0) END, 6) AS rachev_ratio,
-    round(tot, 6) AS total_return
+    round(tot, 6) + 0.0 AS total_return
 FROM wobj_x
 """

@@ -49,7 +49,14 @@ def main() -> int:
 
                     scf = sc.astype(float)
                     dcf = dc.astype(float)
-                    eq = (scf.values == dcf.values) | (scf.isna() & dcf.isna()).values
+                    # Bit-level equality replicates the driver's value-hash:
+                    # two equal non-zero doubles share a bit pattern, so this
+                    # only tightens the check for -0.0 vs 0.0 (distinct bits,
+                    # equal floats) while both-NaN/NULL still count as equal.
+                    bits_eq = (
+                        scf.values.view("uint64") == dcf.values.view("uint64")
+                    )
+                    eq = bits_eq | (scf.isna() & dcf.isna()).values
                 else:
                     eq = (sc.values == dc.values) | (sc.isna() & dc.isna()).values
                 if not eq.all():
