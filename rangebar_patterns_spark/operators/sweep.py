@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 from ..functions.series_quantile import excl_quantile_stream
-from .signals import FORMATIONS, SWEEP_FORMATION_NAMES, base_eligibility
+from .signals import FORMATIONS, base_eligibility
 
 #: W7 rolling window over the candidate sequence (gen600: 999 PRECEDING .. 1 PRECEDING)
 SIGNALSET_LOOKBACK = 999
@@ -70,18 +70,19 @@ class SweepConfig:
 
 def default_sweep_grid() -> list[SweepConfig]:
     """Demo-scale grid with the reference's combinatorial shape
-    (generate.sh:104-175): formations × feature1 × feature2 × quantile
-    combos = 24 configs.  Production grids just pass longer lists."""
+    (generate.sh:104-175), now spanning ALL 22 gen600 formation templates
+    including the 11 SHORT ones (generate.sh runs every template through
+    the same feature × quantile substitutions): 22 formations × 1 feature
+    pair × 2 quantile combos = 44 configs.  Production grids just pass
+    longer lists."""
     combos = [
         (0.75, ">", 0.75, ">"),
-        (0.75, ">", 0.25, "<"),
         (0.25, "<", 0.75, ">"),
-        (0.50, ">", 0.50, "<"),
     ]
     return [
         SweepConfig(f, f1, q1, d1, f2, q2, d2)
-        for f in ("2down", "udd", "wl1d")
-        for f1, f2 in (("ofi", "price_impact"), ("turnover_imbalance", "aggression_ratio"))
+        for f in FORMATIONS
+        for f1, f2 in (("ofi", "price_impact"),)
         for q1, d1, q2, d2 in combos
     ]
 
@@ -113,16 +114,34 @@ def gen500_grid() -> list[SweepConfig]:
 
 SWEEP_GRID_SCHEMA = (
     "config_id string, formation string, feature1 string, q1 double, dir1 string, "
-    "feature2 string, q2 double, dir2 string"
+    "feature2 string, q2 double, dir2 string, side string"
 )
 
 
 def sweep_grid_to_spark(spark: SparkSession, grid: list[SweepConfig]) -> DataFrame:
     rows = [
-        (c.config_id, c.formation, c.feature1, c.q1, c.dir1, c.feature2, c.q2, c.dir2)
+        (
+            c.config_id,
+            c.formation,
+            c.feature1,
+            c.q1,
+            c.dir1,
+            c.feature2,
+            c.q2,
+            c.dir2,
+            FORMATIONS[c.formation].side,
+        )
         for c in grid
     ]
     return spark.createDataFrame(rows, SWEEP_GRID_SCHEMA)
+
+
+def grid_formations(grid: list[SweepConfig]) -> tuple[str, ...]:
+    """Formation names a grid actually sweeps — pass to
+    :func:`sweep_candidates` so the explode only evaluates predicates the
+    config join can keep (broadcast-join semantics drop the rest anyway,
+    but not exploding them saves the intermediate rows)."""
+    return tuple(sorted({c.formation for c in grid}))
 
 
 def base_candidate_filter(warmup: int) -> F.Column:
@@ -144,6 +163,7 @@ _CAND_COLUMNS = [
     "feature2",
     "q2",
     "dir2",
+    "side",
     "symbol",
     "rn",
     "close_time_ms",
@@ -160,13 +180,18 @@ def sweep_candidates(
     configs: DataFrame,
     feature_cols: list[str],
     warmup: int,
-    formations: tuple[str, ...] = SWEEP_FORMATION_NAMES,
+    formations: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Candidate rows per config: formation-explode × config-join × feature
     map lookup, all JVM-side.  ``feat`` is ``with_bar_features(...,
     rolling_window=...)`` output (plus ``with_gate_quantiles`` when a swept
     formation's gate needs non-ti thresholds).  Each formation's full
-    signal predicate (pattern ∧ its own gate) decides membership."""
+    signal predicate (pattern ∧ its own gate) decides membership.
+    ``formations`` defaults to ALL 22 registry formations (safe: the
+    config join drops unswept ones); pass :func:`grid_formations` to skip
+    evaluating predicates the grid can't keep."""
+    if formations is None:
+        formations = tuple(FORMATIONS)
     formation_arr = F.array(
         *[F.when(FORMATIONS[name].signal(), F.lit(name)) for name in formations]
     )
@@ -286,9 +311,14 @@ def signal_pass_col() -> F.Column:
 
 def sweep_funnel(cand_q: DataFrame) -> DataFrame:
     """Per-(config, symbol) funnel + next-bar hit metrics (the gen01-style
-    hypothesis row, per config): candidates → signals → hits."""
+    hypothesis row, per config): candidates → signals → hits.  A hit is
+    the next bar moving in the config's trade direction — up (next_dir=1)
+    for LONG formations, down (next_dir=0) for SHORT ones (the reference's
+    SHORT templates trade the downside: gen600_2up_s_template.sql barrier
+    geometry)."""
     passed = signal_pass_col()
-    hit = passed & (F.col("next_dir") == 1)
+    want_dir = F.when(F.col("side") == "short", F.lit(0)).otherwise(F.lit(1))
+    hit = passed & (F.col("next_dir") == want_dir)
     n_sig = F.sum(F.when(passed, 1).otherwise(0))
     n_hit = F.sum(F.when(hit, 1).otherwise(0))
     sc = F.nullif(n_sig.cast("double"), F.lit(0.0))
@@ -304,7 +334,8 @@ def sweep_funnel(cand_q: DataFrame) -> DataFrame:
 
 
 def sweep_signals(cand_q: DataFrame) -> DataFrame:
-    """Surviving signal keys per config (input to the barrier stage)."""
+    """Surviving signal keys per config (input to the barrier stage);
+    ``side`` rides along so SHORT configs get inverted barrier geometry."""
     return cand_q.filter(signal_pass_col()).select(
         "config_id",
         "symbol",
@@ -312,6 +343,152 @@ def sweep_signals(cand_q: DataFrame) -> DataFrame:
         "close_time_ms",
         "threshold_decimal_bps",
         "entry_price",
+        "side",
+    )
+
+
+# ---------------------------------------------------------------------------
+# gen400 n-feature conjunction sweep: the (feature1, feature2) pair shape
+# generalized to feature-LIST configs (reference gen400_3feature_template.sql
+# / gen400_4feature_template.sql: champion pattern + N simultaneous
+# rolling-quantile feature filters + fixed 2:1 R:R barriers)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class NFeatureConfig:
+    """One gen400-style config: N simultaneous feature filters over the
+    champion candidate stream."""
+
+    features: tuple[str, ...]
+    qs: tuple[float, ...]
+    dirs: tuple[str, ...]  # ">" / "<" per slot
+
+    @property
+    def config_id(self) -> str:
+        d = {">": "gt", "<": "lt"}
+        parts = [
+            f"{f}_{d[dr]}{int(q * 100):02d}"
+            for f, q, dr in zip(self.features, self.qs, self.dirs)
+        ]
+        return f"nf{len(self.features)}_" + "_".join(parts)
+
+
+def nfeature_grid() -> list[NFeatureConfig]:
+    """Demo grid with the reference's 3- and 4-feature shapes (the
+    production sweep substitutes longer feature lists the same way)."""
+    return [
+        NFeatureConfig(
+            ("ofi", "price_impact", "turnover_imbalance"),
+            (0.5, 0.75, 0.5), (">", ">", "<"),
+        ),
+        NFeatureConfig(
+            ("aggression_ratio", "ofi", "price_impact"),
+            (0.25, 0.5, 0.5), ("<", ">", ">"),
+        ),
+        NFeatureConfig(
+            ("ofi", "price_impact", "turnover_imbalance", "aggression_ratio"),
+            (0.5, 0.5, 0.5, 0.5), (">", ">", "<", ">"),
+        ),
+        NFeatureConfig(
+            ("ofi", "price_impact", "turnover_imbalance", "aggression_ratio"),
+            (0.75, 0.25, 0.5, 0.5), (">", "<", ">", "<"),
+        ),
+    ]
+
+
+def nfeature_signals(
+    feat: DataFrame,
+    spark: SparkSession,
+    grid: list[NFeatureConfig],
+    warmup: int,
+    lookback: int = SIGNALSET_LOOKBACK,
+) -> DataFrame:
+    """Surviving signals of every n-feature config (gen400 semantics):
+
+    1. candidates = champion signal ∧ eligibility ∧ entry valid ∧ ALL
+       config features non-NULL (candidate membership depends on the full
+       feature list — the same Feature Quantile Trap rule as the pair
+       sweep, so thresholds run per (config, slot));
+    2. per-slot rolling exclusive quantile over the candidate sequence;
+    3. signal = candidate whose every slot passes its directional filter.
+
+    The config and slot tables are broadcast; the per-(config, slot,
+    symbol) Arrow threshold pass scales with the config grid exactly like
+    the reference's per-template expansion (configs sharing a feature SET
+    could dedup further; the demo grid is small enough not to bother)."""
+    from .signals import base_eligibility as _belig
+    from .signals import champion_signal, eligibility
+
+    feature_cols = sorted({f for c in grid for f in c.features})
+    fmap = F.create_map(
+        *chain.from_iterable((F.lit(c), F.col(c)) for c in feature_cols)
+    )
+    cfgs = spark.createDataFrame(
+        [(c.config_id, list(c.features)) for c in grid],
+        "config_id string, features array<string>",
+    )
+    slots = spark.createDataFrame(
+        [
+            (c.config_id, i, f, q, d)
+            for c in grid
+            for i, (f, q, d) in enumerate(zip(c.features, c.qs, c.dirs))
+        ],
+        "config_id string, slot int, feature string, q double, dir string",
+    )
+    base = feat.filter(
+        champion_signal() & eligibility(warmup) & _belig(warmup)
+    ).select(
+        "symbol", "rn", "close_time_ms", "threshold_decimal_bps",
+        "entry_price", "next_dir", *feature_cols,
+    )
+    cand = (
+        base.crossJoin(F.broadcast(cfgs))
+        .filter(F.forall(F.col("features"), lambda f: F.element_at(fmap, f).isNotNull()))
+        .drop("features")
+    )
+    sl = cand.join(F.broadcast(slots), "config_id").withColumn(
+        "val", F.element_at(fmap, F.col("feature"))
+    )
+
+    thr_schema = StructType(
+        [
+            StructField("config_id", sl.schema["config_id"].dataType),
+            StructField("slot", sl.schema["slot"].dataType),
+            StructField("symbol", sl.schema["symbol"].dataType),
+            StructField("rn", sl.schema["rn"].dataType),
+            StructField("thr", DoubleType()),
+        ]
+    )
+
+    def compute(pdf):
+        pdf = pdf.sort_values("rn", kind="mergesort").reset_index(drop=True)
+        pdf["thr"] = excl_quantile_stream(
+            pdf["val"].to_numpy("float64", na_value=np.nan),
+            float(pdf["q"].iloc[0]),
+            lookback,
+        )
+        return pdf[["config_id", "slot", "symbol", "rn", "thr"]]
+
+    thr = sl.groupBy("config_id", "slot", "symbol").applyInPandas(
+        compute, thr_schema
+    )
+    sl2 = sl.join(thr, ["config_id", "slot", "symbol", "rn"])
+    slot_pass = F.col("thr").isNotNull() & F.when(
+        F.col("dir") == ">", F.col("val") > F.col("thr")
+    ).otherwise(F.col("val") < F.col("thr"))
+    rows = (
+        sl2.withColumn("_p", slot_pass.cast("int"))
+        .groupBy(
+            "config_id", "symbol", "rn", "close_time_ms",
+            "threshold_decimal_bps", "entry_price",
+        )
+        .agg(F.min("_p").alias("_all"))
+    )
+    return (
+        rows.filter(F.col("_all") == 1)
+        .drop("_all")
+        .withColumn("side", F.lit("long"))
     )
 
 
@@ -326,4 +503,6 @@ def sweep_trades(
         fwd_bars.select("symbol", "rn", "fwd_highs", "fwd_lows", "fwd_opens", "fwd_closes"),
         ["symbol", "rn"],
     )
+    # simulate_barriers reads the per-row ``side`` column carried from the
+    # config grid: SHORT configs scan TP in forward lows / SL in highs
     return simulate_barriers(joined, grid, id_cols=("config_id",))

@@ -30,9 +30,13 @@ def _base_where(formation: str, warmup: int, f1: str, f2: str) -> str:
     )
 
 
-def _config_cand_cte(i: int, c: SweepConfig, warmup: int) -> str:
+def _config_cand_cte(
+    i: int, c: SweepConfig, warmup: int, feat_relation: str = "feat"
+) -> str:
     """cand_i: candidates with W7 signal-set quantile thresholds and the
-    pass flag for one config."""
+    pass flag for one config.  ``feat_relation`` must provide the gate
+    threshold columns the formation reads (``featg`` for exhaustion /
+    high-volume / VWAP gates)."""
     win = (
         "PARTITION BY symbol ORDER BY rn "
         f"ROWS BETWEEN {SIGNALSET_LOOKBACK} PRECEDING AND 1 PRECEDING"
@@ -43,7 +47,7 @@ def _config_cand_cte(i: int, c: SweepConfig, warmup: int) -> str:
     SELECT '{c.config_id}' AS config_id, symbol, rn, close_time_ms,
         threshold_decimal_bps, entry_price, next_dir,
         {c.feature1} AS f1_val, {c.feature2} AS f2_val
-    FROM feat
+    FROM {feat_relation}
     WHERE {_base_where(c.formation, warmup, c.feature1, c.feature2)}
 ),
 candq_{i} AS (
@@ -58,42 +62,59 @@ candp_{i} AS (
 )"""
 
 
-def sweep_funnel_oracle(grid: list[SweepConfig], warmup: int) -> str:
-    ctes = ",\n".join(_config_cand_cte(i, c, warmup) for i, c in enumerate(grid))
+def sweep_funnel_oracle(
+    grid: list[SweepConfig], warmup: int, feat_relation: str = "feat"
+) -> str:
+    ctes = ",\n".join(
+        _config_cand_cte(i, c, warmup, feat_relation) for i, c in enumerate(grid)
+    )
+    # a hit is the next bar moving in the formation's trade direction:
+    # next_dir = 1 (up) for LONG templates, 0 (down) for SHORT ones —
+    # baked per config, the way each sed-expanded template hardcodes it
     unions = "\nUNION ALL\n".join(
         f"""SELECT config_id, symbol,
     count(*) AS n_candidates,
     CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_signals,
-    CAST(sum(CASE WHEN passed AND next_dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-    sum(CASE WHEN passed AND next_dir = 1 THEN 1 ELSE 0 END)
+    CAST(sum(CASE WHEN passed AND next_dir = {hd} THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+    sum(CASE WHEN passed AND next_dir = {hd} THEN 1 ELSE 0 END)
         / nullif(CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS DOUBLE), 0.0) AS hit_rate,
-    sum(CASE WHEN passed AND next_dir = 1 THEN 1 ELSE 0 END)
+    sum(CASE WHEN passed AND next_dir = {hd} THEN 1 ELSE 0 END)
         / nullif(CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS DOUBLE), 0.0) - 0.5 AS edge_pct,
-    (sum(CASE WHEN passed AND next_dir = 1 THEN 1 ELSE 0 END)
+    (sum(CASE WHEN passed AND next_dir = {hd} THEN 1 ELSE 0 END)
         / nullif(CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS DOUBLE), 0.0) - 0.5)
         / sqrt(0.25 / nullif(CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS DOUBLE), 0.0)) AS z_score
 FROM candp_{i}
 GROUP BY config_id, symbol"""
-        for i in range(len(grid))
+        for i, hd in (
+            (j, 0 if FORMATIONS[c.formation].side == "short" else 1)
+            for j, c in enumerate(grid)
+        )
     )
     return f"{ctes}\nSELECT * FROM (\n{unions}\n)"
 
 
 def sweep_trades_ctes(
-    grid: list[SweepConfig], profiles: list[BarrierConfig], warmup: int
+    grid: list[SweepConfig],
+    profiles: list[BarrierConfig],
+    warmup: int,
+    feat_relation: str = "feat",
 ) -> str:
     """CTE chain ending in ``trades`` (with config_id) for the barrier
-    stage of the sweep: surviving signals of every config UNION ALLed,
-    joined to shared forward arrays, through the shared trade chain."""
-    cand_ctes = ",\n".join(_config_cand_cte(i, c, warmup) for i, c in enumerate(grid))
+    stage of the sweep: surviving signals of every config UNION ALLed
+    (each carrying its formation's trade side), joined to shared forward
+    arrays, through the shared side-aware trade chain."""
+    cand_ctes = ",\n".join(
+        _config_cand_cte(i, c, warmup, feat_relation) for i, c in enumerate(grid)
+    )
     surv = "\nUNION ALL\n".join(
         f"SELECT config_id, symbol, rn, close_time_ms, threshold_decimal_bps,"
-        f" entry_price FROM candp_{i} WHERE passed"
-        for i in range(len(grid))
+        f" entry_price, '{FORMATIONS[c.formation].side}' AS side"
+        f" FROM candp_{i} WHERE passed"
+        for i, c in enumerate(grid)
     )
     return f"""{cand_ctes},
 {grid_to_duckdb_values(profiles)},
-{fwd_cte(max_bars_cap(profiles), feat_relation="feat", name="fwdarr")},
+{fwd_cte(max_bars_cap(profiles), feat_relation=feat_relation, name="fwdarr")},
 surv AS (
 {surv}
 ),
@@ -101,16 +122,86 @@ sigs AS (
     SELECT s.*, f.fwd_highs, f.fwd_lows, f.fwd_opens, f.fwd_closes
     FROM surv s JOIN fwdarr f USING (symbol, rn)
 ),
-{trades_chain_ctes(("config_id", "symbol"))}"""
+{trades_chain_ctes(("config_id", "symbol"), side_expr="s.side")}"""
 
 
 def sweep_metrics_oracle(
-    grid: list[SweepConfig], profiles: list[BarrierConfig], warmup: int
+    grid: list[SweepConfig],
+    profiles: list[BarrierConfig],
+    warmup: int,
+    feat_relation: str = "feat",
 ) -> str:
     return (
-        sweep_trades_ctes(grid, profiles, warmup)
+        sweep_trades_ctes(grid, profiles, warmup, feat_relation)
         + barrier_metrics_select(("config_id", "symbol", "barrier_id"))
     )
+
+
+def nfeature_metrics_oracle(
+    grid,
+    profiles: list[BarrierConfig],
+    warmup: int,
+    feat_relation: str = "featg",
+) -> str:
+    """Twin of the gen400 n-feature sweep (operators/sweep.nfeature_signals
+    → barrier metrics): per-config template expansion exactly like the
+    reference's sed harness — one candidate/quantile/pass CTE chain per
+    config with N window-quantile columns, UNION ALLed survivors through
+    the shared trade chain (reference gen400_3feature_template.sql /
+    gen400_4feature_template.sql CTEs 4-5 + trade outcome SELECT)."""
+    win = (
+        "PARTITION BY symbol ORDER BY rn "
+        f"ROWS BETWEEN {SIGNALSET_LOOKBACK} PRECEDING AND 1 PRECEDING"
+    )
+    base_where = (
+        f"{frag.CHAMPION_SIGNAL} AND {frag.eligibility(warmup)}"
+        f" AND {base_eligibility_sql(warmup)}"
+    )
+    ctes = []
+    for i, c in enumerate(grid):
+        nn = " AND ".join(f"{f} IS NOT NULL" for f in c.features)
+        vals = ", ".join(f"{f} AS v{j}" for j, f in enumerate(c.features))
+        qs = ",\n        ".join(
+            f"{duck_q6_expr(f'list(v{j}) OVER ({win})', q)} AS t{j}"
+            for j, q in enumerate(c.qs)
+        )
+        passes = " AND ".join(
+            f"t{j} IS NOT NULL AND v{j} {d} t{j}"
+            for j, d in enumerate(c.dirs)
+        )
+        ctes.append(f"""nfc_{i} AS (
+    SELECT '{c.config_id}' AS config_id, symbol, rn, close_time_ms,
+        threshold_decimal_bps, entry_price, {vals}
+    FROM {feat_relation}
+    WHERE {base_where} AND {nn}
+),
+nfq_{i} AS (
+    SELECT *, {qs}
+    FROM nfc_{i}
+),
+nfp_{i} AS (
+    SELECT config_id, symbol, rn, close_time_ms, threshold_decimal_bps,
+        entry_price
+    FROM nfq_{i} WHERE {passes}
+)""")
+        # NB: the reference's champion_signals CTE carries entry validity
+        # and all-N-features-non-NULL before any quantile window — matched
+        # in base_where/nn above so window contents equal the engine's
+    surv = "\nUNION ALL\n".join(
+        f"SELECT * FROM nfp_{i}" for i in range(len(grid))
+    )
+    cte_block = ",\n".join(ctes)
+    return f"""{cte_block},
+{grid_to_duckdb_values(profiles)},
+{fwd_cte(max_bars_cap(profiles), feat_relation=feat_relation, name="fwdarr")},
+surv AS (
+{surv}
+),
+sigs AS (
+    SELECT s.*, f.fwd_highs, f.fwd_lows, f.fwd_opens, f.fwd_closes
+    FROM surv s JOIN fwdarr f USING (symbol, rn)
+),
+{trades_chain_ctes(("config_id", "symbol"))}{barrier_metrics_select(("config_id", "symbol", "barrier_id"))}"""
 
 
 # re-export for catalog composition

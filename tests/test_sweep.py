@@ -31,13 +31,18 @@ def test_sweep_scan_count_independent_of_config_count(spark):
         sweep_grid_to_spark,
         with_signalset_quantiles,
     )
-    from rangebar_patterns_spark.operators.windows import with_bar_features
+    from rangebar_patterns_spark.operators.windows import (
+        with_bar_features,
+        with_gate_quantiles,
+    )
     from rangebar_patterns_spark.plans.catalog import SWEEP_FEATURES, SWEEP_ROLLING, WARMUP
     from rangebar_patterns_spark.sources.bars import bars_from_events
 
     def n_scans(grid) -> tuple[int, int]:
-        feat = with_bar_features(
-            bars_from_events(spark, SF_DIR), rolling_window=SWEEP_ROLLING
+        feat = with_gate_quantiles(
+            with_bar_features(
+                bars_from_events(spark, SF_DIR), rolling_window=SWEEP_ROLLING
+            )
         )
         cand = sweep_candidates(
             feat, sweep_grid_to_spark(spark, grid), SWEEP_FEATURES, WARMUP
@@ -84,20 +89,21 @@ def test_feature_quantile_trap_partner_nulls(spark):
     rows = []
     for i, v in enumerate(f1_vals):
         rows.append(
-            ("cfgA", "form", "f1", 0.5, ">", "dense", 0.5, ">", "S", i + 1,
-             1000 + i, 250, 100.0, 1, v, 1.0)
+            ("cfgA", "form", "f1", 0.5, ">", "dense", 0.5, ">", "long", "S",
+             i + 1, 1000 + i, 250, 100.0, 1, v, 1.0)
         )
         if i % 3 != 0:
             rows.append(
-                ("cfgB", "form", "f1", 0.5, ">", "sparse", 0.5, ">", "S", i + 1,
-                 1000 + i, 250, 100.0, 1, v, 1.0)
+                ("cfgB", "form", "f1", 0.5, ">", "sparse", 0.5, ">", "long",
+                 "S", i + 1, 1000 + i, 250, 100.0, 1, v, 1.0)
             )
     cand = spark.createDataFrame(
         rows,
         "config_id string, formation string, feature1 string, q1 double, "
-        "dir1 string, feature2 string, q2 double, dir2 string, symbol string, "
-        "rn long, close_time_ms long, threshold_decimal_bps int, "
-        "entry_price double, next_dir int, f1_val double, f2_val double",
+        "dir1 string, feature2 string, q2 double, dir2 string, side string, "
+        "symbol string, rn long, close_time_ms long, "
+        "threshold_decimal_bps int, entry_price double, next_dir int, "
+        "f1_val double, f2_val double",
     ).select(*_CAND_COLUMNS)
 
     out = with_signalset_quantiles(cand, lookback=10).toPandas()
