@@ -76,6 +76,14 @@ def gen600_profiles() -> list[BarrierConfig]:
     ]
 
 
+def gen400_profile() -> list[BarrierConfig]:
+    """The gen400 fixed 2:1 R:R barrier (gen400_3feature_template.sql
+    header: TP=0.5x, SL=0.25x bar-widths, max_bars=50); single-segment."""
+    return [
+        BarrierConfig(0.5, 0.25, 0.25, phase1_bars=50, max_bars=50, name="rr2to1")
+    ]
+
+
 GRID_COLUMNS = [
     "barrier_id",
     "tp_mult",

@@ -1383,3 +1383,34 @@ def q_genx_hypotheses(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-driven screen: 34 lagged-predicate combos x all symbols in a
     single scan + per-symbol conditional aggregate."""
     return hypothesis_screen(_bars(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# gen400 n-feature conjunction sweep (3-/4-feature configs x fixed 2:1
+# R:R barrier), generalizing the pair-shaped sweep candidate chain
+# ---------------------------------------------------------------------------
+
+from ..config import gen400_profile  # noqa: E402
+from ..operators.sweep import nfeature_grid, nfeature_signals  # noqa: E402
+from .sweep_oracle import nfeature_metrics_oracle  # noqa: E402
+
+_NF_ORACLE = f"""
+WITH {BARS_DUCKDB_CTE},
+{_featg_ctes()},
+{nfeature_metrics_oracle(nfeature_grid(), gen400_profile(), WARMUP, feat_relation="featg")}
+"""
+
+
+@register("sweep_nfeature_metrics", _NF_ORACLE)
+def q_sweep_nfeature_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gen400 3-/4-feature sweep: champion candidates filtered by N
+    simultaneous rolling signal-set quantile conditions, through the fixed
+    2:1 R:R barrier, aggregated per config (reference
+    sql/gen400_3feature_template.sql / gen400_4feature_template.sql as a
+    feature-LIST generalization of the pair sweep)."""
+    sigs = nfeature_signals(_featg(spark, sf_dir), spark, nfeature_grid(), WARMUP)
+    fwd = with_entry_and_forward(
+        _featg(spark, sf_dir), cap=max_bars_cap(gen400_profile())
+    )
+    trades = sweep_trades(sigs, fwd, grid_to_spark(spark, gen400_profile()))
+    return barrier_metrics(trades, group_cols=["config_id", "symbol", "barrier_id"])
