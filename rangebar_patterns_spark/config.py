@@ -54,7 +54,23 @@ def gen200_grid() -> list[BarrierConfig]:
 def gen720_grid() -> list[BarrierConfig]:
     """2-segment WFO-style grid (gen720_wf_wl1d_template.sql:118-134):
     wide SL {0.25,0.5} × tight {0.0625,0.125} × phase1 {3,5,7} ×
-    max_bars {10,20}, constraint phase1_bars < max_bars."""
+    max_bars {10,20}, constraint phase1_bars < max_bars — plus the
+    Strategy-B "rev" schedule (gen720_wf_2up_ng_s_rev_template.sql:167-189:
+    REVERSE time-decay, tight SL first to cut losers fast, then wide SL to
+    give survivors room).  The simulator's phase-1 scan price comes from
+    ``sl_mult`` and phase-2 from ``sl_tight_mult`` with no magnitude
+    assumption, so rev configs are the same grid with the two roles
+    swapped; every eval/WFO twin derives the grid from here so both
+    engines stay in lockstep."""
+    rev = [
+        BarrierConfig(
+            0.5, slt, slw, phase1_bars=p1, max_bars=20,
+            name=f"rev_slt{int(slt * 10000):04d}_slw{int(slw * 1000):04d}_p{p1}_mb20",
+        )
+        for slw in (0.5,)
+        for slt in (0.0625, 0.125)
+        for p1 in (3, 5, 7)
+    ]
     return [
         BarrierConfig(0.5, slw, slt, phase1_bars=p1, max_bars=mb)
         for slw in (0.25, 0.5)
@@ -62,7 +78,7 @@ def gen720_grid() -> list[BarrierConfig]:
         for p1 in (3, 5, 7)
         for mb in (10, 20)
         if p1 < mb
-    ]
+    ] + rev
 
 
 def gen600_profiles() -> list[BarrierConfig]:

@@ -90,11 +90,22 @@ def lsh_topk(
     )
 
 
-def label_centroid_search(emb: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
+#: cells probed per query (IVF multi-probe: scanning the nprobe nearest
+#: cells instead of 1 recovers neighbors that fell across a cell boundary
+#: — the standard IVF recall lever; cost grows linearly with nprobe while
+#: staying corpus-partition-local)
+IVF_NPROBE = 2
+
+
+def label_centroid_search(
+    emb: DataFrame, n_queries: int = N_QUERIES, nprobe: int = IVF_NPROBE
+) -> DataFrame:
     """IVF-flavored variant: per-label centroids as the coarse quantizer;
-    each query is assigned to its nearest centroid (exact, 10 centroids)
-    and scored only against that cell.  Output: query -> assigned cell +
-    within-cell best neighbor."""
+    each query is assigned to its ``nprobe`` nearest centroids (exact, 10
+    centroids) and scored only against those cells.  Output: query -> best
+    neighbor across the probed cells, with the winning neighbor's cell and
+    that cell's centroid cosine.  ``tests/test_similarity.py`` pins
+    recall@1 vs the brute-force baseline as non-decreasing in nprobe."""
     from ..functions.detsum import osum
 
     v = _vecs(emb)
@@ -128,7 +139,7 @@ def label_centroid_search(emb: DataFrame, n_queries: int = N_QUERIES) -> DataFra
         .crossJoin(F.broadcast(centroids))
         .withColumn("centroid_cos", F.round(cosine_col(F.col("qv"), F.col("cv")), 6))
         .withColumn("crank", F.row_number().over(assign_w))
-        .filter(F.col("crank") == 1)
+        .filter(F.col("crank") <= nprobe)
         .select("query_id", "qv", F.col("label").alias("cell"), "centroid_cos")
     )
     best_w = Window.partitionBy("query_id").orderBy(

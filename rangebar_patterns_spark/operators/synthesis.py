@@ -27,7 +27,7 @@ KEYS = ["symbol", "barrier_id"]
 
 RW_ALPHA = 0.05
 RW_MIN_TRADES = 10  # synthesis.py:70 n_trades >= 10
-RW_B = 200  # catalog default; reference uses 1000 (configurable)
+RW_B = 1000  # reference depth (eval/synthesis.py:23 n_bootstrap=1000)
 
 # LCG mixing constants (Knuth multiplicative + small primes for the axes)
 _LCG_B = 1_000_003

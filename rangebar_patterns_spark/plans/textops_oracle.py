@@ -19,7 +19,7 @@ from ..operators.dedup import (
     SIMHASH_BITS,
     SIMHASH_CHUNKS,
 )
-from ..operators.similarity import N_QUERIES, TOP_K
+from ..operators.similarity import IVF_NPROBE, N_QUERIES, TOP_K
 from ..operators.textops import BPE_REGEX, LANG_PRIORITY, STOPWORDS
 
 WORDS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -356,7 +356,7 @@ assigned AS (
             row_number() OVER (PARTITION BY q.query_id
                 ORDER BY round({_cos("q.qv", "c.cv")}, 6) DESC, c.label ASC) AS crank
         FROM q, cent c
-    ) WHERE crank = 1
+    ) WHERE crank <= {IVF_NPROBE}
 )
 SELECT query_id, cell, centroid_cos, neighbor_id, cosine FROM (
     SELECT a.query_id, a.cell, a.centroid_cos, e.vec_id AS neighbor_id,
