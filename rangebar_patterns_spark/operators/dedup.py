@@ -157,17 +157,26 @@ def _verify_jaccard(cand: DataFrame, arrs: DataFrame, threshold: float) -> DataF
 def ngram_candidates(arrs: DataFrame, threshold: float) -> DataFrame:
     """PPJoin candidate generation: (doc_a, doc_b) pairs sharing at least
     one *prefix* shingle (first n − ⌈t·n⌉ + 1 in rare-first order), with
-    the |B| ∈ [t·|A|, |A|/t] length filter.  Exposed separately so the
-    candidate-set size itself is testable (the scale-critical quantity —
-    see tests/test_dedup_guard.py)."""
+    the |B| ∈ [t·|A|, |A|/t] length filter AND the positional filter
+    (Xiao et al. WWW'08 §3.2): both shingle arrays follow the same global
+    canonical order, so the earliest shared prefix shingle sits at the
+    same rank in both docs' orders and the intersection is bounded by
+    1 + min(|A| − pa − 1, |B| − pb − 1) at its (0-based) positions —
+    pairs whose bound cannot reach the Jaccard threshold never get the
+    expensive exact verify (monotone: round(jmax) uses the same rounding
+    as the final filter, so no true pair is dropped).  Exposed separately
+    so the candidate-set size itself is testable (the scale-critical
+    quantity — see tests/test_dedup_guard.py)."""
     p_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("long") + F.lit(1)
     pref = arrs.select(
         "doc_id",
         "n_sh",
-        F.explode(F.slice(F.col("sh_arr"), F.lit(1), p_len.cast("int"))).alias("shingle"),
+        F.posexplode(F.slice(F.col("sh_arr"), F.lit(1), p_len.cast("int"))).alias(
+            "pos", "shingle"
+        ),
     )
     a, b = pref.alias("a"), pref.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -175,9 +184,21 @@ def ngram_candidates(arrs: DataFrame, threshold: float) -> DataFrame:
             & (F.col("b.n_sh").cast("double") * F.lit(threshold) <= F.col("a.n_sh").cast("double"))
             & (F.col("a.n_sh").cast("double") * F.lit(threshold) <= F.col("b.n_sh").cast("double")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("_na"),
+            F.col("b.n_sh").alias("_nb"),
+        )
+        .agg(F.min("a.pos").alias("_pa"), F.min("b.pos").alias("_pb"))
     )
+    bound = F.lit(1) + F.least(
+        F.col("_na") - F.col("_pa") - 1, F.col("_nb") - F.col("_pb") - 1
+    )
+    jmax = bound.cast("double") / (
+        F.col("_na") + F.col("_nb") - bound
+    ).cast("double")
+    return pairs.filter(F.round(jmax, 6) >= threshold).select("doc_a", "doc_b")
 
 
 def ngram_jaccard_pairs(
