@@ -266,3 +266,38 @@ def test_trailing_time_exit(spark):
     (t,) = run_case_trailing(spark, fwd)
     assert (t.exit_type, t.exit_bar) == ("TIME", 10)
     assert t.exit_price == pytest.approx(100.2)
+
+
+# --- Strategy-B "rev" reverse time-decay (tight SL first, wide later) ---
+# gen720_wf_2up_ng_s_rev_template.sql:167-189: phase 1 scans the TIGHT
+# stop (cut losers fast), phase 2 the WIDE stop (give survivors room).
+# Expressed as the same grid with the sl_mult/sl_tight_mult roles
+# swapped: phase-1 stop 99 (1.0x), phase-2 stop 95 (5.0x).
+
+REV_CFG = BarrierConfig(
+    tp_mult=2.5, sl_mult=1.0, sl_tight_mult=5.0, phase1_bars=5, max_bars=10
+)
+
+
+def test_rev_phase1_tight_sl(spark):
+    # bar 3 (phase 1): low 98.6 breaches the tight stop 99 -> SL@99
+    fwd = flat(2) + [(100.0, 100.0, 98.6, 100.0)] + flat(7)
+    (t,) = run_case(spark, fwd, cfg=REV_CFG)
+    assert (t.exit_type, t.exit_bar) == ("SL", 3)
+    assert t.exit_price == pytest.approx(99.0)
+
+
+def test_rev_phase2_needs_wide_breach(spark):
+    # bar 7 (phase 2): low 98.5 would hit the tight stop but phase 2 runs
+    # the WIDE stop 95 -> no exit; TIME exit at bar 10
+    fwd = flat(6) + [(100.0, 100.0, 98.5, 100.0)] + flat(3)
+    (t,) = run_case(spark, fwd, cfg=REV_CFG)
+    assert (t.exit_type, t.exit_bar) == ("TIME", 10)
+
+
+def test_rev_phase2_wide_sl_fill(spark):
+    # bar 8 (phase 2): low 94 breaches the wide stop 95 -> SL@95
+    fwd = flat(7) + [(100.0, 100.0, 94.0, 100.0)] + flat(2)
+    (t,) = run_case(spark, fwd, cfg=REV_CFG)
+    assert (t.exit_type, t.exit_bar) == ("SL", 8)
+    assert t.exit_price == pytest.approx(95.0)
