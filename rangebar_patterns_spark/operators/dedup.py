@@ -425,3 +425,73 @@ def embedding_near_dup_pairs(
         F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair relation — the dedup
+    pipeline's resolution step (pairs → clusters → one surviving
+    representative per cluster).
+
+    Deterministic min-label propagation: every doc starts labeled with its
+    own id; each round joins labels across edges (both directions) and
+    keeps the per-doc minimum, until a fixpoint (checked via a count — the
+    per-round work is fully distributed; only the tiny converged? flag
+    reaches the driver).  Duplicate clusters are short-diameter by
+    construction (near-dup similarity is almost transitive), so rounds ≈
+    2-3 in practice; ``max_iter`` bounds the loop and the standard
+    large-star/small-star contraction is the drop-in upgrade if a corpus
+    ever produces deep chains.
+
+    Output: one row per doc appearing in any pair — (doc_id, cluster_rep,
+    is_rep, cluster_size); downstream "drop the non-reps" is a semi-join.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    from pyspark.sql import Window
+
+    out = labels.select("doc_id", F.col("label").alias("cluster_rep"))
+    w = Window.partitionBy("cluster_rep")
+    return (
+        out.withColumn("cluster_size", F.count("*").over(w).cast("long"))
+        .withColumn("is_rep", F.col("doc_id") == F.col("cluster_rep"))
+        .select("doc_id", "cluster_rep", "is_rep", "cluster_size")
+    )

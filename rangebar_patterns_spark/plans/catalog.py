@@ -946,14 +946,31 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
-@register("sim_cosine_topk", TO.COSINE_TOPK_SQL)
-def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.cosine_topk(load_table(spark, sf_dir, "embeddings"))
+@register("sim_topk_methods", TO.SIM_TOPK_METHODS_SQL)
+def q_sim_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k similarity search, exact + approximate in one long-format
+    panel: brute-force cosine (the baseline) and sign-bucket LSH (the
+    scale path) with a ``method`` discriminator (was sim_cosine_topk +
+    sim_lsh_topk; operators unchanged in operators/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        SIM.cosine_topk(emb)
+        .withColumn("method", F.lit("brute"))
+        .unionByName(SIM.lsh_topk(emb).withColumn("method", F.lit("lsh")))
+    )
 
 
-@register("sim_lsh_topk", TO.LSH_TOPK_SQL)
-def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.lsh_topk(load_table(spark, sf_dir, "embeddings"))
+@register("dedup_clusters", TO.DEDUP_CLUSTERS_SQL)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    MinHash-LSH near-dup pairs (distributed min-label propagation;
+    recursive-closure DuckDB twin), with the keep-lowest-id
+    representative convention — the pairs→clusters→survivors step every
+    corpus-scale dedup pipeline ends with."""
+    pairs = DD.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), arrs=_doc_arrs(spark, sf_dir)
+    )
+    return DD.duplicate_clusters(pairs)
 
 
 @register("sim_ivf_cell_search", TO.IVF_CELL_SQL)

@@ -366,3 +366,34 @@ SELECT query_id, cell, centroid_cos, neighbor_id, cosine FROM (
     FROM assigned a JOIN ev e ON a.cell = e.label AND a.query_id != e.vec_id
 ) WHERE rnk = 1
 """
+
+SIM_TOPK_METHODS_SQL = f"""
+SELECT 'brute' AS method, * FROM ({COSINE_TOPK_SQL})
+UNION ALL
+SELECT 'lsh' AS method, * FROM ({LSH_TOPK_SQL})
+"""
+
+# connected components over the MinHash-LSH near-dup pairs: transitive
+# closure by recursive CTE (tiny pair sets at gate scale — the engine's
+# distributed min-label propagation is the scale path), then min-label
+# per doc as the cluster representative
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM ({MINHASH_LSH_SQL})
+    UNION
+    SELECT doc_b, doc_a FROM ({MINHASH_LSH_SQL})
+),
+reach AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+    FROM reach GROUP BY a
+)
+SELECT doc_id, cluster_rep,
+    doc_id = cluster_rep AS is_rep,
+    CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+FROM labels
+"""
