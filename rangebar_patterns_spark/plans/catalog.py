@@ -521,11 +521,24 @@ def _sweep_candq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CANDQ_CACHE[key]
 
 
-_SWEEP_FUNNEL_ORACLE = f"""
+def _materialize(sql: str, *ctes: str) -> str:
+    """Force single materialization of shared CTEs in a DuckDB twin
+    (DuckDB inlines CTEs per reference by default, so the 44-config
+    template expansion would otherwise recompute the bars/feat/featg
+    stack once per config — pure planner hint, no semantic change)."""
+    for c in ctes:
+        sql = sql.replace(f"{c} AS (", f"{c} AS MATERIALIZED (", 1)
+    return sql
+
+
+_SWEEP_FUNNEL_ORACLE = _materialize(
+    f"""
 WITH {BARS_DUCKDB_CTE},
 {_featg_ctes()},
 {sweep_funnel_oracle(default_sweep_grid(), WARMUP, feat_relation="featg")}
-"""
+""",
+    "bars", "feat", "featg",
+)
 
 
 @register("sweep_funnel", _SWEEP_FUNNEL_ORACLE)
@@ -536,20 +549,26 @@ def q_sweep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sweep_funnel(_sweep_candq(spark, sf_dir))
 
 
-_SWEEP_METRICS_ORACLE = f"""
+_SWEEP_METRICS_ORACLE = _materialize(
+    f"""
 WITH {BARS_DUCKDB_CTE},
 {_featg_ctes()},
 {sweep_metrics_oracle(default_sweep_grid(), gen600_profiles(), WARMUP, feat_relation="featg")}
-"""
+""",
+    "bars", "feat", "featg", "fwdarr",
+)
 
 
 from ..operators.sweep import gen500_grid  # noqa: E402
 
-_SWEEP_GEN500_ORACLE = f"""
+_SWEEP_GEN500_ORACLE = _materialize(
+    f"""
 WITH {BARS_DUCKDB_CTE},
 {frag.feat_cte(rolling=SWEEP_ROLLING)},
 {sweep_funnel_oracle_bulk(gen500_grid(), WARMUP, SWEEP_FEATURES)}
-"""
+""",
+    "bars", "feat",
+)
 
 
 @register("sweep_gen500_1008cfg", _SWEEP_GEN500_ORACLE)
@@ -1411,11 +1430,14 @@ from ..config import gen400_profile  # noqa: E402
 from ..operators.sweep import nfeature_grid, nfeature_signals  # noqa: E402
 from .sweep_oracle import nfeature_metrics_oracle  # noqa: E402
 
-_NF_ORACLE = f"""
+_NF_ORACLE = _materialize(
+    f"""
 WITH {BARS_DUCKDB_CTE},
 {_featg_ctes()},
 {nfeature_metrics_oracle(nfeature_grid(), gen400_profile(), WARMUP, feat_relation="featg")}
-"""
+""",
+    "bars", "feat", "featg", "fwdarr",
+)
 
 
 @register("sweep_nfeature_metrics", _NF_ORACLE)

@@ -1,0 +1,61 @@
+"""Catalog-wide physical-plan guards (verify flow #5): Python may appear
+only as Arrow-batched group/map pandas nodes at the sanctioned sites —
+row-at-a-time ``BatchEvalPython`` is banned everywhere (AP: UDFs are the
+slow path), and the W7/HMM/Laguerre Arrow passes must not leak into
+entries that don't need them."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+
+#: entries whose plans legitimately contain Arrow pandas nodes
+ARROW_SANCTIONED = {
+    "nolookahead_thresholds",  # streaming quantile kernel
+    "champion_nolookahead",
+    "formation_counts",
+    "temporal_yearly",
+    "triple_barrier_trades",
+    "short_barrier_trades",
+    "trailing_stop_trades",
+    "combined_barrier_metrics",
+    "barrier_profile_metrics",
+    "time_decay_metrics",
+    "sweep_funnel",
+    "sweep_gen500_1008cfg",
+    "sweep_barrier_metrics",
+    "sweep_nfeature_metrics",
+    "hmm_regime_labels",
+    "laguerre_regimes",
+    "multimodal_byte_features",
+    "streaming_hourly_counts",
+    # downstream consumers of the champion-trades chain (the trades
+    # relation is built from the streaming-quantile featurization)
+    "eval_moments_dsr", "eval_tail_tamrs", "eval_evalues_ebh",
+    "eval_ou_calibration", "eval_ranking", "cutoff_grid_search",
+    "eval_bootstrap_synthesis", "eval_signal_regularity",
+    "eval_knee_points", "eval_spearman", "wf_fold_metrics", "wf_topk",
+    "cpcv_pbo", "gt_composite_mbb", "wf_fold_objectives",
+    "tail_scan", "asof_probe_lookup", "config_skip_done",
+    "rolling_calendar_window", "crossasset_validation",
+    "crossasset_confluence", "bars_adapter", "genx_hypotheses",
+}
+
+
+def _plans(spark):
+    from rangebar_patterns_spark.plans.catalog import QUERIES
+
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_DIR)
+        yield name, df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_python_placement_across_catalog(spark):
+    arrow_nodes = ("FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython")
+    row_udfs, leaked = [], []
+    for n, p in _plans(spark):
+        if "BatchEvalPython" in p:
+            row_udfs.append(n)
+        if any(a in p for a in arrow_nodes) and n not in ARROW_SANCTIONED:
+            leaked.append(n)
+    assert not row_udfs, f"row-at-a-time Python UDFs in: {row_udfs}"
+    assert not leaked, f"unexpected Python in: {leaked}"
