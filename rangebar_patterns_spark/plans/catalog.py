@@ -652,7 +652,12 @@ def _eval_layer(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
             df = WF.cpcv_pbo(trades, spark)
         else:  # evalues
             df = EM.evalues(trades, _eval_layer(spark, sf_dir, "moments"))
-        _EVAL_CACHE[key] = df.persist()
+        # config-level relations are a few hundred rows at ANY data scale
+        # (the shard contract bounds configs, not bars) — cache them as ONE
+        # partition so the dozen downstream window/join stages schedule one
+        # task each instead of shuffle_partitions empty ones; repartition
+        # (not coalesce) keeps the upstream trades aggregation parallel
+        _EVAL_CACHE[key] = df.repartition(1).persist()
     return _EVAL_CACHE[key]
 
 
