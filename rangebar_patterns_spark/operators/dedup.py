@@ -445,18 +445,24 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Output: one row per doc appearing in any pair — (doc_id, cluster_rep,
     is_rep, cluster_size); downstream "drop the non-reps" is a semi-join.
     """
+    # near-dup pair sets are orders of magnitude smaller than the corpus
+    # (the whole point of dedup); cache the edge/label relations as few
+    # partitions so each propagation round schedules a handful of tasks —
+    # at true cluster scale raise the partition count with the pair count
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
+        .repartition(1)
         .persist()
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
+        .repartition(1)
         .persist()
     )
     for _ in range(max_iter):

@@ -953,11 +953,23 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the MinHash near-dup pair relation feeds both the pair entry and the
+#: cluster-resolution entry — persist once per (session, sf_dir)
+_MH_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _MH_PAIRS_CACHE:
+        _MH_PAIRS_CACHE[key] = DD.minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"), arrs=_doc_arrs(spark, sf_dir)
+        ).persist()
+    return _MH_PAIRS_CACHE[key]
+
+
 @register("dedup_minhash_lsh", TO.MINHASH_LSH_SQL)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), arrs=_doc_arrs(spark, sf_dir)
-    )
+    return _minhash_pairs(spark, sf_dir)
 
 
 @register("dedup_simhash", TO.SIMHASH_PAIRS_SQL)
@@ -991,10 +1003,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-closure DuckDB twin), with the keep-lowest-id
     representative convention — the pairs→clusters→survivors step every
     corpus-scale dedup pipeline ends with."""
-    pairs = DD.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), arrs=_doc_arrs(spark, sf_dir)
-    )
-    return DD.duplicate_clusters(pairs)
+    return DD.duplicate_clusters(_minhash_pairs(spark, sf_dir))
 
 
 @register("sim_ivf_cell_search", TO.IVF_CELL_SQL)
