@@ -94,6 +94,8 @@ def gen500_grid() -> list[SweepConfig]:
     Here it is one shared plan (see ``with_signalset_quantiles`` for the
     threshold dedup that makes the Python pass O(formations × features ×
     qs), not O(configs))."""
+    from .signals import SWEEP_FORMATION_NAMES
+
     feats = ["ofi", "price_impact", "turnover_imbalance", "aggression_ratio"]
     qc = [
         (q1, d1, q2, d2)
@@ -104,7 +106,7 @@ def gen500_grid() -> list[SweepConfig]:
     ][:14]
     return [
         SweepConfig(f, f1, q1, d1, f2, q2, d2)
-        for f in ("2down", "3down", "udd", "dud", "wl1d", "wl2d")
+        for f in SWEEP_FORMATION_NAMES
         for f1 in feats
         for f2 in feats
         if f1 != f2
