@@ -48,3 +48,33 @@ def read_telemetry_ndjson(spark: SparkSession, path: str) -> DataFrame:
     """S10/S11: load JSONL results for ad-hoc SQL (the DuckDB-over-
     parquet layer of the reference is just Spark SQL here)."""
     return spark.read.json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_col: str = "symbol",
+    n_buckets: int = 16,
+    sort_col: str | None = "rn",
+) -> None:
+    """Bucketed parquet table (S11 scale variant): pre-shuffles once at
+    write time so every later equi-join/aggregation on ``bucket_col``
+    is co-located — Catalyst drops the Exchange entirely (asserted in
+    tests/test_bucketing.py).  At 100 TB this converts the per-query
+    shuffle of repeated (symbol, threshold)-keyed joins into a one-time
+    layout cost, the cluster-scale analogue of the reference's per-shard
+    table files.  ``n_buckets`` should track cluster parallelism, not
+    data size — bucket pruning and AQE handle the rest."""
+    w = df.write.mode("overwrite").format("parquet").option("path", path)
+    w = w.bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a bucketed table with its bucket metadata intact (a plain
+    ``spark.read.parquet(path)`` would lose the bucket spec and
+    reintroduce shuffles)."""
+    return spark.table(table_name)
