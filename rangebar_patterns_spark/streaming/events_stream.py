@@ -61,18 +61,18 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("event_time", event_time)
 
 
-def hourly_counts_stream(
-    spark: SparkSession, sf_dir: str, sink_name: str = "hourly_counts_sink"
-) -> DataFrame:
-    """Run the tumbling-window aggregation to completion (availableNow)
-    and return the finished result as a batch DataFrame.
+def windowed_event_counts(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked event-time tumbling-window aggregation over an
+    ``event_time``-stamped events relation — shared by the availableNow
+    catalog entry and the late-data semantics test
+    (tests/test_streaming.py::test_watermark_drops_late_events).
 
     Aggregates are integer-exact on purpose: count(*) and a sum of
-    floor(value * 1e6) — associativity-proof, so the streaming result is
+    floor(value * 1e6) — associativity-proof, so streaming results are
     deterministic and oracle-comparable."""
-    ev = _events_stream(spark, sf_dir).withWatermark("event_time", "1 hour")
-    agg = (
-        ev.groupBy(
+    return (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(
             F.window("event_time", "1 hour").alias("w"),
             F.col("event_type").alias("symbol"),
         )
@@ -89,6 +89,14 @@ def hourly_counts_stream(
             "value_sum_scaled",
         )
     )
+
+
+def hourly_counts_stream(
+    spark: SparkSession, sf_dir: str, sink_name: str = "hourly_counts_sink"
+) -> DataFrame:
+    """Run the tumbling-window aggregation to completion (availableNow)
+    and return the finished result as a batch DataFrame."""
+    agg = windowed_event_counts(_events_stream(spark, sf_dir))
     q = (
         agg.writeStream.format("memory")
         .queryName(sink_name)

@@ -46,3 +46,79 @@ def test_streaming_hourly_matches_batch(spark, duck):
     sp = QUERIES["streaming_hourly_counts"](spark, SF_DIR)
     du = duck.execute(ORACLES["streaming_hourly_counts"]).df()
     compare_frames(sp, du)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics of the shared windowed aggregation: an event
+    older than the advanced watermark is DROPPED (its window finalizes
+    without it), while windows the watermark hasn't passed stay open.
+    Three micro-batches through a real file-source stream in append mode:
+
+      batch 1: 01:30, 05:30  -> watermark advances to 04:30; the 01:00
+               window finalizes with 1 event
+      batch 2: 02:10 (late, < watermark -> dropped), 05:10 (kept)
+      batch 3: 23:00         -> watermark passes everything; 02:00 window
+               must NOT appear (the late event is gone), 05:00 window
+               finalizes with BOTH batch-1 and batch-2 events
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+    from rangebar_patterns_spark.streaming.events_stream import (
+        windowed_event_counts,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    day = "2024-01-01 "
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([day + t for t, _ in rows]),
+                "event_type": ["E" for _ in rows],
+                "value": [v for _, v in rows],
+            }
+        )
+        # microsecond timestamps: the session reads TIMESTAMP(NANOS) as
+        # raw int64 (nanosAsLong for the driver testdata), which would
+        # clash with the declared timestamp schema here
+        pq.write_table(
+            pa.Table.from_pandas(pdf), src / name, coerce_timestamps="us"
+        )
+
+    write_batch("b1.parquet", [("01:30:00", 1.0), ("05:30:00", 2.0)])
+    schema = "ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(str(src))
+        .withColumn("event_time", F.col("ts"))
+    )
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("late_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("b2.parquet", [("02:10:00", 4.0), ("05:10:00", 8.0)])
+        q.processAllAvailable()
+        write_batch("b3.parquet", [("23:00:00", 16.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.window_start_ms: r.n_events
+        for r in spark.table("late_sink").collect()
+    }
+    h = lambda hh: int(pd.Timestamp(day + hh).timestamp() * 1000)  # noqa: E731
+    assert got[h("01:00:00")] == 1
+    assert h("02:00:00") not in got, "late event must be dropped"
+    assert got[h("05:00:00")] == 2, "in-watermark batch-2 event must count"
