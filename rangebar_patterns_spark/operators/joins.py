@@ -104,3 +104,33 @@ def exclude_done(configs: DataFrame, done: DataFrame, keys: list[str]) -> DataFr
     """U3: crash-recovery done-set exclusion (submit.sh --skip-done) as a
     left_anti join."""
     return configs.join(done, keys, "left_anti")
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_src: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join for hot keys that overwhelm one reducer AND a
+    right side too large to broadcast: the large side gets a deterministic
+    salt from ``salt_src`` (any column that varies within a key group —
+    e.g. the row's rn/timestamp), the small side is replicated
+    ``n_salts``×, and the join runs on (key, salt) so each hot key fans
+    out across ``n_salts`` reducers.
+
+    AQE's runtime skew-join (enabled in the session factory) already
+    splits oversized sort-merge partitions; this is the explicit lever
+    for plans AQE can't re-split (skewed keys feeding a downstream
+    aggregation on the same key, or non-SMJ strategies).  Deterministic
+    by construction: the salt is a hash, not a random draw, so results
+    and tests are stable across runs."""
+    salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).alias("_salt")
+    lg = large.withColumn("_salt", salt)
+    sm = small.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>")),
+    )
+    return lg.join(sm, [key, "_salt"], how).drop("_salt")
