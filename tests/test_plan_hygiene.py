@@ -59,3 +59,26 @@ def test_python_placement_across_catalog(spark):
             leaked.append(n)
     assert not row_udfs, f"row-at-a-time Python UDFs in: {row_udfs}"
     assert not leaked, f"unexpected Python in: {leaked}"
+
+
+def test_scan_column_pruning(spark):
+    """Projections must reach the parquet scans: the bars adapter reads
+    only the event columns it uses (not user_id/props), and a narrow
+    documents projection prunes to the selected columns."""
+    from rangebar_patterns_spark.sources.bars import bars_from_events
+    from rangebar_patterns_spark.sources.tables import load_table
+
+    plan = (
+        bars_from_events(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "user_id" not in plan and "props" not in plan
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    dplan = docs._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", dplan)
+    assert rs is not None
+    cols = {c.split(":")[0] for c in rs.group(1).split(",")}
+    assert cols == {"doc_id", "n_chars"}, cols
