@@ -28,3 +28,32 @@ def test_ivf_multiprobe_recall_nondecreasing(spark):
     assert r1 <= r2 <= rall
     # probing every cell IS the brute-force scan — recall must be exact
     assert rall == 1.0
+
+
+def test_quantized_topk_agrees_with_float_baseline(spark):
+    """int8 quantization must preserve neighbor ranking on the fixture:
+    top-1 agreement with the exact float scorer (cosine is scale-
+    invariant, so the per-vector scale cancels), and every quantized
+    component must fit int8."""
+    from pyspark.sql import functions as F
+
+    from rangebar_patterns_spark.operators.similarity import (
+        cosine_topk,
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+    from rangebar_patterns_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rng = quantize_embeddings(emb).select(
+        F.array_max(F.transform("qv", lambda x: F.abs(x))).alias("mx")
+    )
+    assert rng.agg(F.max("mx")).collect()[0][0] <= 127
+
+    truth = {r.query_id: r.neighbor_id for r in cosine_topk(emb, k=1).collect()}
+    got = {
+        r.query_id: r.neighbor_id
+        for r in quantized_cosine_topk(emb, k=1).collect()
+    }
+    agree = sum(got.get(q) == n for q, n in truth.items()) / len(truth)
+    assert agree >= 0.75, agree
