@@ -132,3 +132,22 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         rolling.alias("rolling_fp"),
         F.array_min(shingle_hashes).alias("min_shingle_fp"),
     )
+
+
+def deterministic_sample(
+    docs: DataFrame,
+    rate: float,
+    key: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Reproducible corpus sampling by key hash — the training-data
+    pipeline's subsetting primitive.  Unlike ``df.sample`` (seeded per
+    partition layout, so results shift when partitioning changes), the
+    keep decision is a pure function of (salt, key): re-runs, re-shards
+    and incremental appends all agree on membership, and disjoint salts
+    give independent samples (e.g. held-out eval splits).  Embarrassingly
+    parallel — one hash per row, no shuffle."""
+    bucket = F.pmod(
+        F.xxhash64(F.lit(salt), F.col(key).cast("string")), F.lit(1_000_000)
+    )
+    return docs.filter(bucket < int(rate * 1_000_000))
