@@ -151,3 +151,49 @@ def deterministic_sample(
         F.xxhash64(F.lit(salt), F.col(key).cast("string")), F.lit(1_000_000)
     )
     return docs.filter(bucket < int(rate * 1_000_000))
+
+
+def pack_documents(
+    docs: DataFrame,
+    token_budget: int,
+    shard_col: str | None = None,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-budget packs (the
+    standard LLM-pretraining batching step — concatenate short docs up to
+    a token budget).  Deterministic block packing: docs are ordered by
+    (hash-assigned shard, doc_id), a running token cumsum is taken per
+    shard, and pack_id = floor((cumsum - tokens) / budget) — each doc
+    starts in its pack; at most one doc per boundary overflows, which the
+    trainer truncates or spills (the usual convention).
+
+    One window over a hash-sharded key — no Python, no global sort; shard
+    count bounds the window width the way (symbol,) bounds the bar
+    windows.  Returns (doc_id, shard, pack_id, n_tokens, pack_pos)."""
+    from pyspark.sql import Window
+
+    toks = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ).cast("long")
+    shard = (
+        F.col(shard_col)
+        if shard_col is not None
+        else F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_shards))
+    )
+    d = docs.select(
+        "doc_id", shard.alias("shard"), toks.alias("n_tokens")
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return (
+        d.withColumn(
+            "pack_id",
+            F.floor((cum - F.col("n_tokens")) / F.lit(float(token_budget))).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "pack_pos",
+            F.row_number().over(Window.partitionBy("shard", "pack_id").orderBy("doc_id")).cast("long"),
+        )
+    )
