@@ -427,59 +427,87 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("cosine") >= threshold)
 
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Connected components over a near-dup pair relation — the dedup
     pipeline's resolution step (pairs → clusters → one surviving
     representative per cluster).
 
-    Deterministic min-label propagation: every doc starts labeled with its
-    own id; each round joins labels across edges (both directions) and
-    keeps the per-doc minimum, until a fixpoint (checked via a count — the
+    Deterministic min-label propagation with pointer jumping: every doc
+    starts labeled with its own id; each round takes the per-doc minimum
+    over neighbor labels, then adopts the label *of its current label*
+    (path halving), so a diameter-d component converges in O(log d)
+    rounds rather than d.  Fixpoint is checked via a count — the
     per-round work is fully distributed; only the tiny converged? flag
-    reaches the driver).  Duplicate clusters are short-diameter by
-    construction (near-dup similarity is almost transitive), so rounds ≈
-    2-3 in practice; ``max_iter`` bounds the loop and the standard
-    large-star/small-star contraction is the drop-in upgrade if a corpus
-    ever produces deep chains.
+    reaches the driver — and each round's labels are localCheckpoint()ed
+    so the plan lineage stays constant-depth across rounds.  Duplicate
+    clusters are short-diameter by construction (near-dup similarity is
+    almost transitive), so rounds ≈ 2-3 in practice; ``max_iter`` bounds
+    the loop.
 
     Output: one row per doc appearing in any pair — (doc_id, cluster_rep,
     is_rep, cluster_size); downstream "drop the non-reps" is a semi-join.
+
+    ``num_partitions`` sizes the cached edge/label relations; when None it
+    is derived from the pair count (~500K edge rows per partition) so a
+    toy pair set schedules one task per round while a corpus-scale pair
+    relation fans out.  Raises ``RuntimeError`` if ``max_iter`` rounds do
+    not reach the fixpoint (component diameter > max_iter) rather than
+    silently returning a split-cluster labeling.
     """
     # near-dup pair sets are orders of magnitude smaller than the corpus
-    # (the whole point of dedup); cache the edge/label relations as few
-    # partitions so each propagation round schedules a handful of tasks —
-    # at true cluster scale raise the partition count with the pair count
+    # (the whole point of dedup); cache the edge/label relations with a
+    # partition count derived from the pair count so each propagation
+    # round schedules proportionate tasks
+    if num_partitions is None:
+        num_partitions = max(1, min(256, pairs.count() // 500_000 + 1))
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
-        .repartition(1)
+        .repartition(num_partitions, "src")
         .persist()
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .repartition(1)
-        .persist()
+        .repartition(num_partitions, "doc_id")
+        .localCheckpoint()
     )
+    changed = 1
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(nbr_min, labels.doc_id == nbr_min.src, "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump (path halving): adopt the label of my current label
+        # — turns O(diameter) convergence into O(log diameter)
+        ref = stepped.select(
+            F.col("doc_id").alias("_ref"), F.col("label").alias("_ref_label")
+        )
         new_labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            stepped.join(ref, stepped.label == ref._ref, "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"),
+                    F.coalesce(F.col("_ref_label"), F.col("label")),
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -488,10 +516,14 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds — "
+            "a component's diameter exceeds 2^max_iter; raise max_iter"
+        )
     from pyspark.sql import Window
 
     out = labels.select("doc_id", F.col("label").alias("cluster_rep"))

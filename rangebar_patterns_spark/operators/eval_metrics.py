@@ -229,11 +229,20 @@ def evalues(trades: DataFrame, moments: DataFrame, keys: list[str] | None = None
     )
 
 
-def dsr_metrics(moments: DataFrame, keys: list[str] | None = None) -> DataFrame:
+def dsr_metrics(
+    moments: DataFrame,
+    keys: list[str] | None = None,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
     """PSR / DSR (dsr.py:22-70) + MinBTL (minbtl.py:21-37) + Cornish–Fisher
     VaR (cornish_fisher.py:18-35).  The expected-max-SR benchmark uses the
     *observed* trial count and cross-config SR variance (False Strategy
-    Theorem), computed as broadcast scalars."""
+    Theorem), computed as broadcast scalars.
+
+    ``passthrough`` carries extra ``moments`` columns into the output
+    unchanged — DSR/PSR/MinBTL/CF are pure column math over the moments
+    row, so a caller wanting moments + DSR as one panel appends columns
+    here instead of self-joining two derivations of the same relation."""
     g = keys or KEYS
     from ..functions.detsum import fold_sum
 
@@ -299,6 +308,7 @@ def dsr_metrics(moments: DataFrame, keys: list[str] | None = None) -> DataFrame:
     return m.select(
         *g,
         F.col("n_trades"),
+        *[F.col(c) for c in (passthrough or [])],
         F.round(srr, 6).alias("sharpe"),
         F.round(psr, 6).alias("psr"),
         F.round(sr_star, 6).alias("expected_max_sr"),

@@ -195,7 +195,10 @@ def hypothesis_screen(bars: DataFrame) -> DataFrame:
 
     aggs = []
     for i, h in enumerate(HYPOTHESES):
-        g = F.expr(h.guard)
+        # outcome-bar semantics: the reference evaluates predicates on the
+        # outcome bar, so every counted row has an outcome — require
+        # next_dir on the relabelled relation too (exact row equivalence)
+        g = F.expr(h.guard) & F.col("next_dir").isNotNull()
         c = g & F.expr(h.cond)
         want = F.lit(1) if h.side == "long" else F.lit(0)
         hit = c & (F.col("next_dir") == want)
@@ -219,8 +222,12 @@ def hypothesis_screen(bars: DataFrame) -> DataFrame:
             for i, h in enumerate(HYPOTHESES)
         ]
     )
-    long = wide.select("symbol", F.explode(rows).alias("r")).select(
-        "symbol", "r.*"
+    long = (
+        wide.select("symbol", F.explode(rows).alias("r"))
+        .select("symbol", "r.*")
+        # the twin's `WHERE guard GROUP BY symbol` omits (symbol, combo)
+        # groups whose guard matched zero rows; mirror that here
+        .filter(F.col("total_bars") > 0)
     )
     sc = F.nullif(F.col("signal_count").cast("double"), F.lit(0.0))
     hit_rate = F.col("hits") / sc
@@ -241,6 +248,7 @@ def hypothesis_screen_oracle(bars_relation: str = "bars") -> str:
     blocks = []
     for h in HYPOTHESES:
         want = 1 if h.side == "long" else 0
+        guard = f"({h.guard}) AND next_dir IS NOT NULL"
         hit = f"({h.cond}) AND next_dir = {want}"
         blocks.append(f"""SELECT symbol,
     '{h.family}' AS family, '{h.name}' AS combo_name,
@@ -260,7 +268,7 @@ def hypothesis_screen_oracle(bars_relation: str = "bars") -> str:
         - 0.5)
         / sqrt(0.25 / nullif(CAST(sum(CASE WHEN {h.cond} THEN 1 ELSE 0 END) AS DOUBLE), 0.0))
         AS z_score
-FROM lp WHERE {h.guard}
+FROM lp WHERE {guard}
 GROUP BY symbol""")
         # the guard is re-applied inside cond via AND in the Spark plan;
         # textual twin keeps WHERE guard so total_bars matches countIf

@@ -126,7 +126,18 @@ def salted_join(
     for plans AQE can't re-split (skewed keys feeding a downstream
     aggregation on the same key, or non-SMJ strategies).  Deterministic
     by construction: the salt is a hash, not a random draw, so results
-    and tests are stable across runs."""
+    and tests are stable across runs.
+
+    Only join types where the small side never emits unmatched rows are
+    equivalence-preserving: under right/full outer joins each unmatched
+    small-side row would surface once per salt replica (n_salts duplicate
+    output rows vs the plain join)."""
+    allowed = {"inner", "left", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only; {how!r} would "
+            "duplicate unmatched small-side rows once per salt replica"
+        )
     salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).alias("_salt")
     lg = large.withColumn("_salt", salt)
     sm = small.withColumn(

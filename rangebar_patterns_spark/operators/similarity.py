@@ -175,7 +175,12 @@ def quantize_embeddings(emb: DataFrame, levels: int = 127) -> DataFrame:
     v = vec_double(F.col("embedding"))
     s = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(float(levels))
     scale = F.nullif(s, F.lit(0.0))
-    qv = F.transform(v, lambda x: F.round(x / scale).cast("smallint"))
+    # all-zero vectors have scale NULL: coalesce each component to 0 so
+    # they quantize to zero vectors (not all-NULL), keeping downstream
+    # cosine/ranking deterministic and aligned with the float baseline
+    qv = F.transform(
+        v, lambda x: F.coalesce(F.round(x / scale), F.lit(0)).cast("smallint")
+    )
     return emb.select(
         "vec_id",
         "label",

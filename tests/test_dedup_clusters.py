@@ -27,6 +27,32 @@ def test_chain_and_island(spark):
     }
 
 
+def test_deep_chain_multi_partition(spark):
+    """A 9-hop chain (diameter 9 > 3 rounds) must still converge to one
+    component with a non-1 partition count — the scale configuration."""
+    from rangebar_patterns_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "doc_a long, doc_b long"
+    )
+    rows = duplicate_clusters(pairs, num_partitions=4).collect()
+    assert {r.cluster_rep for r in rows} == {1}
+    assert all(r.cluster_size == 10 for r in rows)
+    assert sum(r.is_rep for r in rows) == 1
+
+
+def test_non_convergence_raises(spark):
+    import pytest
+
+    from rangebar_patterns_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iter=1)
+
+
 def test_triangle_single_round(spark):
     from rangebar_patterns_spark.operators.dedup import duplicate_clusters
 

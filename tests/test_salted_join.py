@@ -37,3 +37,17 @@ def test_salted_join_equals_plain_join(spark):
         assert "_salt" in plan, "join must run on the salted composite key"
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_salted_join_rejects_outer(spark):
+    """right/full outer would emit each unmatched small-side row once per
+    salt replica — the API must refuse rather than silently duplicate."""
+    import pytest
+
+    from rangebar_patterns_spark.operators.joins import salted_join
+
+    large = spark.createDataFrame([("a", 1)], "key string, rn long")
+    small = spark.createDataFrame([("a", 1.0)], "key string, weight double")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(large, small, "key", salt_src="rn", how=how)

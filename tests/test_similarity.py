@@ -57,3 +57,18 @@ def test_quantized_topk_agrees_with_float_baseline(spark):
     }
     agree = sum(got.get(q) == n for q, n in truth.items()) / len(truth)
     assert agree >= 0.75, agree
+
+
+def test_zero_vector_quantizes_to_zero(spark):
+    """An all-zero embedding must quantize to a zero vector (scale 0.0),
+    not all-NULLs — NULL cosines would rank nondeterministically."""
+    from rangebar_patterns_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(0, "a", [0.0, 0.0, 0.0]), (1, "a", [1.0, -2.0, 0.5])],
+        "vec_id long, label string, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    assert rows[0].scale == 0.0
+    assert rows[0].qv == [0, 0, 0]
+    assert all(q is not None for q in rows[1].qv)
