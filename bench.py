@@ -29,7 +29,12 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    # demonstration-scale bench-only workloads (full-width gen600 grid):
+    # timed here, correctness-pinned in the pytest oracle suite
+    from rangebar_patterns_spark.plans.catalog import BENCH_QUERIES
+
+    qs.update(BENCH_QUERIES)
 
     # pre-warm: JVM classloading + codegen on a trivial plan
     spark.range(1_000_000).selectExpr("sum(id)").collect()

@@ -114,6 +114,33 @@ def gen500_grid() -> list[SweepConfig]:
     ]
 
 
+def gen600_full_grid(
+    bar_features: tuple[str, ...] = ("ofi",),
+) -> list[SweepConfig]:
+    """The full-width gen600 hybrid sweep: ALL 22 formation templates ×
+    (bar-feature × 38 cross-features) × 4 quantile combos — the reference's
+    generate.sh matrix (scripts/gen600/generate.sh:104-175; Phase-1 grid is
+    p50-only, 2 directions per side = 4 combos per pair).  With the default
+    single bar feature that is 22 × 38 × 4 = 3,344 configs per
+    asset/threshold, the per-asset width of the reference's 301K-file
+    harness; the reference's full 9-bar-feature matrix is
+    ``gen600_full_grid(bar_features=BAR_FEATURES)`` — same one plan."""
+    from .crossfeatures import CROSS_FEATURES
+
+    combos = [
+        (0.5, d1, 0.5, d2)
+        for d1 in (">", "<")
+        for d2 in (">", "<")
+    ]
+    return [
+        SweepConfig(f, f1, q1, d1, f2, q2, d2)
+        for f in FORMATIONS
+        for f1 in bar_features
+        for f2 in CROSS_FEATURES
+        for q1, d1, q2, d2 in combos
+    ]
+
+
 SWEEP_GRID_SCHEMA = (
     "config_id string, formation string, feature1 string, q1 double, dir1 string, "
     "feature2 string, q2 double, dir2 string, side string"
@@ -294,6 +321,159 @@ def with_signalset_quantiles(
     return out.select(*_CAND_COLUMNS, "f1_thr", "f2_thr")
 
 
+def sweep_candidates_with_thresholds(
+    feat: DataFrame,
+    spark: SparkSession,
+    grid: list[SweepConfig],
+    feature_cols: list[str],
+    warmup: int,
+    lookback: int = SIGNALSET_LOOKBACK,
+) -> DataFrame:
+    """Fused grid-scale path producing exactly
+    ``with_signalset_quantiles(sweep_candidates(...))`` (equivalence
+    pinned in tests/test_sweep.py) with config-grain work deferred to the
+    very end:
+
+    * candidates materialize at **unordered-pair grain** — one row per
+      (formation, feature-pair, bar); the quantile-combo and direction
+      axes of the grid never touch the candidate stream (4× fewer rows
+      for the full-width grid, more for dense quantile grids);
+    * each W7 threshold series is generated exactly once **by
+      construction** (broadcast series-spec join) — the old path
+      materialized config-grain rows and ``dropDuplicates``-ed them back
+      down, a full shuffle of the widest relation in the plan;
+    * the Arrow quantile kernel returns ``val`` alongside ``thr``, so no
+      join back to the candidate stream is needed — the two sides pivot
+      together with ONE pair-grain join, and configs attach via a
+      broadcast join (no shuffle) straight into the funnel aggregate.
+
+    At the 3,344-config full-width grid this cuts the sf0.1 wall time
+    ~3× vs the layered path (which remains the didactic reference shape
+    for small grids)."""
+    formations = grid_formations(grid)
+    # UNORDERED pair grain: grids may contain both orientations of a pair
+    # (gen500 does) and both share one candidate set — (pa < pb) keying
+    # gives each distinct threshold series exactly one source row stream
+    pairs = sorted(
+        {(c.formation, min(c.feature1, c.feature2), max(c.feature1, c.feature2))
+         for c in grid}
+    )
+    pairs_df = spark.createDataFrame(
+        pairs, "formation string, pa string, pb string"
+    )
+    # one spec row per distinct threshold series (no orientation axis —
+    # uniqueness on these four keys is what prevents duplicate series)
+    spec = sorted(
+        {(c.formation, f, q, p)
+         for c in grid
+         for f, q, p in (
+             (c.feature1, c.q1, c.feature2), (c.feature2, c.q2, c.feature1),
+         )}
+    )
+    spec_df = spark.createDataFrame(
+        spec, "formation string, feature string, q double, partner string"
+    )
+    formation_arr = F.array(
+        *[F.when(FORMATIONS[name].signal(), F.lit(name)) for name in formations]
+    )
+    fmap = F.create_map(*chain.from_iterable((F.lit(c), F.col(c)) for c in feature_cols))
+    payload = ["close_time_ms", "threshold_decimal_bps", "entry_price", "next_dir"]
+    pair_cand = (
+        feat.filter(base_candidate_filter(warmup))
+        .withColumn(
+            "formation",
+            F.explode(F.filter(formation_arr, lambda x: x.isNotNull())),
+        )
+        .join(F.broadcast(pairs_df), "formation")
+        .withColumn("val_a", F.element_at(fmap, F.col("pa")))
+        .withColumn("val_b", F.element_at(fmap, F.col("pb")))
+        .filter(F.col("val_a").isNotNull() & F.col("val_b").isNotNull())
+        .select(
+            "formation", "pa", "pb", "symbol", "rn",
+            *payload, "val_a", "val_b",
+        )
+    )
+    # side rows carry the trade payload so no join back to the candidate
+    # stream is ever needed — the Arrow kernel passes it through.  A
+    # series (feature, partner) matches exactly one orientation of the
+    # (pa < pb) pair, so each series row appears exactly once.
+    def _orient(fcol: str, pcol: str, vcol: str) -> DataFrame:
+        sp = F.broadcast(spec_df)
+        return pair_cand.join(
+            sp,
+            (pair_cand.formation == spec_df.formation)
+            & (pair_cand[fcol] == spec_df.feature)
+            & (pair_cand[pcol] == spec_df.partner),
+        ).select(
+            pair_cand.formation, "feature", "q", "partner", "symbol", "rn",
+            *payload, F.col(vcol).alias("val"),
+        )
+
+    side_rows = _orient("pa", "pb", "val_a").unionByName(_orient("pb", "pa", "val_b"))
+
+    thr_schema = StructType(
+        [
+            StructField("formation", pair_cand.schema["formation"].dataType),
+            StructField("feature", pair_cand.schema["pa"].dataType),
+            StructField("q", DoubleType()),
+            StructField("partner", pair_cand.schema["pb"].dataType),
+            StructField("symbol", pair_cand.schema["symbol"].dataType),
+            StructField("rn", pair_cand.schema["rn"].dataType),
+            StructField("close_time_ms", pair_cand.schema["close_time_ms"].dataType),
+            StructField(
+                "threshold_decimal_bps",
+                pair_cand.schema["threshold_decimal_bps"].dataType,
+            ),
+            StructField("entry_price", DoubleType()),
+            StructField("next_dir", pair_cand.schema["next_dir"].dataType),
+            StructField("val", DoubleType()),
+            StructField("thr", DoubleType()),
+        ]
+    )
+    out_cols = [f.name for f in thr_schema.fields]
+
+    def compute(pdf):
+        pdf = pdf.sort_values("rn", kind="mergesort").reset_index(drop=True)
+        pdf["thr"] = excl_quantile_stream(
+            pdf["val"].to_numpy("float64", na_value=np.nan),
+            float(pdf["q"].iloc[0]),
+            lookback,
+        )
+        return pdf[out_cols]
+
+    # both pivot sides read this relation — persist so the Arrow pass
+    # runs once
+    thr = (
+        side_rows.groupBy("formation", "feature", "q", "partner", "symbol")
+        .applyInPandas(compute, thr_schema)
+        .persist()
+    )
+    p1 = thr.select(
+        "formation",
+        F.col("feature").alias("feature1"),
+        F.col("q").alias("q1"),
+        F.col("partner").alias("feature2"),
+        "symbol", "rn", *payload,
+        F.col("val").alias("f1_val"),
+        F.col("thr").alias("f1_thr"),
+    )
+    p2 = thr.select(
+        "formation",
+        F.col("partner").alias("feature1"),
+        F.col("feature").alias("feature2"),
+        F.col("q").alias("q2"),
+        "symbol", "rn",
+        F.col("val").alias("f2_val"),
+        F.col("thr").alias("f2_thr"),
+    )
+    both = p1.join(p2, ["formation", "feature1", "feature2", "symbol", "rn"])
+    cfg_df = sweep_grid_to_spark(spark, grid)
+    out = both.join(
+        F.broadcast(cfg_df), ["formation", "feature1", "q1", "feature2", "q2"]
+    )
+    return out.select(*_CAND_COLUMNS, "f1_thr", "f2_thr")
+
+
 def _passes(val: str, direction: str, thr: str) -> F.Column:
     return F.when(F.col(direction) == ">", F.col(val) > F.col(thr)).otherwise(
         F.col(val) < F.col(thr)
@@ -376,27 +556,42 @@ class NFeatureConfig:
         return f"nf{len(self.features)}_" + "_".join(parts)
 
 
-def nfeature_grid() -> list[NFeatureConfig]:
-    """Demo grid with the reference's 3- and 4-feature shapes (the
-    production sweep substitutes longer feature lists the same way)."""
-    return [
-        NFeatureConfig(
-            ("ofi", "price_impact", "turnover_imbalance"),
-            (0.5, 0.75, 0.5), (">", ">", "<"),
-        ),
-        NFeatureConfig(
-            ("aggression_ratio", "ofi", "price_impact"),
-            (0.25, 0.5, 0.5), ("<", ">", ">"),
-        ),
-        NFeatureConfig(
-            ("ofi", "price_impact", "turnover_imbalance", "aggression_ratio"),
-            (0.5, 0.5, 0.5, 0.5), (">", ">", "<", ">"),
-        ),
-        NFeatureConfig(
-            ("ofi", "price_impact", "turnover_imbalance", "aggression_ratio"),
-            (0.75, 0.25, 0.5, 0.5), (">", "<", ">", "<"),
-        ),
-    ]
+#: the reference's gen400 quantile/direction grids
+#: (scripts/gen400/generate.sh:14-27): 6 combos for slots 1-2, p50-only
+#: for slots 3+
+GEN400_GRID_FULL = [
+    (0.50, ">"), (0.50, "<"), (0.75, ">"), (0.25, "<"), (0.90, ">"), (0.10, "<"),
+]
+GEN400_GRID_P50 = [(0.50, ">"), (0.50, "<")]
+
+
+def nfeature_grid(
+    features: tuple[str, ...] = (
+        "ofi", "price_impact", "turnover_imbalance", "aggression_ratio",
+    ),
+) -> list[NFeatureConfig]:
+    """The reference's gen400 enumeration (scripts/gen400/generate.sh
+    phases 2-3) over ``features``: every 3-subset × 6 × 6 × 2 combos plus
+    every 4-subset × 6 × 6 × 2 × 2 — with the default 4 features that is
+    C(4,3)·72 + C(4,4)·144 = 432 configs; the reference's full 8-feature
+    run (4,032 + 10,080 configs) is the same call with its feature list."""
+    from itertools import combinations
+
+    grid: list[NFeatureConfig] = []
+    for fs in combinations(features, 3):
+        for g1 in GEN400_GRID_FULL:
+            for g2 in GEN400_GRID_FULL:
+                for g3 in GEN400_GRID_P50:
+                    qs, dirs = zip(g1, g2, g3)
+                    grid.append(NFeatureConfig(fs, qs, dirs))
+    for fs in combinations(features, 4):
+        for g1 in GEN400_GRID_FULL:
+            for g2 in GEN400_GRID_FULL:
+                for g3 in GEN400_GRID_P50:
+                    for g4 in GEN400_GRID_P50:
+                        qs, dirs = zip(g1, g2, g3, g4)
+                        grid.append(NFeatureConfig(fs, qs, dirs))
+    return grid
 
 
 def nfeature_signals(
@@ -411,14 +606,18 @@ def nfeature_signals(
     1. candidates = champion signal ∧ eligibility ∧ entry valid ∧ ALL
        config features non-NULL (candidate membership depends on the full
        feature list — the same Feature Quantile Trap rule as the pair
-       sweep, so thresholds run per (config, slot));
+       sweep, so a candidate sequence is shared by exactly the configs
+       with the same feature SET);
     2. per-slot rolling exclusive quantile over the candidate sequence;
     3. signal = candidate whose every slot passes its directional filter.
 
-    The config and slot tables are broadcast; the per-(config, slot,
-    symbol) Arrow threshold pass scales with the config grid exactly like
-    the reference's per-template expansion (configs sharing a feature SET
-    could dedup further; the demo grid is small enough not to bother)."""
+    Threshold work is deduped by feature set: the Arrow quantile pass runs
+    once per distinct (feature_set, feature, q, symbol) — for the 432-
+    config default grid that is 5 sets × ~11 (feature, q) series instead
+    of 432 × 3-4 per-config slots, an ~25× reduction that grows with the
+    grid exactly like the pair sweep's (formation, feature, q, partner)
+    dedup.  Config-grain rows exist only on the small champion-candidate
+    stream (slot-table broadcast join), never on the bar stream."""
     from .signals import base_eligibility as _belig
     from .signals import champion_signal, eligibility
 
@@ -426,17 +625,27 @@ def nfeature_signals(
     fmap = F.create_map(
         *chain.from_iterable((F.lit(c), F.col(c)) for c in feature_cols)
     )
-    cfgs = spark.createDataFrame(
-        [(c.config_id, list(c.features)) for c in grid],
-        "config_id string, features array<string>",
+
+    def set_id(c: NFeatureConfig) -> str:
+        return "+".join(sorted(c.features))
+
+    sets = sorted({set_id(c): sorted(c.features) for c in grid}.items())
+    sets_df = spark.createDataFrame(
+        [(sid, fs) for sid, fs in sets], "set_id string, features array<string>"
     )
+    # one row per (config, slot), joined to the per-set pass flags below
     slots = spark.createDataFrame(
         [
-            (c.config_id, i, f, q, d)
+            (c.config_id, set_id(c), i, f, q, d)
             for c in grid
             for i, (f, q, d) in enumerate(zip(c.features, c.qs, c.dirs))
         ],
-        "config_id string, slot int, feature string, q double, dir string",
+        "config_id string, set_id string, slot int, feature string, q double, dir string",
+    )
+    # distinct threshold series actually needed: (set, feature, q)
+    series = spark.createDataFrame(
+        sorted({(set_id(c), f, q) for c in grid for f, q in zip(c.features, c.qs)}),
+        "set_id string, feature string, q double",
     )
     base = feat.filter(
         champion_signal() & eligibility(warmup) & _belig(warmup)
@@ -445,18 +654,19 @@ def nfeature_signals(
         "entry_price", "next_dir", *feature_cols,
     )
     cand = (
-        base.crossJoin(F.broadcast(cfgs))
+        base.crossJoin(F.broadcast(sets_df))
         .filter(F.forall(F.col("features"), lambda f: F.element_at(fmap, f).isNotNull()))
         .drop("features")
     )
-    sl = cand.join(F.broadcast(slots), "config_id").withColumn(
+    sl = cand.join(F.broadcast(series), "set_id").withColumn(
         "val", F.element_at(fmap, F.col("feature"))
     )
 
     thr_schema = StructType(
         [
-            StructField("config_id", sl.schema["config_id"].dataType),
-            StructField("slot", sl.schema["slot"].dataType),
+            StructField("set_id", sl.schema["set_id"].dataType),
+            StructField("feature", sl.schema["feature"].dataType),
+            StructField("q", DoubleType()),
             StructField("symbol", sl.schema["symbol"].dataType),
             StructField("rn", sl.schema["rn"].dataType),
             StructField("thr", DoubleType()),
@@ -470,26 +680,34 @@ def nfeature_signals(
             float(pdf["q"].iloc[0]),
             lookback,
         )
-        return pdf[["config_id", "slot", "symbol", "rn", "thr"]]
+        return pdf[["set_id", "feature", "q", "symbol", "rn", "thr"]]
 
-    thr = sl.groupBy("config_id", "slot", "symbol").applyInPandas(
+    thr = sl.groupBy("set_id", "feature", "q", "symbol").applyInPandas(
         compute, thr_schema
     )
-    sl2 = sl.join(thr, ["config_id", "slot", "symbol", "rn"])
-    slot_pass = F.col("thr").isNotNull() & F.when(
-        F.col("dir") == ">", F.col("val") > F.col("thr")
-    ).otherwise(F.col("val") < F.col("thr"))
-    rows = (
-        sl2.withColumn("_p", slot_pass.cast("int"))
-        .groupBy(
-            "config_id", "symbol", "rn", "close_time_ms",
-            "threshold_decimal_bps", "entry_price",
-        )
-        .agg(F.min("_p").alias("_all"))
+    # per-series directional pass flags at candidate grain, then fan out to
+    # configs via the broadcast slot table — min over slots = all pass
+    flags = sl.join(thr, ["set_id", "feature", "q", "symbol", "rn"]).withColumns(
+        {
+            "pass_gt": (F.col("thr").isNotNull() & (F.col("val") > F.col("thr"))).cast("int"),
+            "pass_lt": (F.col("thr").isNotNull() & (F.col("val") < F.col("thr"))).cast("int"),
+        }
+    )
+    sl2 = flags.join(F.broadcast(slots), ["set_id", "feature", "q"]).withColumn(
+        "_p", F.when(F.col("dir") == ">", F.col("pass_gt")).otherwise(F.col("pass_lt"))
+    )
+    rows = sl2.groupBy(
+        "config_id", "symbol", "rn", "close_time_ms",
+        "threshold_decimal_bps", "entry_price",
+    ).agg(F.min("_p").alias("_all"), F.count("*").alias("_n_slots"))
+    n_slots = {c.config_id: len(c.features) for c in grid}
+    slot_counts = spark.createDataFrame(
+        sorted(n_slots.items()), "config_id string, n_slots int"
     )
     return (
-        rows.filter(F.col("_all") == 1)
-        .drop("_all")
+        rows.join(F.broadcast(slot_counts), "config_id")
+        .filter((F.col("_all") == 1) & (F.col("_n_slots") == F.col("n_slots")))
+        .drop("_all", "_n_slots", "n_slots")
         .withColumn("side", F.lit("long"))
     )
 

@@ -28,6 +28,12 @@ from ..functions import detsum as _det
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+#: bench-only workloads: demonstration-scale plans (e.g. the full-width
+#: gen600 grid) that bench.py times alongside the catalog but that stay
+#: OUT of the driver's 50-entry correctness gate — their arithmetic is
+#: certified at fixture scale by the pytest oracle suite instead
+BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
 #: warmup guard used by catalog queries — sized for the sf0.01 correctness
 #: gate (2,000 bars/symbol) while still leaving population at sf0.001
 WARMUP = 100
@@ -480,7 +486,7 @@ from ..config import gen600_profiles  # noqa: E402
 from ..operators.sweep import (  # noqa: E402
     default_sweep_grid,
     grid_formations,
-    sweep_candidates,
+    sweep_candidates_with_thresholds,
     sweep_funnel,
     sweep_grid_to_spark,
     sweep_signals,
@@ -508,16 +514,12 @@ def _sweep_candq(spark: SparkSession, sf_dir: str) -> DataFrame:
         # _featg = bar features (rolling ti) + the 5 non-ti gate
         # thresholds — the exhaustion/high-volume/VWAP formations in the
         # 22-template sweep read them; shared+persisted with
-        # formation_counts and the short-barrier entries
-        grid = default_sweep_grid()
-        cand = sweep_candidates(
-            _featg(spark, sf_dir),
-            sweep_grid_to_spark(spark, grid),
-            SWEEP_FEATURES,
-            WARMUP,
-            formations=grid_formations(grid),
-        )
-        _CANDQ_CACHE[key] = with_signalset_quantiles(cand).persist()
+        # formation_counts and the short-barrier entries.  Fused pair-grain
+        # path (== layered sweep_candidates → with_signalset_quantiles,
+        # pinned in tests/test_sweep.py)
+        _CANDQ_CACHE[key] = sweep_candidates_with_thresholds(
+            _featg(spark, sf_dir), spark, default_sweep_grid(), SWEEP_FEATURES, WARMUP
+        ).persist()
     return _CANDQ_CACHE[key]
 
 
@@ -579,15 +581,11 @@ WITH {BARS_DUCKDB_CTE},
 # template expansion is O(configs) window passes and needs >10 min at
 # this grid size; the 44-config sweep_funnel keeps exercising it.
 def q_sweep_gen500(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grid = gen500_grid()
-    cand = sweep_candidates(
-        _featg(spark, sf_dir),
-        sweep_grid_to_spark(spark, grid),
-        SWEEP_FEATURES,
-        WARMUP,
-        formations=grid_formations(grid),
+    return sweep_funnel(
+        sweep_candidates_with_thresholds(
+            _featg(spark, sf_dir), spark, gen500_grid(), SWEEP_FEATURES, WARMUP
+        )
     )
-    return sweep_funnel(with_signalset_quantiles(cand))
 
 
 @register("sweep_barrier_metrics", _SWEEP_METRICS_ORACLE)
@@ -601,6 +599,48 @@ def q_sweep_barrier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = sweep_signals(_sweep_candq(spark, sf_dir))
     trades = sweep_trades(sigs, fwd, grid_to_spark(spark, gen600_profiles()))
     return barrier_metrics(trades, group_cols=["config_id", "symbol", "barrier_id"])
+
+
+from ..operators.crossfeatures import CROSS_FEATURES, with_cross_features  # noqa: E402
+from ..operators.sweep import gen600_full_grid  # noqa: E402
+
+#: bar-level features the full-width bench grid pairs against the cross
+#: surface; the reference's full matrix uses all 9 (generate.sh:58-66)
+GEN600_FULL_BAR_FEATURES = ("ofi",)
+
+
+def q_sweep_gen600_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline demonstration: the reference's full-width gen600 hybrid
+    sweep — ALL 22 formation templates × 38 cross-features × 4 quantile
+    combos = 3,344 configs per asset (scripts/gen600/generate.sh:104-175),
+    i.e. the per-asset width of the 301K-file sed harness — as ONE shared
+    plan: one bars scan, one formation explode, one deduped Arrow threshold
+    pass, one broadcast barrier grid.  Output is the per-(config, symbol)
+    funnel panel with per-barrier trade metrics attached.
+
+    Bench-only (BENCH_QUERIES): the driver's 50-entry gate certifies the
+    identical chain on the 44-config faithful twin (``sweep_funnel``) and
+    the 1,008-config bulk twin (``sweep_gen500_1008cfg``); the full grid is
+    additionally pinned against the side-aware bulk oracle at fixture scale
+    in tests/test_sweep.py."""
+    grid = gen600_full_grid(GEN600_FULL_BAR_FEATURES)
+    featx = with_cross_features(_featg(spark, sf_dir))
+    features = sorted({*GEN600_FULL_BAR_FEATURES, *CROSS_FEATURES})
+    candq = sweep_candidates_with_thresholds(
+        featx, spark, grid, features, WARMUP
+    ).persist()
+    funnel = sweep_funnel(candq)
+    fwd = with_entry_and_forward(featx, cap=max_bars_cap(gen600_profiles()))
+    trades = sweep_trades(
+        sweep_signals(candq), fwd, grid_to_spark(spark, gen600_profiles())
+    )
+    metrics = barrier_metrics(
+        trades, group_cols=["config_id", "symbol", "barrier_id"]
+    )
+    return funnel.join(metrics, ["config_id", "symbol"], "left")
+
+
+BENCH_QUERIES["sweep_gen600_fullgrid"] = q_sweep_gen600_full
 
 
 # ---------------------------------------------------------------------------
@@ -1457,13 +1497,13 @@ def q_genx_hypotheses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..config import gen400_profile  # noqa: E402
 from ..operators.sweep import nfeature_grid, nfeature_signals  # noqa: E402
-from .sweep_oracle import nfeature_metrics_oracle  # noqa: E402
+from .sweep_oracle import nfeature_metrics_oracle_bulk  # noqa: E402
 
 _NF_ORACLE = _materialize(
     f"""
 WITH {BARS_DUCKDB_CTE},
 {_featg_ctes()},
-{nfeature_metrics_oracle(nfeature_grid(), gen400_profile(), WARMUP, feat_relation="featg")}
+{nfeature_metrics_oracle_bulk(nfeature_grid(), gen400_profile(), WARMUP, feat_relation="featg")}
 """,
     "bars", "feat", "featg", "fwdarr",
 )
@@ -1471,11 +1511,15 @@ WITH {BARS_DUCKDB_CTE},
 
 @register("sweep_nfeature_metrics", _NF_ORACLE)
 def q_sweep_nfeature_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """gen400 3-/4-feature sweep: champion candidates filtered by N
-    simultaneous rolling signal-set quantile conditions, through the fixed
-    2:1 R:R barrier, aggregated per config (reference
-    sql/gen400_3feature_template.sql / gen400_4feature_template.sql as a
-    feature-LIST generalization of the pair sweep)."""
+    """gen400 3-/4-feature sweep at the reference's enumeration shape —
+    432 configs (C(4,3)·72 + C(4,4)·144; scripts/gen400/generate.sh
+    phases 2-3): champion candidates filtered by N simultaneous rolling
+    signal-set quantile conditions, through the fixed 2:1 R:R barrier,
+    aggregated per config (sql/gen400_3feature_template.sql /
+    gen400_4feature_template.sql as a feature-LIST generalization of the
+    pair sweep).  Oracle is the set-deduped bulk twin
+    (sweep_oracle.nfeature_metrics_oracle_bulk); the faithful per-config
+    template expansion stays pinned on a subgrid in tests/test_sweep.py."""
     sigs = nfeature_signals(_featg(spark, sf_dir), spark, nfeature_grid(), WARMUP)
     fwd = with_entry_and_forward(
         _featg(spark, sf_dir), cap=max_bars_cap(gen400_profile())

@@ -209,7 +209,10 @@ FEAT_CTE_SWEEP = frag.feat_cte  # rolling feat twin builder
 
 
 def sweep_funnel_oracle_bulk(
-    grid: list[SweepConfig], warmup: int, features: list[str]
+    grid: list[SweepConfig],
+    warmup: int,
+    features: list[str],
+    feat_relation: str = "feat",
 ) -> str:
     """Grid-scale funnel oracle (the gen500 1,008-config workload).
 
@@ -233,12 +236,13 @@ def sweep_funnel_oracle_bulk(
 
     grid_rows = ",\n        ".join(
         f"('{c.config_id}', '{c.formation}', '{c.feature1}', CAST({c.q1!r} AS DOUBLE), "
-        f"'{c.dir1}', '{c.feature2}', CAST({c.q2!r} AS DOUBLE), '{c.dir2}')"
+        f"'{c.dir1}', '{c.feature2}', CAST({c.q2!r} AS DOUBLE), '{c.dir2}', "
+        f"'{FORMATIONS[c.formation].side}')"
         for c in grid
     )
     fmap1 = " ".join(f"WHEN '{f}' THEN {f}" for f in features)
     cand0 = "\n    UNION ALL\n    ".join(
-        f"SELECT '{name}' AS formation, * FROM feat"
+        f"SELECT '{name}' AS formation, * FROM {feat_relation}"
         f" WHERE {FORMATIONS[name].signal_sql()} AND {base_eligibility_sql(warmup)}"
         for name in formations
     )
@@ -255,14 +259,14 @@ def sweep_funnel_oracle_bulk(
     return f"""sweep_grid AS (
     SELECT * FROM (VALUES
         {grid_rows}
-    ) AS t(config_id, formation, feature1, q1, dir1, feature2, q2, dir2)
+    ) AS t(config_id, formation, feature1, q1, dir1, feature2, q2, dir2, side)
 ),
 cand0 AS (
     {cand0}
 ),
 candc AS (
     SELECT g.config_id, g.formation, g.feature1, g.q1, g.dir1,
-        g.feature2, g.q2, g.dir2,
+        g.feature2, g.q2, g.dir2, g.side,
         c.symbol, c.rn, c.close_time_ms, c.threshold_decimal_bps,
         c.entry_price, c.next_dir,
         CASE g.feature1 {fmap1} END AS f1_val,
@@ -304,13 +308,108 @@ candp AS (
 SELECT config_id, symbol,
     count(*) AS n_candidates,
     CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_signals,
-    CAST(sum(CASE WHEN passed AND next_dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-    sum(CASE WHEN passed AND next_dir = 1 THEN 1 ELSE 0 END)
+    CAST(sum(CASE WHEN passed AND next_dir = (CASE WHEN side = 'short' THEN 0 ELSE 1 END) THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+    sum(CASE WHEN passed AND next_dir = (CASE WHEN side = 'short' THEN 0 ELSE 1 END) THEN 1 ELSE 0 END)
         / nullif(CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS DOUBLE), 0.0) AS hit_rate,
-    sum(CASE WHEN passed AND next_dir = 1 THEN 1 ELSE 0 END)
+    sum(CASE WHEN passed AND next_dir = (CASE WHEN side = 'short' THEN 0 ELSE 1 END) THEN 1 ELSE 0 END)
         / nullif(CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS DOUBLE), 0.0) - 0.5 AS edge_pct,
-    (sum(CASE WHEN passed AND next_dir = 1 THEN 1 ELSE 0 END)
+    (sum(CASE WHEN passed AND next_dir = (CASE WHEN side = 'short' THEN 0 ELSE 1 END) THEN 1 ELSE 0 END)
         / nullif(CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS DOUBLE), 0.0) - 0.5)
         / sqrt(0.25 / nullif(CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS DOUBLE), 0.0)) AS z_score
 FROM candp
 GROUP BY config_id, symbol"""
+
+
+def nfeature_metrics_oracle_bulk(
+    grid,
+    profiles: list[BarrierConfig],
+    warmup: int,
+    feat_relation: str = "featg",
+) -> str:
+    """Grid-scale twin of the gen400 n-feature sweep (the 432-config
+    reference enumeration).  The faithful per-config expansion above is
+    O(configs × slots) window passes — DuckDB needs ~90 s at sf0.01 for
+    432 configs; this variant exploits the same structural fact the
+    engine's feature-set dedup uses (configs sharing a feature SET share a
+    candidate sequence, so each (set, feature) rolling series is computed
+    once and every quantile is a projection over the same window list)
+    while staying an independent implementation (window lists + CASE maps
+    vs Spark's Arrow stream kernel).  The faithful per-config twin keeps
+    being exercised on a subgrid in tests/test_sweep.py."""
+    base_where = (
+        f"{frag.CHAMPION_SIGNAL} AND {frag.eligibility(warmup)}"
+        f" AND {base_eligibility_sql(warmup)}"
+    )
+    feature_cols = sorted({f for c in grid for f in c.features})
+    qs = sorted({q for c in grid for q in c.qs})
+
+    def set_id(c) -> str:
+        return "+".join(sorted(c.features))
+
+    sets = sorted({set_id(c): sorted(c.features) for c in grid}.items())
+    cand0 = "\n    UNION ALL\n    ".join(
+        f"SELECT '{sid}' AS set_id, * FROM {feat_relation}"
+        f" WHERE {base_where} AND "
+        + " AND ".join(f"{f} IS NOT NULL" for f in fs)
+        for sid, fs in sets
+    )
+    slot_rows = ",\n        ".join(
+        f"('{c.config_id}', '{set_id(c)}', {i}, '{f}', CAST({q!r} AS DOUBLE), '{d}')"
+        for c in grid
+        for i, (f, q, d) in enumerate(zip(c.features, c.qs, c.dirs))
+    )
+    fmap = " ".join(f"WHEN '{f}' THEN {f}" for f in feature_cols)
+    win = (
+        "PARTITION BY set_id, feature, symbol ORDER BY rn "
+        f"ROWS BETWEEN {SIGNALSET_LOOKBACK} PRECEDING AND 1 PRECEDING"
+    )
+    thr_cols = ",\n        ".join(
+        f"{duck_q6_expr(f'list(val) OVER ({win})', q)} AS thr_{int(q * 100):02d}"
+        for q in qs
+    )
+    pick = " ".join(f"WHEN {q!r} THEN t.thr_{int(q * 100):02d}" for q in qs)
+    return f"""cand0 AS (
+    {cand0}
+),
+slot_grid AS (
+    SELECT * FROM (VALUES
+        {slot_rows}
+    ) AS t(config_id, set_id, slot, feature, q, dir)
+),
+thrin AS (
+    SELECT c.set_id, s.feature, c.symbol, c.rn, c.close_time_ms,
+        c.threshold_decimal_bps, c.entry_price,
+        CASE s.feature {fmap} END AS val
+    FROM cand0 c
+    JOIN (SELECT DISTINCT set_id, feature FROM slot_grid) s USING (set_id)
+),
+thrv AS (
+    SELECT *,
+        {thr_cols}
+    FROM thrin
+),
+slotp AS (
+    SELECT s.config_id, t.symbol, t.rn, t.close_time_ms,
+        t.threshold_decimal_bps, t.entry_price,
+        CASE WHEN (CASE s.q {pick} END) IS NOT NULL
+             AND CASE WHEN s.dir = '>' THEN t.val > (CASE s.q {pick} END)
+                      ELSE t.val < (CASE s.q {pick} END) END
+             THEN 1 ELSE 0 END AS passed
+    FROM thrv t
+    JOIN slot_grid s ON s.set_id = t.set_id AND s.feature = t.feature
+),
+surv AS (
+    SELECT config_id, symbol, rn, close_time_ms, threshold_decimal_bps,
+        entry_price
+    FROM slotp
+    GROUP BY config_id, symbol, rn, close_time_ms, threshold_decimal_bps,
+        entry_price
+    HAVING min(passed) = 1
+),
+{grid_to_duckdb_values(profiles)},
+{fwd_cte(max_bars_cap(profiles), feat_relation=feat_relation, name="fwdarr")},
+sigs AS (
+    SELECT s.*, f.fwd_highs, f.fwd_lows, f.fwd_opens, f.fwd_closes
+    FROM surv s JOIN fwdarr f USING (symbol, rn)
+),
+{trades_chain_ctes(("config_id", "symbol"))}{barrier_metrics_select(("config_id", "symbol", "barrier_id"))}"""

@@ -25,6 +25,13 @@ def duck():
     """DuckDB connection with the same testdata tables registered as views,
     mirroring the driver's oracle harness."""
     con = duckdb.connect()
+    # the suite co-resides with a large-heap Spark JVM; DuckDB's default
+    # memory limit (80% of RAM) overcommits under that pressure and the
+    # heaviest oracle twins die with OutOfMemoryException mid-suite.  The
+    # sf0.001 oracles run comfortably in a few GB; cap explicitly and allow
+    # spill-to-disk for anything that exceeds it.
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for name in TABLES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"

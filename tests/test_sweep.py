@@ -119,3 +119,150 @@ def test_feature_quantile_trap_partner_nulls(spark):
         )
         assert len(got) == len(expected), cfg
         assert np.array_equal(got, expected, equal_nan=True), cfg
+
+
+def test_gen600_fullgrid_funnel_matches_bulk_oracle(spark, duck):
+    """Full-width gen600 grid (22 formations x 38 cross-features x 4
+    combos = 3,344 configs) funnel vs the side-aware bulk DuckDB twin at
+    fixture scale — the correctness pin for the bench-only
+    ``sweep_gen600_fullgrid`` entry (the barrier stage it shares with
+    ``sweep_barrier_metrics`` is gate-certified on the 44-config faithful
+    twin)."""
+    from rangebar_patterns_spark.operators.crossfeatures import (
+        CROSS_FEATURES,
+        cross_feat_cte,
+        with_cross_features,
+    )
+    from rangebar_patterns_spark.operators.sweep import (
+        gen600_full_grid,
+        grid_formations,
+        sweep_candidates,
+        sweep_funnel,
+        sweep_grid_to_spark,
+        with_signalset_quantiles,
+    )
+    from rangebar_patterns_spark.plans.catalog import (
+        WARMUP,
+        _featg,
+        _featg_ctes,
+        _materialize,
+    )
+    from rangebar_patterns_spark.plans.sweep_oracle import sweep_funnel_oracle_bulk
+    from rangebar_patterns_spark.sources.bars import BARS_DUCKDB_CTE
+
+    from conftest import SF_DIR, compare_frames
+
+    grid = gen600_full_grid(("ofi",))
+    assert len(grid) == 22 * 38 * 4
+    features = sorted({"ofi", *CROSS_FEATURES})
+    candq = with_signalset_quantiles(
+        sweep_candidates(
+            with_cross_features(_featg(spark, SF_DIR)),
+            sweep_grid_to_spark(spark, grid),
+            features,
+            WARMUP,
+            formations=grid_formations(grid),
+        )
+    )
+    sp = sweep_funnel(candq)
+    sql = _materialize(
+        f"""
+WITH {BARS_DUCKDB_CTE},
+{_featg_ctes()},
+{cross_feat_cte(source="featg", name="featx")},
+{sweep_funnel_oracle_bulk(grid, WARMUP, features, feat_relation="featx")}
+""",
+        "bars", "feat", "featg",
+    )
+    du = duck.execute(sql).df()
+    compare_frames(sp, du)
+
+
+def test_nfeature_faithful_oracle_subgrid(spark, duck):
+    """The gate entry's 432-config grid is checked against the set-deduped
+    bulk twin; this test keeps the *faithful* per-config template
+    expansion (sweep_oracle.nfeature_metrics_oracle — the reference's sed
+    shape) exercised on a mixed 3f/4f subgrid."""
+    from rangebar_patterns_spark.config import gen400_profile
+    from rangebar_patterns_spark.operators.barriers import (
+        with_entry_and_forward,
+    )
+    from rangebar_patterns_spark.operators.sweep import (
+        nfeature_grid,
+        nfeature_signals,
+        sweep_trades,
+    )
+    from rangebar_patterns_spark.operators.barriers import barrier_metrics
+    from rangebar_patterns_spark.config import grid_to_spark, max_bars_cap
+    from rangebar_patterns_spark.plans.catalog import (
+        WARMUP,
+        _featg,
+        _featg_ctes,
+        _materialize,
+    )
+    from rangebar_patterns_spark.plans.sweep_oracle import (
+        nfeature_metrics_oracle,
+    )
+    from rangebar_patterns_spark.sources.bars import BARS_DUCKDB_CTE
+
+    from conftest import SF_DIR, compare_frames
+
+    full = nfeature_grid()
+    # every 29th config: 15 configs spanning both 3f and 4f shapes
+    sub = full[::29]
+    assert {len(c.features) for c in sub} == {3, 4}
+    sigs = nfeature_signals(_featg(spark, SF_DIR), spark, sub, WARMUP)
+    fwd = with_entry_and_forward(
+        _featg(spark, SF_DIR), cap=max_bars_cap(gen400_profile())
+    )
+    trades = sweep_trades(sigs, fwd, grid_to_spark(spark, gen400_profile()))
+    sp = barrier_metrics(trades, group_cols=["config_id", "symbol", "barrier_id"])
+    sql = _materialize(
+        f"""
+WITH {BARS_DUCKDB_CTE},
+{_featg_ctes()},
+{nfeature_metrics_oracle(sub, gen400_profile(), WARMUP, feat_relation="featg")}
+""",
+        "bars", "feat", "featg", "fwdarr",
+    )
+    du = duck.execute(sql).df()
+    compare_frames(sp, du)
+
+
+def test_fused_candq_equivalent_to_layered(spark):
+    """sweep_candidates_with_thresholds (the grid-scale fused pair-grain
+    path the catalog runs) must produce exactly
+    with_signalset_quantiles(sweep_candidates(...)) — same rows, same
+    thresholds — on the 44-config default grid."""
+    from rangebar_patterns_spark.operators.sweep import (
+        default_sweep_grid,
+        grid_formations,
+        sweep_candidates,
+        sweep_candidates_with_thresholds,
+        sweep_grid_to_spark,
+        with_signalset_quantiles,
+    )
+    from rangebar_patterns_spark.plans.catalog import (
+        SWEEP_FEATURES,
+        WARMUP,
+        _featg,
+    )
+
+    grid = default_sweep_grid()
+    feat = _featg(spark, SF_DIR)
+    layered = with_signalset_quantiles(
+        sweep_candidates(
+            feat, sweep_grid_to_spark(spark, grid), SWEEP_FEATURES, WARMUP,
+            formations=grid_formations(grid),
+        )
+    )
+    fused = sweep_candidates_with_thresholds(
+        feat, spark, grid, SWEEP_FEATURES, WARMUP
+    )
+    cols = sorted(layered.columns)
+    assert cols == sorted(fused.columns)
+    lp = layered.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    fp = fused.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(lp, fp)
