@@ -52,9 +52,16 @@ def osum_if(order_col: Column, cond: Column, val: Column) -> Column:
 def duck_fold(val_sql: str, order_sql: str, filter_sql: str | None = None) -> str:
     """DuckDB twin of :func:`osum` / :func:`osum_if` (pass the CASE inside
     ``val_sql`` for conditional sums, or a FILTER clause via filter_sql
-    for list membership)."""
+    for list membership).
+
+    Sort-after-collect (``list_sort`` over (order, value) structs — the
+    exact mirror of Spark's ``array_sort(collect_list(struct(o, v)))``)
+    rather than ``list(x ORDER BY k)``: the in-aggregate ORDER BY has been
+    observed to break under memory-pressure spills (chunk-local ordering),
+    while sorting the materialized list is load-independent."""
     flt = f" FILTER (WHERE {filter_sql})" if filter_sql else ""
+    pairs = f"list({{'o': {order_sql}, 'v': {val_sql}}}){flt}"
     return (
-        f"list_reduce(list_prepend(0.0, list({val_sql} ORDER BY {order_sql}){flt}),"
-        f" (acc, x) -> acc + x)"
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(list_sort({pairs}), s -> s.v)), (acc, x) -> acc + x)"
     )

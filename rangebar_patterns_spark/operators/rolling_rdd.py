@@ -17,16 +17,22 @@ Spark-first shape — no driver loops, no Python kernels:
   step S ms ⇒ ≤ W/S windows per trade), exploded JVM-side with
   ``sequence()`` — the relation is (trades × W/S) rows, NOT
   (windows × trades);
-* per-window drawdown is a sequential left fold over the exit-time-
-  ordered return array (``F.aggregate`` with a (cum, runmax, maxdd)
-  struct accumulator) — bit-identical to the DuckDB twin's
-  ``list_reduce`` fold and to numpy's cumsum/accumulate scan;
+* per-window drawdown is a running cumsum/running-max over an explicit
+  ROWS window ordered by (exit, signal_rn) — evaluated as a sequential
+  left fold in both engines, matching numpy's cumsum/accumulate scan,
+  and (unlike ordered list aggregates, which the DuckDB twin cannot do
+  robustly under memory-pressure spills) immune to aggregate merge
+  order;
+* distribution moments and TOPSIS L2 norms are exact integer-scaled
+  sums (ratios/criteria are rounded-4, so ×1e4 scaling is exact and the
+  integer sums are associative → merge-order-free in both engines);
 * distribution percentiles use explicit type-7 interpolation over the
-  sorted ratio array (both engines evaluate the same expression — no
-  reliance on engine-internal percentile kernels);
+  sorted ratio values (both engines pick the same two elements and
+  evaluate the same expression — no engine-internal percentile
+  kernels);
 * TOPSIS is the same grouped column algebra as E15/E16
   (eval_metrics.ranking_survivors), generalized to weights + cost
-  criteria, with L2 norms as ordered folds.
+  criteria.
 
 Scale: bounded per-asset state (windows ≈ span/step rows; the return
 array per window ≤ trades-in-window); everything shuffles on the asset
@@ -38,7 +44,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.detsum import fold_sum, ordered_vals, osum
 
 DAY_MS = 86_400_000
 
@@ -127,32 +132,38 @@ def rolling_rdd_windows(
         "w_end_ms",
         F.when(single, F.col("_latest")).otherwise(first_end + F.col("k") * S),
     )
-    order = F.struct(ex.alias("o1"), F.col("signal_rn").alias("o2"))
+    # running cumsum / running max over an explicit ROWS window ordered by
+    # (exit, signal_rn): the cumulative frame is evaluated as a sequential
+    # left fold in BOTH engines (bit-identical association), and — unlike
+    # an ordered list aggregate — window ordering is part of the operator
+    # spec, immune to parallel/spilling aggregate-merge order (a DuckDB
+    # in-aggregate ORDER BY was observed to break under memory pressure)
+    wcum = (
+        Window.partitionBy(*g, "k")
+        .orderBy("exit_ts_ms", "signal_rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = (
+        t.withColumn("_cum", F.sum("return_pct").over(wcum))
+        .withColumn("_runmax", F.max("_cum").over(wcum))
+        .withColumn(
+            "_tn",
+            F.row_number().over(
+                Window.partitionBy(*g, "k").orderBy("exit_ts_ms", "signal_rn")
+            ),
+        )
+        .withColumn("_cnt", F.count("*").over(Window.partitionBy(*g, "k")))
+    )
     grouped = t.groupBy(*g, "k", "w_start_ms", "w_end_ms").agg(
         F.count("*").alias("n_trades"),
-        ordered_vals(order, F.col("return_pct")).alias("_rets"),
+        # total = the running sum at the last trade (sequential fold, not
+        # a merge-order-dependent float re-aggregation)
+        F.round(
+            F.max(F.when(F.col("_tn") == F.col("_cnt"), F.col("_cum"))), 6
+        ).alias("total_return"),
+        F.round(F.max(F.col("_runmax") - F.col("_cum")), 6).alias("max_drawdown"),
     )
-    total = F.round(fold_sum(F.col("_rets")), 6)
-    # sequential scan: cum running sum, mx running max of cum (init -inf
-    # so the first element seeds it, matching np.maximum.accumulate),
-    # dd max of (mx - cum)
-    dd_state = F.aggregate(
-        F.col("_rets"),
-        F.struct(
-            F.lit(0.0).alias("cum"),
-            F.lit(float("-inf")).alias("mx"),
-            F.lit(0.0).alias("dd"),
-        ),
-        lambda acc, x: F.struct(
-            (acc["cum"] + x).alias("cum"),
-            F.greatest(acc["mx"], acc["cum"] + x).alias("mx"),
-            F.greatest(
-                acc["dd"], F.greatest(acc["mx"], acc["cum"] + x) - (acc["cum"] + x)
-            ).alias("dd"),
-        ),
-    )
-    maxdd = F.round(dd_state["dd"], 6)
-    out = grouped.withColumn("total_return", total).withColumn("max_drawdown", maxdd)
+    out = grouped
     ratio = (
         F.when(
             F.col("max_drawdown") > 1e-12,
@@ -166,7 +177,6 @@ def rolling_rdd_windows(
     return (
         out.withColumn("return_dd_ratio", F.round(ratio, 4))
         .filter(F.col("n_trades") >= min_trades)
-        .drop("_rets")
     )
 
 
@@ -197,46 +207,46 @@ def rdd_distribution_stats(
     g = keys or ["symbol", "barrier_id"]
     r = F.col("return_dd_ratio")
     sorted_r = F.array_sort(F.collect_list(r))
-    # argmin/argmax via lexical struct sort; k is unique per asset so the
-    # (ratio, k) prefix is a total order == the twin's ORDER BY ratio, k
-    worst = F.element_at(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    r.alias("r"), F.col("k").alias("k"),
-                    F.col("w_start_ms").alias("ws"),
-                )
-            )
-        ),
-        1,
+    # argmin/argmax (np.argmin/argmax = FIRST extreme): w_start_ms is
+    # strictly monotone in the window index, so "first window at the
+    # extreme ratio" is min(w_start) over the windows whose ratio equals
+    # the (separately aggregated) extreme — plain min/max aggregates,
+    # deterministic under any parallel merge order in both engines
+    # (struct-sort and list-aggregate formulations were observed to be
+    # merge-order-sensitive in the twin under memory pressure)
+    ext = windows.groupBy(g).agg(
+        F.min(r).alias("_minr"), F.max(r).alias("_maxr")
     )
-    best = F.element_at(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    (-r).alias("nr"), F.col("k").alias("k"),
-                    F.col("w_start_ms").alias("ws"), r.alias("r"),
-                )
-            )
-        ),
-        1,
-    )
+    windows = windows.join(F.broadcast(ext), g)
+    worst_ws = F.min(F.when(r == F.col("_minr"), F.col("w_start_ms")))
+    best_ws = F.min(F.when(r == F.col("_maxr"), F.col("w_start_ms")))
     agg = windows.groupBy(g).agg(
+        F.min("_minr").alias("_worst_r"),
+        F.max("_maxr").alias("_best_r"),
+        worst_ws.alias("_worst_ws"),
+        best_ws.alias("_best_ws"),
         F.count("*").alias("n_windows"),
         F.sum("n_trades").alias("n_trades_total"),
         sorted_r.alias("_sr"),
-        osum(F.col("k"), r).alias("_sum"),
-        osum(F.col("k"), r * r).alias("_sumsq"),
-        worst.alias("_worst"),
-        best.alias("_best"),
+        # ratios are rounded-4, so scaling by 1e4 gives EXACT integers —
+        # integer sums are associative, hence merge-order-free in both
+        # engines (the float-fold alternative relies on ordered list
+        # aggregation, which the twin cannot do robustly under spills)
+        F.sum(F.round(r * 10000).cast("long")).alias("_sum_sc"),
+        F.sum(
+            (F.round(r * 10000) * F.round(r * 10000)).cast("long")
+        ).alias("_sumsq_sc"),
         F.sum(F.when(r > 2.0, 1).otherwise(0)).alias("_n_gt2"),
         F.sum(F.when(r > 1.0, 1).otherwise(0)).alias("_n_gt1"),
         F.sum(F.when(r < 1.0, 1).otherwise(0)).alias("_n_lt1"),
         F.sum(F.when(r < 0.0, 1).otherwise(0)).alias("_n_neg"),
     )
     n = F.col("n_windows").cast("double")
-    mean = F.col("_sum") / n
-    var = F.greatest(F.lit(0.0), F.col("_sumsq") / n - mean * mean)
+    mean = F.col("_sum_sc").cast("double") / (F.lit(10000.0) * n)
+    var = F.greatest(
+        F.lit(0.0),
+        F.col("_sumsq_sc").cast("double") / (F.lit(100000000.0) * n) - mean * mean,
+    )
     out = agg.select(
         *g,
         "n_windows",
@@ -254,10 +264,10 @@ def rdd_distribution_stats(
         F.round(F.col("_n_gt1") / n, 4).alias("frac_gt_1"),
         F.round(F.col("_n_lt1") / n, 4).alias("frac_lt_1"),
         F.round(F.col("_n_neg") / n, 4).alias("frac_negative"),
-        F.col("_worst")["ws"].alias("worst_window_start_ms"),
-        F.col("_worst")["r"].alias("worst_window_ratio"),
-        F.col("_best")["ws"].alias("best_window_start_ms"),
-        F.col("_best")["r"].alias("best_window_ratio"),
+        F.col("_worst_ws").alias("worst_window_start_ms"),
+        F.col("_worst_r").alias("worst_window_ratio"),
+        F.col("_best_ws").alias("best_window_start_ms"),
+        F.col("_best_r").alias("best_window_ratio"),
     ).filter(F.col("n_windows") >= min_valid_windows)
     cv = F.when(
         F.col("mean_ratio") > 1e-6,
@@ -279,9 +289,18 @@ def rdd_topsis_rank(
     rounded score desc with the asset key as the stable tie-break (the
     reference sorts rounded scores over sorted asset keys)."""
     crit = GEN800_CRITERIA
+    # criteria are rounded-4 values: L2 norms via exact integer-scaled
+    # squares (merge-order-free, identical arithmetic in the twin)
     norms = stats.groupBy(group_col).agg(
         *[
-            F.sqrt(osum(F.col(asset_col), F.col(c) * F.col(c))).alias(f"_norm_{c}")
+            F.sqrt(
+                F.sum(
+                    (F.round(F.col(c) * 10000) * F.round(F.col(c) * 10000)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.lit(100000000.0)
+            ).alias(f"_norm_{c}")
             for c, _, _ in crit
         ]
     )

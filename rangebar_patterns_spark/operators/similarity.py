@@ -219,3 +219,107 @@ def quantized_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+#: candidates kept per probed query for the float re-rank stage
+IVF_RERANK_DEPTH = 3 * TOP_K
+
+
+def ivf_quantized_search(
+    emb: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    nprobe: int = IVF_NPROBE,
+    rerank_depth: int = IVF_RERANK_DEPTH,
+) -> DataFrame:
+    """IVF probe with an int8 candidate scan and float re-rank — the
+    memory-scaled ANN composition: the cell scan reads only the quantized
+    corpus (4× smaller than float32; cosine over quantized vectors is
+    scale-invariant, so per-vector scales never enter the scan), keeps
+    ``rerank_depth`` candidates per query, then re-scores ONLY those
+    against the float vectors for the final top-k.  At corpus scale the
+    float relation is touched for (queries × rerank_depth) rows instead
+    of every cell member — the standard IVF-PQ/SQ serving shape.
+
+    Output matches :func:`cosine_topk` (query_id, rank, neighbor_id,
+    cosine with float precision); tests/test_similarity.py pins recall
+    vs the brute-force baseline and that re-ranked precision is at least
+    the quantized-only variant's."""
+    from ..functions.detsum import osum
+
+    v = _vecs(emb)
+    q8 = quantize_embeddings(emb)
+    vq = q8.select(
+        "label",
+        "vec_id",
+        F.transform(F.col("qv"), lambda x: x.cast("double")).alias("v8"),
+    )
+    cent = (
+        v.select("label", "vec_id", F.posexplode(F.col("v")).alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            (osum(F.col("vec_id"), F.col("x")) / F.count("*").cast("double")).alias("cx")
+        )
+    )
+    centroids = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("cx")))),
+            lambda s: s.getItem("cx"),
+        ).alias("cv")
+    )
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv_f")
+    )
+    assign_w = Window.partitionBy("query_id").orderBy(
+        F.col("centroid_cos").desc(), F.col("label").asc()
+    )
+    assigned = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "centroid_cos", F.round(cosine_col(F.col("qv_f"), F.col("cv")), 6)
+        )
+        .withColumn("crank", F.row_number().over(assign_w))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", F.col("label").alias("cell"))
+    )
+    # quantized query vectors for the scan stage (both sides int8: the
+    # scan never touches floats)
+    q8q = vq.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v8").alias("q8v")
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("q_cos").desc(), F.col("neighbor_id").asc()
+    )
+    candidates = (
+        F.broadcast(assigned.join(q8q, "query_id"))
+        .join(
+            vq,
+            (F.col("cell") == vq.label) & (F.col("query_id") != vq.vec_id),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_col(F.col("q8v"), F.col("v8")), 6).alias("q_cos"),
+        )
+        .withColumn("qrank", F.row_number().over(cand_w))
+        .filter(F.col("qrank") <= rerank_depth)
+        .select("query_id", "neighbor_id")
+    )
+    # float re-rank: only (queries × rerank_depth) float rows touched
+    nbr = v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    rerank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.join(nbr, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qv_f"), F.col("nv")), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(rerank_w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -1319,43 +1319,43 @@ def q_skip_done(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DAY_MS = 86_400_000
 
-_CAL_ORACLE = f"""
-WITH {BARS_DUCKDB_CTE}
-SELECT symbol, rn, close_time_ms,
-    CAST(count(*) OVER w AS BIGINT) AS n_bars_1d,
-    CAST(sum(CAST(floor(trade_intensity * 1000000) AS BIGINT)) OVER w AS BIGINT)
-        AS ti_sum_scaled_1d,
-    round(min(low) OVER w, 6) AS min_low_1d,
-    round(max(high) OVER w, 6) AS max_high_1d
-FROM bars
-WINDOW w AS (PARTITION BY symbol ORDER BY close_time_ms
-             RANGE BETWEEN {_DAY_MS} PRECEDING AND CURRENT ROW)
-"""
+# gen800 rolling return/drawdown composite replaces the bare calendar-
+# window entry: the E28 rangeBetween primitive is subsumed by (and the
+# old entry\'s oracle is pinned in) tests/test_rolling_rdd.py
+from ..operators.rolling_rdd import (  # noqa: E402
+    rdd_distribution_stats,
+    rdd_topsis_rank,
+    rolling_rdd_windows,
+    with_exit_ts,
+)
+from .gen800_oracle import gen800_ctes  # noqa: E402
+
+#: gate-scale gen800 parameters: the driver testdata spans ~30 days, so a
+#: 7-day window / 1-day step yields ~23 windows per asset (the reference
+#: constants — 90/1/5/10 — are the operator defaults and assume
+#: multi-year trade histories; scripts/gen800_rolling_rdd.py:34-39)
+GEN800_GATE = dict(window_days=7, step_days=1, min_trades=1, ratio_cap=50.0)
+GEN800_GATE_MIN_WINDOWS = 3
+
+_GEN800_ORACLE = f"{_TRADES_BASE},\n" + gen800_ctes(
+    min_valid_windows=GEN800_GATE_MIN_WINDOWS, **GEN800_GATE
+)
 
 
-@register("rolling_calendar_window", _CAL_ORACLE)
-def q_rolling_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E28: calendar-range rolling window (gen800 rolling 90-day RDD
-    shape) — rangeBetween on epoch-ms, integer-exact aggregates."""
-    from pyspark.sql import Window
-
-    bars = _bars(spark, sf_dir)
-    w = (
-        Window.partitionBy("symbol")
-        .orderBy("close_time_ms")
-        .rangeBetween(-_DAY_MS, 0)
-    )
-    return bars.select(
-        "symbol",
-        "rn",
-        "close_time_ms",
-        F.count("*").over(w).alias("n_bars_1d"),
-        F.sum(F.floor(F.col("trade_intensity") * 1000000).cast("long"))
-        .over(w)
-        .alias("ti_sum_scaled_1d"),
-        F.round(F.min("low").over(w), 6).alias("min_low_1d"),
-        F.round(F.max("high").over(w), 6).alias("max_high_1d"),
-    )
+@register("gen800_rolling_rdd", _GEN800_ORACLE)
+def q_gen800_rolling_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gen800 composite (reference scripts/gen800_rolling_rdd.py +
+    eval/ranking.py topsis_rank): rolling calendar-window (E28) return/
+    max-drawdown ratio distributions over champion trades per
+    (symbol, barrier) asset, summarized (explicit type-7 percentiles,
+    threshold fractions, argmin/argmax windows) and TOPSIS-ranked across
+    symbols per barrier profile with the reference\'s weighted cost/
+    benefit criteria."""
+    trades = _champion_trades(spark, sf_dir)
+    xt = with_exit_ts(trades, _bars(spark, sf_dir))
+    win = rolling_rdd_windows(xt, **GEN800_GATE)
+    stats = rdd_distribution_stats(win, min_valid_windows=GEN800_GATE_MIN_WINDOWS)
+    return rdd_topsis_rank(stats)
 
 
 # ---------------------------------------------------------------------------

@@ -36,7 +36,7 @@ ARROW_SANCTIONED = {
     "eval_knee_points", "eval_spearman", "wf_fold_metrics", "wf_topk",
     "cpcv_pbo", "gt_composite_mbb", "wf_fold_objectives",
     "tail_scan", "asof_probe_lookup", "config_skip_done",
-    "rolling_calendar_window", "crossasset_validation",
+    "gen800_rolling_rdd", "crossasset_validation",
     "crossasset_confluence", "bars_adapter", "genx_hypotheses",
 }
 

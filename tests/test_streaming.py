@@ -122,3 +122,96 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert got[h("01:00:00")] == 1
     assert h("02:00:00") not in got, "late event must be dropped"
     assert got[h("05:00:00")] == 2, "in-watermark batch-2 event must count"
+
+
+def test_checkpoint_replay_is_idempotent(spark, tmp_path):
+    """Exactly-once under replay (the production concern the watermark
+    test doesn't cover): a checkpointed query is stopped and RESTARTED
+    over a source directory whose already-processed files are still
+    present — the restarted query must not re-aggregate them (the file
+    source's committed offsets live in the checkpoint), and new files
+    arriving after the restart increment counts exactly once."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+    from rangebar_patterns_spark.streaming.events_stream import (
+        windowed_event_counts,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    day = "2024-01-01 "
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([day + t for t, _ in rows]),
+                "event_type": ["E" for _ in rows],
+                "value": [v for _, v in rows],
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf), src / name, coerce_timestamps="us"
+        )
+
+    schema = "ts timestamp, event_type string, value double"
+
+    def start(sink):
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(str(src))
+            .withColumn("event_time", F.col("ts"))
+        )
+        return (
+            windowed_event_counts(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    write_batch("b1.parquet", [("01:30:00", 1.0), ("01:45:00", 2.0)])
+    q = start("replay_sink_a")
+    try:
+        q.processAllAvailable()
+        first = {
+            r.window_start_ms: r.n_events
+            for r in spark.table("replay_sink_a").collect()
+        }
+    finally:
+        q.stop()
+    assert list(first.values()) == [2]
+
+    # restart over the SAME directory (b1 still present) — a naive
+    # restart would double-count it
+    q = start("replay_sink_b")
+    try:
+        q.processAllAvailable()
+        replayed = {
+            r.window_start_ms: r.n_events
+            for r in spark.table("replay_sink_b").collect()
+        }
+        # the restarted memory sink only materializes on its next
+        # batch: either nothing triggered (committed offsets cover b1)
+        # or the recovered state reproduces the first run exactly —
+        # never a recount
+        assert replayed in ({}, first), (first, replayed)
+        # new data after the restart counts exactly once: window-01
+        # becomes 3 (2 recovered + 1 new).  5 would mean b1 was re-read
+        # (double-count), 1 would mean the checkpoint state was lost
+        write_batch("b2.parquet", [("01:50:00", 4.0), ("03:30:00", 8.0)])
+        q.processAllAvailable()
+        final = {
+            r.window_start_ms: r.n_events
+            for r in spark.table("replay_sink_b").collect()
+        }
+    finally:
+        q.stop()
+    w1 = min(first)
+    assert final[w1] == 3, final
+    assert len(final) == 2 and set(final.values()) == {3, 1}, final
