@@ -40,7 +40,7 @@ from itertools import chain
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 from ..functions.series_quantile import excl_quantile_stream
 from .signals import FORMATIONS, base_eligibility
@@ -328,6 +328,186 @@ def sweep_candidates_with_thresholds(
     feature_cols: list[str],
     warmup: int,
     lookback: int = SIGNALSET_LOOKBACK,
+    materialize_thresholds: bool = False,
+) -> DataFrame:
+    """Fused grid-scale path producing exactly
+    ``with_signalset_quantiles(sweep_candidates(...))`` (equivalence
+    pinned in tests/test_sweep.py) with config-grain work deferred to the
+    very end:
+
+    * candidates materialize at **unordered-pair grain** — one row per
+      (formation, feature-pair, bar); the quantile-combo and direction
+      axes of the grid never touch the candidate stream (4× fewer rows
+      for the full-width grid, more for dense quantile grids);
+    * each W7 threshold series is generated exactly once **by
+      construction** (broadcast series-spec join) — the old path
+      materialized config-grain rows and ``dropDuplicates``-ed them back
+      down, a full shuffle of the widest relation in the plan;
+    * the Arrow quantile kernel returns ``val`` alongside ``thr``, so no
+      join back to the candidate stream is needed — the two sides pivot
+      together with ONE pair-grain join, and configs attach via a
+      broadcast join (no shuffle) straight into the funnel aggregate.
+
+    At the 3,344-config full-width grid this cuts the sf0.1 wall time
+    ~3× vs the layered path (which remains the didactic reference shape
+    for small grids)."""
+    formations = grid_formations(grid)
+    # UNORDERED pair grain: grids may contain both orientations of a pair
+    # (gen500 does) and both share one candidate set — (pa < pb) keying
+    # gives each distinct threshold series exactly one source row stream.
+    # Series and pairs get small-int ids: the Arrow threshold pass moves
+    # (series_id, symbol, rn, payload, val) instead of four string key
+    # columns — measured ~5× less Arrow/pandas overhead at full-grid
+    # width — and the pivot join runs on (pair_id, ...) keys.
+    pair_ids = {
+        t: i
+        for i, t in enumerate(sorted(
+            {(c.formation, min(c.feature1, c.feature2), max(c.feature1, c.feature2))
+             for c in grid}
+        ))
+    }
+    pairs_df = spark.createDataFrame(
+        [(i, f0, pa, pb) for (f0, pa, pb), i in pair_ids.items()],
+        "pair_id int, formation string, pa string, pb string",
+    )
+    s1_keys = {(c.formation, c.feature1, c.q1, c.feature2) for c in grid}
+    s2_keys = {(c.formation, c.feature2, c.q2, c.feature1) for c in grid}
+    spec = sorted(s1_keys | s2_keys)
+    spec_rows = [
+        (
+            sid,
+            f0,
+            f,
+            q,
+            prt,
+            pair_ids[(f0, min(f, prt), max(f, prt))],
+            (f0, f, q, prt) in s1_keys,
+            (f0, f, q, prt) in s2_keys,
+        )
+        for sid, (f0, f, q, prt) in enumerate(spec)
+    ]
+    spec_schema = (
+        "series_id int, formation string, feature string, q double, "
+        "partner string, pair_id int, use_s1 boolean, use_s2 boolean"
+    )
+    spec_df = spark.createDataFrame(spec_rows, spec_schema)
+    formation_arr = F.array(
+        *[F.when(FORMATIONS[name].signal(), F.lit(name)) for name in formations]
+    )
+    fmap = F.create_map(*chain.from_iterable((F.lit(c), F.col(c)) for c in feature_cols))
+    payload = ["close_time_ms", "threshold_decimal_bps", "entry_price", "next_dir"]
+    pair_cand = (
+        feat.filter(base_candidate_filter(warmup))
+        .withColumn(
+            "formation",
+            F.explode(F.filter(formation_arr, lambda x: x.isNotNull())),
+        )
+        .join(F.broadcast(pairs_df), "formation")
+        .withColumn("val_a", F.element_at(fmap, F.col("pa")))
+        .withColumn("val_b", F.element_at(fmap, F.col("pb")))
+        .filter(F.col("val_a").isNotNull() & F.col("val_b").isNotNull())
+        .select(
+            "pair_id", "symbol", "rn", *payload, "val_a", "val_b",
+        )
+    )
+    # side rows carry the trade payload so no join back to the candidate
+    # stream is ever needed — the Arrow kernel passes it through.  A
+    # series (feature, partner) matches exactly one orientation of the
+    # (pa < pb) pair, so each series row appears exactly once; the spec
+    # orientation split happens in Python (feature < partner ⇔ the
+    # series reads the pair's ``val_a``).
+    spec_a = [r for r in spec_rows if r[2] < r[4]]
+    spec_b = [r for r in spec_rows if r[2] > r[4]]
+
+    def _orient(rows: list, vcol: str) -> DataFrame:
+        sel = spark.createDataFrame(
+            [(r[0], r[5], r[3]) for r in rows],
+            "series_id int, pair_id int, q double",
+        )
+        return pair_cand.join(F.broadcast(sel), "pair_id").select(
+            "series_id", "q", "symbol", "rn", *payload,
+            F.col(vcol).alias("val"),
+        )
+
+    side_rows = _orient(spec_a, "val_a").unionByName(_orient(spec_b, "val_b"))
+
+    thr_schema = StructType(
+        [
+            StructField("series_id", IntegerType()),
+            StructField("symbol", pair_cand.schema["symbol"].dataType),
+            StructField("rn", pair_cand.schema["rn"].dataType),
+            StructField("close_time_ms", pair_cand.schema["close_time_ms"].dataType),
+            StructField(
+                "threshold_decimal_bps",
+                pair_cand.schema["threshold_decimal_bps"].dataType,
+            ),
+            StructField("entry_price", DoubleType()),
+            StructField("next_dir", pair_cand.schema["next_dir"].dataType),
+            StructField("val", DoubleType()),
+            StructField("thr", DoubleType()),
+        ]
+    )
+    out_cols = [f.name for f in thr_schema.fields]
+
+    def compute(pdf):
+        pdf = pdf.sort_values("rn", kind="mergesort").reset_index(drop=True)
+        pdf["thr"] = excl_quantile_stream(
+            pdf["val"].to_numpy("float64", na_value=np.nan),
+            float(pdf["q"].iloc[0]),
+            lookback,
+        )
+        return pdf[out_cols]
+
+    # both pivot sides read this relation — persist so the Arrow pass
+    # runs once
+    thr = (
+        side_rows.groupBy("series_id", "symbol")
+        .applyInPandas(compute, thr_schema)
+        .persist()
+    )
+    if materialize_thresholds:
+        # populate the cache NOW: a consumer plan with several branches
+        # (funnel ⋈ metrics) would otherwise schedule the Arrow pass
+        # concurrently per branch and race past the cold cache, paying
+        # the full threshold computation once per branch
+        thr.count()
+    dec = F.broadcast(spec_df)
+    p1 = thr.join(dec.filter(F.col("use_s1")), "series_id").select(
+        "pair_id", "formation",
+        F.col("feature").alias("feature1"),
+        F.col("q").alias("q1"),
+        F.col("partner").alias("feature2"),
+        "symbol", "rn", *payload,
+        F.col("val").alias("f1_val"),
+        F.col("thr").alias("f1_thr"),
+    )
+    p2 = thr.join(dec.filter(F.col("use_s2")), "series_id").select(
+        "pair_id",
+        F.col("partner").alias("feature1"),
+        F.col("feature").alias("feature2"),
+        F.col("q").alias("q2"),
+        "symbol", "rn",
+        F.col("val").alias("f2_val"),
+        F.col("thr").alias("f2_thr"),
+    )
+    both = p1.join(
+        p2, ["pair_id", "feature1", "feature2", "symbol", "rn"]
+    )
+    cfg_df = sweep_grid_to_spark(spark, grid)
+    out = both.join(
+        F.broadcast(cfg_df), ["formation", "feature1", "q1", "feature2", "q2"]
+    )
+    return out.select(*_CAND_COLUMNS, "f1_thr", "f2_thr")
+
+
+def sweep_candidates_with_thresholds(
+    feat: DataFrame,
+    spark: SparkSession,
+    grid: list[SweepConfig],
+    feature_cols: list[str],
+    warmup: int,
+    lookback: int = SIGNALSET_LOOKBACK,
+    materialize_thresholds: bool = False,
 ) -> DataFrame:
     """Fused grid-scale path producing exactly
     ``with_signalset_quantiles(sweep_candidates(...))`` (equivalence
@@ -448,6 +628,19 @@ def sweep_candidates_with_thresholds(
         .applyInPandas(compute, thr_schema)
         .persist()
     )
+    # pivot sides are pre-filtered to the grid's ACTUAL side specs: a
+    # series is joined as side 1 only if some config uses it as
+    # (feature1, q1) — without this, single-orientation grids (the
+    # full-width 22×38 one) would build both orientations and double the
+    # join's inputs and output for rows the config fan-out then drops
+    s1_spec = spark.createDataFrame(
+        sorted({(c.formation, c.feature1, c.q1, c.feature2) for c in grid}),
+        "formation string, feature1 string, q1 double, feature2 string",
+    )
+    s2_spec = spark.createDataFrame(
+        sorted({(c.formation, c.feature2, c.q2, c.feature1) for c in grid}),
+        "formation string, feature2 string, q2 double, feature1 string",
+    )
     p1 = thr.select(
         "formation",
         F.col("feature").alias("feature1"),
@@ -456,7 +649,7 @@ def sweep_candidates_with_thresholds(
         "symbol", "rn", *payload,
         F.col("val").alias("f1_val"),
         F.col("thr").alias("f1_thr"),
-    )
+    ).join(F.broadcast(s1_spec), ["formation", "feature1", "q1", "feature2"])
     p2 = thr.select(
         "formation",
         F.col("partner").alias("feature1"),
@@ -465,7 +658,7 @@ def sweep_candidates_with_thresholds(
         "symbol", "rn",
         F.col("val").alias("f2_val"),
         F.col("thr").alias("f2_thr"),
-    )
+    ).join(F.broadcast(s2_spec), ["formation", "feature2", "q2", "feature1"])
     both = p1.join(p2, ["formation", "feature1", "feature2", "symbol", "rn"])
     cfg_df = sweep_grid_to_spark(spark, grid)
     out = both.join(

@@ -623,12 +623,31 @@ def q_sweep_gen600_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1,008-config bulk twin (``sweep_gen500_1008cfg``); the full grid is
     additionally pinned against the side-aware bulk oracle at fixture scale
     in tests/test_sweep.py."""
+    import sys
+
     grid = gen600_full_grid(GEN600_FULL_BAR_FEATURES)
     featx = with_cross_features(_featg(spark, sf_dir))
     features = sorted({*GEN600_FULL_BAR_FEATURES, *CROSS_FEATURES})
+    # the threshold-dedup ratio is the whole game at grid width: configs
+    # collapse to (formation, feature, q, partner) series
+    n_series = len(
+        {(c.formation, f, q, p)
+         for c in grid
+         for f, q, p in (
+             (c.feature1, c.q1, c.feature2), (c.feature2, c.q2, c.feature1),
+         )}
+    )
+    print(
+        f"sweep_gen600_fullgrid: {len(grid)} configs -> {n_series} threshold "
+        f"series/symbol ({len(grid) * 2 / n_series:.1f}x dedup)",
+        file=sys.stderr,
+    )
+    # NOT persisted at config grain: 30M-row materialization costs more
+    # than recomputing the (threshold-relation-persisted) pivot join for
+    # the funnel and signal consumers
     candq = sweep_candidates_with_thresholds(
-        featx, spark, grid, features, WARMUP
-    ).persist()
+        featx, spark, grid, features, WARMUP, materialize_thresholds=True
+    )
     funnel = sweep_funnel(candq)
     fwd = with_entry_and_forward(featx, cap=max_bars_cap(gen600_profiles()))
     trades = sweep_trades(
