@@ -91,13 +91,56 @@ def decode_stub(payload: bytes, kind: str) -> np.ndarray:
     )
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+#: codec import per modality — resolved once per Python worker
+_CODECS = {"image": "PIL.Image", "audio": "librosa", "video": "av"}
+
+
+def try_decode(payload: bytes, kind: str) -> tuple[np.ndarray | None, str]:
+    """Graceful decode: import the modality's codec if the environment
+    has it, decode, and report status — ``(array, "decoded:<lib>")`` on
+    success, ``(None, "stubbed:no-codec")`` when the library is absent
+    (this container), ``(None, "decode-error:<exc>")`` on bad payloads.
+    Worker-side helper for ``extract_features(attempt_decode=True)``."""
+    mod_name = _CODECS[kind]
+    try:
+        import importlib
+
+        mod = importlib.import_module(mod_name)
+    except ImportError:
+        return None, "stubbed:no-codec"
+    try:
+        if kind == "image":
+            import io
+
+            img = mod.open(io.BytesIO(payload))
+            return np.asarray(img), f"decoded:{mod_name}"
+        if kind == "audio":
+            import io
+
+            y, _sr = mod.load(io.BytesIO(payload), sr=None)
+            return y, f"decoded:{mod_name}"
+        import io
+
+        with mod.open(io.BytesIO(payload)) as container:
+            frame = next(container.decode(video=0))
+            return frame.to_ndarray(), f"decoded:{mod_name}"
+    except Exception as exc:  # noqa: BLE001 — any codec failure is data-level
+        return None, f"decode-error:{type(exc).__name__}"
+
+
+def extract_features(media: DataFrame, attempt_decode: bool = False) -> DataFrame:
     """Arrow-batched byte-feature extraction, vectorized across the whole
     batch: payloads are concatenated into one uint8 buffer and per-row
     sums / nibble histograms come from offset-segmented ``bincount`` —
     no per-row Python in the numeric path (the one remaining row loop
-    renders the tiny histogram CSV string).  Decode stays stubbed
-    (``decode_status`` records it)."""
+    renders the tiny histogram CSV string).
+
+    ``attempt_decode=False`` (the gate entry): ``decode_status`` is the
+    stub constant — deterministic across environments, oracle-stable.
+    ``attempt_decode=True``: each row additionally runs :func:`try_decode`
+    (real codec import where the environment has one; per-row status
+    recorded) — the production switch, exercised environment-agnostically
+    in tests/test_multimodal.py."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -122,7 +165,14 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "byte_hist_csv": [
                         ",".join(str(int(x)) for x in h) for h in hist
                     ],
-                    "decode_status": "stubbed:no-codec",
+                    "decode_status": (
+                        [
+                            try_decode(p, k)[1]
+                            for p, k in zip(payloads, pdf["kind"])
+                        ]
+                        if attempt_decode
+                        else "stubbed:no-codec"
+                    ),
                 }
             )
 

@@ -329,6 +329,7 @@ def sweep_candidates_with_thresholds(
     warmup: int,
     lookback: int = SIGNALSET_LOOKBACK,
     materialize_thresholds: bool = False,
+    threshold_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Fused grid-scale path producing exactly
     ``with_signalset_quantiles(sweep_candidates(...))`` (equivalence
@@ -469,8 +470,25 @@ def sweep_candidates_with_thresholds(
         # populate the cache NOW: a consumer plan with several branches
         # (funnel ⋈ metrics) would otherwise schedule the Arrow pass
         # concurrently per branch and race past the cold cache, paying
-        # the full threshold computation once per branch
-        thr.count()
+        # the full threshold computation once per branch.
+        # ``threshold_shuffle_partitions`` sizes this one shuffle: at
+        # full-grid × large-SF width the side relation is O(100M) rows,
+        # and the session default (32) makes each Python worker hold
+        # multi-million-row partitions — enough to OOM the worker and to
+        # serialize the stage behind its largest partition.  More, smaller
+        # partitions is strictly better here (groups are tiny and
+        # numerous); restored after materialization.
+        if threshold_shuffle_partitions is not None:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(threshold_shuffle_partitions)
+            )
+            try:
+                thr.count()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            thr.count()
     dec = F.broadcast(spec_df)
     p1 = thr.join(dec.filter(F.col("use_s1")), "series_id").select(
         "pair_id", "formation",
@@ -508,6 +526,7 @@ def sweep_candidates_with_thresholds(
     warmup: int,
     lookback: int = SIGNALSET_LOOKBACK,
     materialize_thresholds: bool = False,
+    threshold_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Fused grid-scale path producing exactly
     ``with_signalset_quantiles(sweep_candidates(...))`` (equivalence
