@@ -266,3 +266,40 @@ def test_fused_candq_equivalent_to_layered(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(lp, fp)
+
+
+def test_gen600_complete_reference_matrix_runs(spark):
+    """The reference's COMPLETE per-asset gen600 matrix — 22 templates ×
+    9 bar features × 38 cross features × 4 quantile combos = 30,096
+    configs (scripts/gen600/generate.sh full enumeration) — executes as
+    one plan.  Correctness of the machinery is pinned at 22×38×4 against
+    the bulk oracle above; this pins that the full width *runs* and obeys
+    the funnel invariants at fixture scale."""
+    from rangebar_patterns_spark.operators.crossfeatures import (
+        CROSS_FEATURES,
+        with_cross_features,
+    )
+    from rangebar_patterns_spark.operators.sweep import (
+        gen600_full_grid,
+        sweep_candidates_with_thresholds,
+        sweep_funnel,
+    )
+    from rangebar_patterns_spark.plans.catalog import WARMUP, _featg
+
+    bar9 = (
+        "ofi", "aggression_ratio", "turnover_imbalance", "price_impact",
+        "vwap_close_deviation", "volume_per_trade", "aggregation_density",
+        "duration_us", "opposite_wick_pct",
+    )
+    grid = gen600_full_grid(bar9)
+    assert len(grid) == 22 * 9 * 38 * 4
+    features = sorted({*bar9, *CROSS_FEATURES})
+    candq = sweep_candidates_with_thresholds(
+        with_cross_features(_featg(spark, SF_DIR)), spark, grid, features,
+        WARMUP, materialize_thresholds=True,
+    )
+    pdf = sweep_funnel(candq).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.n_signals <= pdf.n_candidates).all()
+    assert (pdf.hits <= pdf.n_signals).all()
+    assert pdf.config_id.nunique() > 10_000
