@@ -518,174 +518,6 @@ def sweep_candidates_with_thresholds(
     return out.select(*_CAND_COLUMNS, "f1_thr", "f2_thr")
 
 
-def sweep_candidates_with_thresholds(
-    feat: DataFrame,
-    spark: SparkSession,
-    grid: list[SweepConfig],
-    feature_cols: list[str],
-    warmup: int,
-    lookback: int = SIGNALSET_LOOKBACK,
-    materialize_thresholds: bool = False,
-    threshold_shuffle_partitions: int | None = None,
-) -> DataFrame:
-    """Fused grid-scale path producing exactly
-    ``with_signalset_quantiles(sweep_candidates(...))`` (equivalence
-    pinned in tests/test_sweep.py) with config-grain work deferred to the
-    very end:
-
-    * candidates materialize at **unordered-pair grain** — one row per
-      (formation, feature-pair, bar); the quantile-combo and direction
-      axes of the grid never touch the candidate stream (4× fewer rows
-      for the full-width grid, more for dense quantile grids);
-    * each W7 threshold series is generated exactly once **by
-      construction** (broadcast series-spec join) — the old path
-      materialized config-grain rows and ``dropDuplicates``-ed them back
-      down, a full shuffle of the widest relation in the plan;
-    * the Arrow quantile kernel returns ``val`` alongside ``thr``, so no
-      join back to the candidate stream is needed — the two sides pivot
-      together with ONE pair-grain join, and configs attach via a
-      broadcast join (no shuffle) straight into the funnel aggregate.
-
-    At the 3,344-config full-width grid this cuts the sf0.1 wall time
-    ~3× vs the layered path (which remains the didactic reference shape
-    for small grids)."""
-    formations = grid_formations(grid)
-    # UNORDERED pair grain: grids may contain both orientations of a pair
-    # (gen500 does) and both share one candidate set — (pa < pb) keying
-    # gives each distinct threshold series exactly one source row stream
-    pairs = sorted(
-        {(c.formation, min(c.feature1, c.feature2), max(c.feature1, c.feature2))
-         for c in grid}
-    )
-    pairs_df = spark.createDataFrame(
-        pairs, "formation string, pa string, pb string"
-    )
-    # one spec row per distinct threshold series (no orientation axis —
-    # uniqueness on these four keys is what prevents duplicate series)
-    spec = sorted(
-        {(c.formation, f, q, p)
-         for c in grid
-         for f, q, p in (
-             (c.feature1, c.q1, c.feature2), (c.feature2, c.q2, c.feature1),
-         )}
-    )
-    spec_df = spark.createDataFrame(
-        spec, "formation string, feature string, q double, partner string"
-    )
-    formation_arr = F.array(
-        *[F.when(FORMATIONS[name].signal(), F.lit(name)) for name in formations]
-    )
-    fmap = F.create_map(*chain.from_iterable((F.lit(c), F.col(c)) for c in feature_cols))
-    payload = ["close_time_ms", "threshold_decimal_bps", "entry_price", "next_dir"]
-    pair_cand = (
-        feat.filter(base_candidate_filter(warmup))
-        .withColumn(
-            "formation",
-            F.explode(F.filter(formation_arr, lambda x: x.isNotNull())),
-        )
-        .join(F.broadcast(pairs_df), "formation")
-        .withColumn("val_a", F.element_at(fmap, F.col("pa")))
-        .withColumn("val_b", F.element_at(fmap, F.col("pb")))
-        .filter(F.col("val_a").isNotNull() & F.col("val_b").isNotNull())
-        .select(
-            "formation", "pa", "pb", "symbol", "rn",
-            *payload, "val_a", "val_b",
-        )
-    )
-    # side rows carry the trade payload so no join back to the candidate
-    # stream is ever needed — the Arrow kernel passes it through.  A
-    # series (feature, partner) matches exactly one orientation of the
-    # (pa < pb) pair, so each series row appears exactly once.
-    def _orient(fcol: str, pcol: str, vcol: str) -> DataFrame:
-        sp = F.broadcast(spec_df)
-        return pair_cand.join(
-            sp,
-            (pair_cand.formation == spec_df.formation)
-            & (pair_cand[fcol] == spec_df.feature)
-            & (pair_cand[pcol] == spec_df.partner),
-        ).select(
-            pair_cand.formation, "feature", "q", "partner", "symbol", "rn",
-            *payload, F.col(vcol).alias("val"),
-        )
-
-    side_rows = _orient("pa", "pb", "val_a").unionByName(_orient("pb", "pa", "val_b"))
-
-    thr_schema = StructType(
-        [
-            StructField("formation", pair_cand.schema["formation"].dataType),
-            StructField("feature", pair_cand.schema["pa"].dataType),
-            StructField("q", DoubleType()),
-            StructField("partner", pair_cand.schema["pb"].dataType),
-            StructField("symbol", pair_cand.schema["symbol"].dataType),
-            StructField("rn", pair_cand.schema["rn"].dataType),
-            StructField("close_time_ms", pair_cand.schema["close_time_ms"].dataType),
-            StructField(
-                "threshold_decimal_bps",
-                pair_cand.schema["threshold_decimal_bps"].dataType,
-            ),
-            StructField("entry_price", DoubleType()),
-            StructField("next_dir", pair_cand.schema["next_dir"].dataType),
-            StructField("val", DoubleType()),
-            StructField("thr", DoubleType()),
-        ]
-    )
-    out_cols = [f.name for f in thr_schema.fields]
-
-    def compute(pdf):
-        pdf = pdf.sort_values("rn", kind="mergesort").reset_index(drop=True)
-        pdf["thr"] = excl_quantile_stream(
-            pdf["val"].to_numpy("float64", na_value=np.nan),
-            float(pdf["q"].iloc[0]),
-            lookback,
-        )
-        return pdf[out_cols]
-
-    # both pivot sides read this relation — persist so the Arrow pass
-    # runs once
-    thr = (
-        side_rows.groupBy("formation", "feature", "q", "partner", "symbol")
-        .applyInPandas(compute, thr_schema)
-        .persist()
-    )
-    # pivot sides are pre-filtered to the grid's ACTUAL side specs: a
-    # series is joined as side 1 only if some config uses it as
-    # (feature1, q1) — without this, single-orientation grids (the
-    # full-width 22×38 one) would build both orientations and double the
-    # join's inputs and output for rows the config fan-out then drops
-    s1_spec = spark.createDataFrame(
-        sorted({(c.formation, c.feature1, c.q1, c.feature2) for c in grid}),
-        "formation string, feature1 string, q1 double, feature2 string",
-    )
-    s2_spec = spark.createDataFrame(
-        sorted({(c.formation, c.feature2, c.q2, c.feature1) for c in grid}),
-        "formation string, feature2 string, q2 double, feature1 string",
-    )
-    p1 = thr.select(
-        "formation",
-        F.col("feature").alias("feature1"),
-        F.col("q").alias("q1"),
-        F.col("partner").alias("feature2"),
-        "symbol", "rn", *payload,
-        F.col("val").alias("f1_val"),
-        F.col("thr").alias("f1_thr"),
-    ).join(F.broadcast(s1_spec), ["formation", "feature1", "q1", "feature2"])
-    p2 = thr.select(
-        "formation",
-        F.col("partner").alias("feature1"),
-        F.col("feature").alias("feature2"),
-        F.col("q").alias("q2"),
-        "symbol", "rn",
-        F.col("val").alias("f2_val"),
-        F.col("thr").alias("f2_thr"),
-    ).join(F.broadcast(s2_spec), ["formation", "feature2", "q2", "feature1"])
-    both = p1.join(p2, ["formation", "feature1", "feature2", "symbol", "rn"])
-    cfg_df = sweep_grid_to_spark(spark, grid)
-    out = both.join(
-        F.broadcast(cfg_df), ["formation", "feature1", "q1", "feature2", "q2"]
-    )
-    return out.select(*_CAND_COLUMNS, "f1_thr", "f2_thr")
-
-
 def _passes(val: str, direction: str, thr: str) -> F.Column:
     return F.when(F.col(direction) == ">", F.col(val) > F.col(thr)).otherwise(
         F.col(val) < F.col(thr)

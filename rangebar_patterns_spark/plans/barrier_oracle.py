@@ -162,9 +162,9 @@ SELECT symbol, barrier_id,
     round({_AW}, 6) AS avg_win,
     round({_AL}, 6) AS avg_loss,
     round({_RR}, 6) AS risk_reward,
-    round({_tfold("return_pct")} / CAST(count(*) AS DOUBLE), 6) AS expected_value,
+    round({_tfold("return_pct")} / CAST(count(*) AS DOUBLE), 6) + 0.0 AS expected_value,
     round(avg(CAST(exit_bar AS DOUBLE)), 6) AS avg_bars_held,
-    round({_WR} - (1.0 - {_WR}) / nullif({_RR}, 0.0), 6) AS kelly_fraction
+    round({_WR} - (1.0 - {_WR}) / nullif({_RR}, 0.0), 6) + 0.0 AS kelly_fraction
 FROM trades
 GROUP BY symbol, barrier_id
 """
