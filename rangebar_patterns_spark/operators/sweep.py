@@ -660,8 +660,11 @@ def nfeature_signals(
     config default grid that is 5 sets × ~11 (feature, q) series instead
     of 432 × 3-4 per-config slots, an ~25× reduction that grows with the
     grid exactly like the pair sweep's (formation, feature, q, partner)
-    dedup.  Config-grain rows exist only on the small champion-candidate
-    stream (slot-table broadcast join), never on the bar stream."""
+    dedup.  Config-grain rows exist only for SURVIVING signals: each
+    candidate aggregates its per-series pass directions into a small map
+    once, and every config of the set is a row-local ``forall`` over a
+    broadcast slot array against that map — no config × candidate rows,
+    no config-grain shuffle."""
     from .signals import base_eligibility as _belig
     from .signals import champion_signal, eligibility
 
@@ -676,15 +679,6 @@ def nfeature_signals(
     sets = sorted({set_id(c): sorted(c.features) for c in grid}.items())
     sets_df = spark.createDataFrame(
         [(sid, fs) for sid, fs in sets], "set_id string, features array<string>"
-    )
-    # one row per (config, slot), joined to the per-set pass flags below
-    slots = spark.createDataFrame(
-        [
-            (c.config_id, set_id(c), i, f, q, d)
-            for c in grid
-            for i, (f, q, d) in enumerate(zip(c.features, c.qs, c.dirs))
-        ],
-        "config_id string, set_id string, slot int, feature string, q double, dir string",
     )
     # distinct threshold series actually needed: (set, feature, q)
     series = spark.createDataFrame(
@@ -702,8 +696,13 @@ def nfeature_signals(
         .filter(F.forall(F.col("features"), lambda f: F.element_at(fmap, f).isNotNull()))
         .drop("features")
     )
-    sl = cand.join(F.broadcast(series), "set_id").withColumn(
-        "val", F.element_at(fmap, F.col("feature"))
+    sl = (
+        cand.join(F.broadcast(series), "set_id")
+        .withColumn("val", F.element_at(fmap, F.col("feature")))
+        .select(
+            "set_id", "feature", "q", "symbol", "rn", "close_time_ms",
+            "threshold_decimal_bps", "entry_price", "val",
+        )
     )
 
     thr_schema = StructType(
@@ -713,9 +712,16 @@ def nfeature_signals(
             StructField("q", DoubleType()),
             StructField("symbol", sl.schema["symbol"].dataType),
             StructField("rn", sl.schema["rn"].dataType),
+            StructField("close_time_ms", sl.schema["close_time_ms"].dataType),
+            StructField(
+                "threshold_decimal_bps", sl.schema["threshold_decimal_bps"].dataType
+            ),
+            StructField("entry_price", DoubleType()),
+            StructField("val", DoubleType()),
             StructField("thr", DoubleType()),
         ]
     )
+    out_cols = [f.name for f in thr_schema.fields]
 
     def compute(pdf):
         pdf = pdf.sort_values("rn", kind="mergesort").reset_index(drop=True)
@@ -724,34 +730,70 @@ def nfeature_signals(
             float(pdf["q"].iloc[0]),
             lookback,
         )
-        return pdf[["set_id", "feature", "q", "symbol", "rn", "thr"]]
+        return pdf[out_cols]
 
+    # trade payload rides through the Arrow kernel (no join back to the
+    # candidate stream), exactly like the fused pair path
     thr = sl.groupBy("set_id", "feature", "q", "symbol").applyInPandas(
         compute, thr_schema
     )
-    # per-series directional pass flags at candidate grain, then fan out to
-    # configs via the broadcast slot table — min over slots = all pass
-    flags = sl.join(thr, ["set_id", "feature", "q", "symbol", "rn"]).withColumns(
-        {
-            "pass_gt": (F.col("thr").isNotNull() & (F.col("val") > F.col("thr"))).cast("int"),
-            "pass_lt": (F.col("thr").isNotNull() & (F.col("val") < F.col("thr"))).cast("int"),
-        }
+
+    def _k(f: str, q: float) -> str:
+        return f"{f}@{int(round(q * 100))}"
+
+    # one candidate-grain row per (set, bar): a small (series-key →
+    # passing-direction) map replaces the config × slot fan-out — the
+    # conjunction over every config of the set is then evaluated
+    # row-locally with forall over a broadcast per-set config array, so
+    # NO config-grain rows (let alone a config-grain shuffle) ever exist;
+    # only surviving signals are exploded out
+    skey = F.concat(
+        F.col("feature"), F.lit("@"),
+        F.round(F.col("q") * 100).cast("int").cast("string"),
     )
-    sl2 = flags.join(F.broadcast(slots), ["set_id", "feature", "q"]).withColumn(
-        "_p", F.when(F.col("dir") == ">", F.col("pass_gt")).otherwise(F.col("pass_lt"))
+    pass_dir = (
+        F.when(F.col("thr").isNotNull() & (F.col("val") > F.col("thr")), F.lit(">"))
+        .when(F.col("thr").isNotNull() & (F.col("val") < F.col("thr")), F.lit("<"))
+        .otherwise(F.lit("x"))
     )
-    rows = sl2.groupBy(
-        "config_id", "symbol", "rn", "close_time_ms",
-        "threshold_decimal_bps", "entry_price",
-    ).agg(F.min("_p").alias("_all"), F.count("*").alias("_n_slots"))
-    n_slots = {c.config_id: len(c.features) for c in grid}
-    slot_counts = spark.createDataFrame(
-        sorted(n_slots.items()), "config_id string, n_slots int"
+    candm = (
+        thr.withColumn("k", skey)
+        .withColumn("p", pass_dir)
+        .groupBy(
+            "set_id", "symbol", "rn", "close_time_ms",
+            "threshold_decimal_bps", "entry_price",
+        )
+        .agg(F.map_from_entries(F.collect_list(F.struct("k", "p"))).alias("m"))
+    )
+    by_set: dict[str, list] = {sid: [] for sid, _ in sets}
+    for c in grid:
+        by_set[set_id(c)].append(
+            (c.config_id, [(_k(f, q), d) for f, q, d in zip(c.features, c.qs, c.dirs)])
+        )
+    sets_cfg = spark.createDataFrame(
+        [(sid, sorted(cfgs)) for sid, cfgs in sorted(by_set.items())],
+        "set_id string, cfgs array<struct<"
+        "config_id:string, slots:array<struct<k:string,d:string>>>>",
+    )
+    surviving = F.filter(
+        F.col("cfgs"),
+        lambda cfg: F.forall(
+            cfg["slots"],
+            lambda s: F.coalesce(
+                F.try_element_at(F.col("m"), s["k"]) == s["d"], F.lit(False)
+            ),
+        ),
     )
     return (
-        rows.join(F.broadcast(slot_counts), "config_id")
-        .filter((F.col("_all") == 1) & (F.col("_n_slots") == F.col("n_slots")))
-        .drop("_all", "_n_slots", "n_slots")
+        candm.join(F.broadcast(sets_cfg), "set_id")
+        .withColumn(
+            "config_id",
+            F.explode(F.transform(surviving, lambda cfg: cfg["config_id"])),
+        )
+        .select(
+            "config_id", "symbol", "rn", "close_time_ms",
+            "threshold_decimal_bps", "entry_price",
+        )
         .withColumn("side", F.lit("long"))
     )
 
