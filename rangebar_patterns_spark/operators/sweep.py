@@ -367,10 +367,6 @@ def sweep_candidates_with_thresholds(
              for c in grid}
         ))
     }
-    pairs_df = spark.createDataFrame(
-        [(i, f0, pa, pb) for (f0, pa, pb), i in pair_ids.items()],
-        "pair_id int, formation string, pa string, pb string",
-    )
     s1_keys = {(c.formation, c.feature1, c.q1, c.feature2) for c in grid}
     s2_keys = {(c.formation, c.feature2, c.q2, c.feature1) for c in grid}
     spec = sorted(s1_keys | s2_keys)
@@ -395,55 +391,91 @@ def sweep_candidates_with_thresholds(
     formation_arr = F.array(
         *[F.when(FORMATIONS[name].signal(), F.lit(name)) for name in formations]
     )
-    fmap = F.create_map(*chain.from_iterable((F.lit(c), F.col(c)) for c in feature_cols))
     payload = ["close_time_ms", "threshold_decimal_bps", "entry_price", "next_dir"]
-    pair_cand = (
-        feat.filter(base_candidate_filter(warmup))
-        .withColumn(
-            "formation",
-            F.explode(F.filter(formation_arr, lambda x: x.isNotNull())),
-        )
-        .join(F.broadcast(pairs_df), "formation")
-        .withColumn("val_a", F.element_at(fmap, F.col("pa")))
-        .withColumn("val_b", F.element_at(fmap, F.col("pb")))
-        .filter(F.col("val_a").isNotNull() & F.col("val_b").isNotNull())
-        .select(
-            "pair_id", "symbol", "rn", *payload, "val_a", "val_b",
-        )
-    )
     # side rows carry the trade payload so no join back to the candidate
     # stream is ever needed — the Arrow kernel passes it through.  A
     # series (feature, partner) matches exactly one orientation of the
     # (pa < pb) pair, so each series row appears exactly once; the spec
     # orientation split happens in Python (feature < partner ⇔ the
-    # series reads the pair's ``val_a``).
-    spec_a = [r for r in spec_rows if r[2] < r[4]]
-    spec_b = [r for r in spec_rows if r[2] > r[4]]
-
-    def _orient(rows: list, vcol: str) -> DataFrame:
-        sel = spark.createDataFrame(
-            [(r[0], r[5], r[3]) for r in rows],
-            "series_id int, pair_id int, q double",
+    # series reads the pair's ``val_a``).  The whole expansion is ONE
+    # pass: the per-candidate feature array and the formation explode run
+    # once, the ×pairs broadcast join fans out row *references*, and both
+    # orientations emit from one generator — the earlier two-branch union
+    # recomputed the candidate stream per orientation and built a
+    # 39-entry string map per fanned-out row (measured 3× slower at
+    # full-grid width).
+    ser_a: dict[int, list] = {}
+    ser_b: dict[int, list] = {}
+    for sid, _f0, f, q, prt, pid, _u1, _u2 in spec_rows:
+        if f < prt:
+            ser_a.setdefault(pid, []).append((sid, q))
+        elif f > prt:
+            ser_b.setdefault(pid, []).append((sid, q))
+    feat_idx = {c: i for i, c in enumerate(feature_cols)}
+    pair_sel = spark.createDataFrame(
+        [
+            (pid, f0, feat_idx[pa], feat_idx[pb],
+             ser_a.get(pid, []), ser_b.get(pid, []))
+            for (f0, pa, pb), pid in pair_ids.items()
+        ],
+        "pair_id int, formation string, pa_idx int, pb_idx int, "
+        "series_a array<struct<sid:int,q:double>>, "
+        "series_b array<struct<sid:int,q:double>>",
+    )
+    sarr = F.concat(
+        F.transform(
+            "series_a",
+            lambda s: F.struct(
+                s["sid"].alias("series_id"),
+                s["q"].alias("q"),
+                F.col("val_a").alias("val"),
+            ),
+        ),
+        F.transform(
+            "series_b",
+            lambda s: F.struct(
+                s["sid"].alias("series_id"),
+                s["q"].alias("q"),
+                F.col("val_b").alias("val"),
+            ),
+        ),
+    )
+    side_rows = (
+        feat.filter(base_candidate_filter(warmup))
+        .withColumn(
+            "formation",
+            F.explode(F.filter(formation_arr, lambda x: x.isNotNull())),
         )
-        return pair_cand.join(F.broadcast(sel), "pair_id").select(
-            "series_id", "q", "symbol", "rn", *payload,
-            F.col(vcol).alias("val"),
+        .withColumn(
+            "_vals", F.array(*[F.col(c).cast("double") for c in feature_cols])
         )
-
-    side_rows = _orient(spec_a, "val_a").unionByName(_orient(spec_b, "val_b"))
+        .join(F.broadcast(pair_sel), "formation")
+        .withColumn("val_a", F.get("_vals", F.col("pa_idx")))
+        .withColumn("val_b", F.get("_vals", F.col("pb_idx")))
+        .filter(F.col("val_a").isNotNull() & F.col("val_b").isNotNull())
+        .select(F.explode(sarr).alias("_s"), "symbol", "rn", *payload)
+        .select(
+            F.col("_s.series_id").alias("series_id"),
+            F.col("_s.q").alias("q"),
+            "symbol",
+            "rn",
+            *payload,
+            F.col("_s.val").alias("val"),
+        )
+    )
 
     thr_schema = StructType(
         [
             StructField("series_id", IntegerType()),
-            StructField("symbol", pair_cand.schema["symbol"].dataType),
-            StructField("rn", pair_cand.schema["rn"].dataType),
-            StructField("close_time_ms", pair_cand.schema["close_time_ms"].dataType),
+            StructField("symbol", feat.schema["symbol"].dataType),
+            StructField("rn", feat.schema["rn"].dataType),
+            StructField("close_time_ms", feat.schema["close_time_ms"].dataType),
             StructField(
                 "threshold_decimal_bps",
-                pair_cand.schema["threshold_decimal_bps"].dataType,
+                feat.schema["threshold_decimal_bps"].dataType,
             ),
             StructField("entry_price", DoubleType()),
-            StructField("next_dir", pair_cand.schema["next_dir"].dataType),
+            StructField("next_dir", feat.schema["next_dir"].dataType),
             StructField("val", DoubleType()),
             StructField("thr", DoubleType()),
         ]
