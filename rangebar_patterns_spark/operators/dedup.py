@@ -128,20 +128,32 @@ def _shingle_arrays(docs: DataFrame, max_df: int | None = None) -> DataFrame:
     )
 
 
-def _verify_jaccard(cand: DataFrame, arrs: DataFrame, threshold: float) -> DataFrame:
+def _verify_jaccard(
+    cand: DataFrame,
+    arrs: DataFrame,
+    threshold: float,
+    broadcast_arrs: bool = False,
+) -> DataFrame:
     """Exact Jaccard for candidate (doc_a, doc_b) pairs via
-    ``array_intersect`` on the full shingle arrays."""
-    out = cand.join(
-        arrs.select(
-            F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("_sa"), F.col("n_sh").alias("_na")
-        ),
-        "doc_a",
-    ).join(
-        arrs.select(
-            F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("_sb"), F.col("n_sh").alias("_nb")
-        ),
-        "doc_b",
+    ``array_intersect`` on the full shingle arrays.
+
+    ``broadcast_arrs`` forces a broadcast-hash join of the array side.
+    AQE sizes the *persisted* shingle relation by its in-memory footprint
+    (arrays inflate ~3× vs their on-disk estimate), so a corpus that
+    easily fits executor memory can still be planned as a sort-merge —
+    which sorts the candidate-pair fact side twice (measured ~10× slower
+    at a 12.7M-pair verify).  Callers that know the doc population is
+    dimension-sized opt in; the default leaves the planner free, which is
+    the only safe choice at corpus scales where ``arrs`` itself is big."""
+    side_a = arrs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("_sa"), F.col("n_sh").alias("_na")
     )
+    side_b = arrs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("_sb"), F.col("n_sh").alias("_nb")
+    )
+    if broadcast_arrs:
+        side_a, side_b = F.broadcast(side_a), F.broadcast(side_b)
+    out = cand.join(side_a, "doc_a").join(side_b, "doc_b")
     inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).cast("long")
     out = out.withColumn("inter", inter).withColumn(
         "jaccard",
@@ -206,6 +218,7 @@ def ngram_jaccard_pairs(
     threshold: float = JACCARD_THRESHOLD,
     arrs: DataFrame | None = None,
     max_df: int | None = None,
+    broadcast_arrs: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard, PPJoin-style (Xiao et al.,
     WWW'08): candidates only from *prefix* tokens with the length filter,
@@ -221,9 +234,9 @@ def ngram_jaccard_pairs(
     if arrs is None:
         arrs = _shingle_arrays(docs, max_df=max_df)
     cand = ngram_candidates(arrs, threshold)
-    return _verify_jaccard(cand, arrs, threshold).select(
-        "doc_a", "doc_b", "inter", "jaccard"
-    )
+    return _verify_jaccard(
+        cand, arrs, threshold, broadcast_arrs=broadcast_arrs
+    ).select("doc_a", "doc_b", "inter", "jaccard")
 
 
 def minhash_signatures(

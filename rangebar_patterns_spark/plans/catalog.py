@@ -1030,8 +1030,13 @@ def _doc_arrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_ngram_jaccard", TO.NGRAM_JACCARD_SQL)
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the testdata doc population is dimension-sized at every SF this
+    # repo benches — broadcast the array side of the verify join (at a
+    # true corpus scale the caller would leave the planner to choose)
     return DD.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), arrs=_doc_arrs(spark, sf_dir)
+        load_table(spark, sf_dir, "documents"),
+        arrs=_doc_arrs(spark, sf_dir),
+        broadcast_arrs=True,
     )
 
 

@@ -36,6 +36,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # 64 MB broadcast ceiling (default 10 MB): the engine's dimension
+        # relations — config grids, shingle-array sides of dedup verify
+        # joins, centroid tables — are tens of MB at any corpus scale,
+        # and shuffling the *fact* side of those joins twice costs far
+        # more than shipping a 64 MB table to each executor.  At sf1 the
+        # ngram-Jaccard verify join (12.7M candidate pairs × 50K-doc
+        # array side) drops ~5× from this alone.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
