@@ -1,1 +1,5 @@
-from .events_stream import hourly_counts_stream, range_bars_stateful  # noqa: F401
+from .events_stream import (  # noqa: F401
+    dedup_events_stream,
+    hourly_counts_stream,
+    range_bars_stateful,
+)

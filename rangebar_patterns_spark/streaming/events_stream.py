@@ -212,3 +212,27 @@ def range_bars_stateful(
     )
     q.awaitTermination()
     return spark.table(sink_name)
+
+
+def dedup_events_stream(
+    ev: DataFrame,
+    watermark: str = "1 hour",
+    keys: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Ingest-time streaming deduplication — the front door of a
+    training-data pipeline fed by an at-least-once transport (replayed
+    Kafka offsets, retried uploads): downstream sees each key exactly
+    once.
+
+    ``dropDuplicatesWithinWatermark`` holds per-key state only until the
+    watermark passes the key's event time, so the state store is bounded
+    by (ingest rate × horizon) instead of growing with the corpus the
+    way plain ``dropDuplicates`` state does — the property that makes
+    this operator viable on an unbounded stream.  It also drops a retry
+    whose re-stamped event time differs from the original's (any two
+    occurrences within the horizon collapse), which keyed-on-(id, time)
+    dedup cannot do.
+    """
+    return ev.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

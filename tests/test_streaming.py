@@ -215,3 +215,61 @@ def test_checkpoint_replay_is_idempotent(spark, tmp_path):
     w1 = min(first)
     assert final[w1] == 3, final
     assert len(final) == 2 and set(final.values()) == {3, 1}, final
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Ingest dedup semantics: an event id re-delivered in a later
+    micro-batch (with a re-stamped event time, as a retrying producer
+    would) is dropped as long as it arrives within the watermark
+    horizon; distinct ids all pass.  Append-mode file stream, memory
+    sink — the same harness as the late-data test."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+    from rangebar_patterns_spark.streaming import dedup_events_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    day = "2024-01-01 "
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [i for i, _, _ in rows],
+                "ts": pd.to_datetime([day + t for _, t, _ in rows]),
+                "event_type": ["E" for _ in rows],
+                "value": [v for _, _, v in rows],
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf), src / name, coerce_timestamps="us"
+        )
+
+    write_batch("b1.parquet", [(1, "01:00:00", 1.0), (2, "01:10:00", 2.0)])
+    schema = "event_id bigint, ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(str(src))
+        .withColumn("event_time", F.col("ts"))
+    )
+    q = (
+        dedup_events_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # id 2 re-delivered 5 minutes later (re-stamped), id 3 is new
+        write_batch("b2.parquet", [(2, "01:15:00", 2.0), (3, "01:20:00", 3.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(r.event_id for r in spark.table("dedup_sink").collect())
+    assert got == [1, 2, 3], f"each id exactly once, got {got}"
