@@ -82,3 +82,31 @@ def test_scan_column_pruning(spark):
     assert rs is not None
     cols = {c.split(":")[0] for c in rs.group(1).split(",")}
     assert cols == {"doc_id", "n_chars"}, cols
+
+
+def test_join_strategies_across_catalog(spark):
+    """No unbroadcast cartesian product may appear anywhere (every
+    config-grid cross join must ship the grid side), and the explicitly
+    hinted dimension joins plan as broadcast: the n-gram Jaccard verify
+    (shingle-array side) and the barrier-grid cross join."""
+    cartesian = []
+    for n, p in _plans(spark):
+        if "CartesianProduct" in p:
+            cartesian.append(n)
+    assert not cartesian, f"unbroadcast cross joins in: {cartesian}"
+
+    from rangebar_patterns_spark.plans.catalog import QUERIES
+
+    jac = (
+        QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in jac, "jaccard verify should broadcast arrs"
+
+    trades = (
+        QUERIES["triple_barrier_trades"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in trades or "BroadcastExchange" in trades, (
+        "barrier grid cross join should broadcast the grid side"
+    )
