@@ -73,3 +73,40 @@ def test_spark_engines_agree(spark):
         na, nb = a.ti_p95_prior.isna(), b.ti_p95_prior.isna()
         assert (na == nb).all()
         assert (a.ti_p95_prior[~na] == b.ti_p95_prior[~nb]).all(), f"rolling={rolling}"
+
+
+def test_sorted_kernel_matches_two_heap():
+    """The bounded-frame sorted-list kernel must be bit-equal to the
+    two-heap kernel (same order statistics, same interpolation
+    arithmetic) across NaN densities, frame widths, and quantiles —
+    including frames wider than the series and duplicate-heavy data."""
+    from rangebar_patterns_spark.functions.series_quantile import (
+        _excl_quantile_rolling_sorted,
+        excl_quantile_stream,
+    )
+
+    rng = np.random.default_rng(7)
+    for size, nan_rate, lb in [
+        (2000, 0.0, 999),
+        (500, 0.3, 10),
+        (300, 0.05, 1000),   # frame wider than the series
+        (1000, 0.1, 1),
+    ]:
+        vals = rng.normal(size=size)
+        vals[rng.random(size) < nan_rate] = np.nan
+        dups = rng.integers(0, 5, size=size)
+        vals = np.where(dups == 0, np.round(vals, 1), vals)  # duplicates
+        for p in (0.05, 0.5, 0.7, 0.95):
+            a = _excl_quantile_rolling_sorted(vals, p, lb)
+            # force the two-heap path by calling with the dispatch
+            # threshold exceeded is not possible per-call; exercise the
+            # internals directly instead
+            import rangebar_patterns_spark.functions.series_quantile as sq
+
+            orig = sq._SORTED_KERNEL_MAX_LOOKBACK
+            sq._SORTED_KERNEL_MAX_LOOKBACK = 0
+            try:
+                b = excl_quantile_stream(vals, p, lb)
+            finally:
+                sq._SORTED_KERNEL_MAX_LOOKBACK = orig
+            assert np.array_equal(a, b, equal_nan=True), (size, nan_rate, lb, p)
