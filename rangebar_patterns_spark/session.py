@@ -47,6 +47,18 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # shuffle/spill scratch on tmpfs when available: local-mode
+        # shuffle writes otherwise contend with the host's virtio disk
+        # (observed as D-state stalls with idle CPUs); on a real cluster
+        # this is "put spark.local.dir on the fast local NVMe", the
+        # standard deployment guidance
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark-scratch" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         # 128 MB input splits: at 100 TB this yields ~800K tasks; pair with
         # dynamic allocation on a real cluster.  Local tests never notice.
