@@ -104,14 +104,18 @@ def _shingle_arrays(docs: DataFrame, max_df: int | None = None) -> DataFrame:
     intended — pairs whose ONLY overlap is stop-listed boilerplate no
     longer count as near-duplicates.  None (default) disables the guard,
     preserving exact-Jaccard parity with the uncapped oracle."""
-    from pyspark.sql import Window
-
-    # posting-list frequency via a window over the single exploded relation
-    # (shingling runs once; an agg+join-back would shingle twice and add a
-    # third shuffle)
-    sh = _doc_shingles(docs).withColumn(
-        "_f", F.count("*").over(Window.partitionBy("shingle"))
-    )
+    # posting-list frequency via groupBy + join-back, NOT a window over
+    # the exploded relation: a window partitioned by shingle must
+    # sort-shuffle the full posting relation and serializes behind the
+    # hottest shingle (AQE splits skewed JOIN partitions, never window
+    # partitions).  The aggregate gets map-side combine (vocab-sized
+    # output), and the join back is skew-splittable — or a plain
+    # broadcast when the vocabulary fits, which AQE picks on its own.
+    # Cost: the shingling expression evaluates twice (agg input + join
+    # left side) — per-row string work, cheap next to a skewed sort.
+    sh = _doc_shingles(docs)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("_f"))
+    sh = sh.join(freq, "shingle")
     if max_df is not None:
         sh = sh.filter(F.col("_f") <= max_df)
     return (
