@@ -247,6 +247,8 @@ def q_formation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_CHAMP_YR = f"{frag.CHAMPION_SIGNAL} AND {frag.eligibility(WARMUP)}"
+
 _TEMPORAL_ORACLE = f"""
 WITH {BARS_DUCKDB_CTE},
 {frag.feat_cte()}
@@ -255,6 +257,11 @@ SELECT symbol,
     count(*) AS total_bars,
     CAST(sum(CASE WHEN dir_1 = 0 AND direction = 0 THEN 1 ELSE 0 END) AS BIGINT) AS signal_count,
     CAST(sum(CASE WHEN dir_1 = 0 AND direction = 0 AND next_dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+    CAST(sum(CASE WHEN {_CHAMP_YR} THEN 1 ELSE 0 END) AS BIGINT) AS champ_signals,
+    CAST(sum(CASE WHEN {_CHAMP_YR} AND next_dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS champ_hits,
+    round(CAST(sum(CASE WHEN {_CHAMP_YR} AND next_dir = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / nullif(CAST(sum(CASE WHEN {_CHAMP_YR} THEN 1 ELSE 0 END) AS DOUBLE), 0.0),
+        6) AS champ_hit_rate,
     round(list_reduce(list_prepend(0.0, list(trade_intensity ORDER BY rn)),
         (acc, x) -> acc + x) / CAST(count(*) AS DOUBLE), 6) AS avg_ti,
     round(min(low), 6) AS min_low,
@@ -267,8 +274,13 @@ GROUP BY symbol, year(epoch_ms(close_time_ms))
 
 @register("temporal_yearly", _TEMPORAL_ORACLE)
 def q_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gen04 temporal stability (raw 2-down pattern per year) + gen112
+    true-no-lookahead temporal stability (champion signal — 2DOWN +
+    ti above the EXPANDING p95 + positive Kyle lambda, warmup-gated —
+    per year; sql/gen112_true_nla_temporal.sql:15-60) as one panel."""
     feat = with_bar_features(_bars(spark, sf_dir))
     sig = (F.col("dir_1") == 0) & (F.col("direction") == 0)
+    champ = champion_signal() & eligibility(WARMUP)
     return (
         feat.filter(F.col("dir_1").isNotNull())
         .groupBy(
@@ -279,6 +291,13 @@ def q_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("total_bars"),
             _cnt(sig).alias("signal_count"),
             _cnt(sig & (F.col("next_dir") == 1)).alias("hits"),
+            _cnt(champ).alias("champ_signals"),
+            _cnt(champ & (F.col("next_dir") == 1)).alias("champ_hits"),
+            F.round(
+                _cnt(champ & (F.col("next_dir") == 1)).cast("double")
+                / F.nullif(_cnt(champ).cast("double"), F.lit(0.0)),
+                6,
+            ).alias("champ_hit_rate"),
             F.round(
                 _det.osum(F.col("rn"), F.col("trade_intensity"))
                 / F.count("*").cast("double"),
