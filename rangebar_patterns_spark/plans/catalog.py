@@ -248,12 +248,32 @@ def q_formation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CHAMP_YR = f"{frag.CHAMPION_SIGNAL} AND {frag.eligibility(WARMUP)}"
+_PRIOR_YR = (
+    "dir_1 = 0 AND direction = 0 AND trade_intensity > p95_prior_yr "
+    "AND kyle_lambda_proxy > 0"
+)
 
 _TEMPORAL_ORACLE = f"""
 WITH {BARS_DUCKDB_CTE},
-{frag.feat_cte()}
+{frag.feat_cte()},
+tp95y AS (
+    SELECT symbol, year(epoch_ms(close_time_ms)) AS yr,
+        {frag.duck_q6_expr("list(trade_intensity)", 0.95)} AS _p95y
+    FROM feat GROUP BY symbol, year(epoch_ms(close_time_ms))
+),
+tprior AS (
+    SELECT symbol, yr,
+        lag(_p95y) OVER (PARTITION BY symbol ORDER BY yr) AS p95_prior_yr
+    FROM tp95y
+),
+tfeat AS (
+    SELECT f.*, year(epoch_ms(f.close_time_ms)) AS yr, p.p95_prior_yr
+    FROM feat f
+    LEFT JOIN tprior p
+      ON f.symbol = p.symbol AND year(epoch_ms(f.close_time_ms)) = p.yr
+)
 SELECT symbol,
-    year(epoch_ms(close_time_ms)) AS yr,
+    yr,
     count(*) AS total_bars,
     CAST(sum(CASE WHEN dir_1 = 0 AND direction = 0 THEN 1 ELSE 0 END) AS BIGINT) AS signal_count,
     CAST(sum(CASE WHEN dir_1 = 0 AND direction = 0 AND next_dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
@@ -262,13 +282,15 @@ SELECT symbol,
     round(CAST(sum(CASE WHEN {_CHAMP_YR} AND next_dir = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         / nullif(CAST(sum(CASE WHEN {_CHAMP_YR} THEN 1 ELSE 0 END) AS DOUBLE), 0.0),
         6) AS champ_hit_rate,
+    CAST(sum(CASE WHEN {_PRIOR_YR} THEN 1 ELSE 0 END) AS BIGINT) AS prioryr_signals,
+    CAST(sum(CASE WHEN {_PRIOR_YR} AND next_dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS prioryr_hits,
     round(list_reduce(list_prepend(0.0, list(trade_intensity ORDER BY rn)),
         (acc, x) -> acc + x) / CAST(count(*) AS DOUBLE), 6) AS avg_ti,
     round(min(low), 6) AS min_low,
     round(max(high), 6) AS max_high
-FROM feat
+FROM tfeat
 WHERE dir_1 IS NOT NULL
-GROUP BY symbol, year(epoch_ms(close_time_ms))
+GROUP BY symbol, yr
 """
 
 
@@ -277,15 +299,40 @@ def q_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gen04 temporal stability (raw 2-down pattern per year) + gen112
     true-no-lookahead temporal stability (champion signal — 2DOWN +
     ti above the EXPANDING p95 + positive Kyle lambda, warmup-gated —
-    per year; sql/gen112_true_nla_temporal.sql:15-60) as one panel."""
+    per year; sql/gen112_true_nla_temporal.sql:15-60) + gen109
+    prior-year-percentile stability (the same pattern gated on the
+    PREVIOUS year's exact p95 — sql/gen109_nla_temporal.sql:10-40; the
+    first year has no prior and contributes zero signals) as one panel."""
+    from pyspark.sql import Window
+    from ..functions.quantiles import q6_from_sorted_array
+
     feat = with_bar_features(_bars(spark, sf_dir))
+    yr = F.year(F.timestamp_millis(F.col("close_time_ms"))).cast("long")
+    # prior-year p95 over ALL bars of the year (the reference's
+    # yearly_percentiles CTE has no lag-chain filter)
+    p95y = feat.groupBy("symbol", yr.alias("yr")).agg(
+        q6_from_sorted_array(
+            F.sort_array(F.collect_list("trade_intensity")), 0.95
+        ).alias("_p95y")
+    )
+    prior = p95y.select(
+        "symbol",
+        "yr",
+        F.lag("_p95y", 1)
+        .over(Window.partitionBy("symbol").orderBy("yr"))
+        .alias("p95_prior_yr"),
+    )
+    feat = feat.withColumn("yr", yr).join(F.broadcast(prior), ["symbol", "yr"], "left")
     sig = (F.col("dir_1") == 0) & (F.col("direction") == 0)
     champ = champion_signal() & eligibility(WARMUP)
+    prior_sig = sig & (
+        F.col("trade_intensity") > F.col("p95_prior_yr")
+    ) & (F.col("kyle_lambda_proxy") > 0)
     return (
         feat.filter(F.col("dir_1").isNotNull())
         .groupBy(
             "symbol",
-            F.year(F.timestamp_millis(F.col("close_time_ms"))).cast("long").alias("yr"),
+            "yr",
         )
         .agg(
             F.count("*").alias("total_bars"),
@@ -298,6 +345,8 @@ def q_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.nullif(_cnt(champ).cast("double"), F.lit(0.0)),
                 6,
             ).alias("champ_hit_rate"),
+            _cnt(prior_sig).alias("prioryr_signals"),
+            _cnt(prior_sig & (F.col("next_dir") == 1)).alias("prioryr_hits"),
             F.round(
                 _det.osum(F.col("rn"), F.col("trade_intensity"))
                 / F.count("*").cast("double"),

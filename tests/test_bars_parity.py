@@ -47,3 +47,50 @@ def test_bars_coherence(spark):
     nulls = bars.filter(F.col("intra_hurst").isNull()).count()
     total = bars.count()
     assert 0.10 < nulls / total < 0.40
+
+
+def test_temporal_prior_year_gate_fires(spark, tmp_path):
+    """gen109 prior-year-percentile semantics need >1 calendar year of
+    data — the driver testdata spans one year, so its gate rows never
+    exercise the lagged join.  Two synthetic years through BOTH engines:
+    the Spark panel must match the DuckDB twin exactly AND produce a
+    non-zero prior-year signal count in year 2 (proving the gate fires),
+    zero in year 1 (no prior year exists)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rangebar_patterns_spark.plans.catalog import ORACLES, QUERIES
+    from conftest import compare_frames
+    import duckdb
+
+    n = 3000
+    rows = {
+        "event_id": list(range(1, 2 * n + 1)),
+        "ts": (
+            list(pd.date_range("2023-01-05", periods=n, freq="90min"))
+            + list(pd.date_range("2024-01-05", periods=n, freq="90min"))
+        ),
+        "user_id": [7] * (2 * n),
+        "event_type": ["SYN"] * (2 * n),
+        "value": [float((i * 37) % 100) for i in range(2 * n)],
+        "props": ["{}"] * (2 * n),
+    }
+    d = tmp_path / "sf_syn"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows)), d / "events.parquet",
+        coerce_timestamps="us",
+    )
+
+    sp = QUERIES["temporal_yearly"](spark, str(d))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+    )
+    du = con.execute(ORACLES["temporal_yearly"]).df()
+    compare_frames(sp, du)
+
+    got = {r.yr: r.prioryr_signals for r in sp.collect()}
+    assert got[2023] == 0, "no prior year for the first year"
+    assert got[2024] > 0, "prior-year gate must fire in year 2"
