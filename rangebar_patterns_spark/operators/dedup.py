@@ -206,9 +206,21 @@ def ngram_candidates(arrs: DataFrame, threshold: float) -> DataFrame:
             F.col("a.n_sh").alias("_na"),
             F.col("b.n_sh").alias("_nb"),
         )
-        .agg(F.min("a.pos").alias("_pa"), F.min("b.pos").alias("_pb"))
+        .agg(
+            F.count("*").alias("_c"),
+            F.max("a.pos").alias("_pa"),
+            F.max("b.pos").alias("_pb"),
+        )
     )
-    bound = F.lit(1) + F.least(
+    # overlap ≤ c + min(remaining after the LAST prefix match on each
+    # side): both arrays share one global order, so any common shingle
+    # ranked below the last matched one sits inside BOTH prefixes at
+    # positions ≤ the match positions — i.e. it IS one of the c matches;
+    # everything else must rank above, occupying positions strictly after
+    # (_pa, _pb).  Always at least as tight as the single-first-match
+    # bound (c ≥ 1 + spread of the matched positions), strictly tighter
+    # when the shared prefix tokens are spread out.
+    bound = F.col("_c") + F.least(
         F.col("_na") - F.col("_pa") - 1, F.col("_nb") - F.col("_pb") - 1
     )
     jmax = bound.cast("double") / (
