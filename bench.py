@@ -52,6 +52,10 @@ def main() -> None:
 
     for name, fn in qs.items():
         run(name, fn)
+    # "catalog_total_wall" covers exactly the 50 driver-gate entries —
+    # the demonstration grids are timed separately below so the headline
+    # metric stays comparable across rounds
+    total = round(sum(t for t in timings.values() if t == t), 3)
     # the demonstration grids are measured standalone: drop the catalog's
     # ~50 persisted relations first so the wide grid isn't competing with
     # them for executor memory (matches how a dedicated cluster run would
@@ -59,8 +63,9 @@ def main() -> None:
     spark.catalog.clearCache()
     for name, fn in BENCH_QUERIES.items():
         run(name, fn)
-
-    total = round(sum(t for t in timings.values() if t == t), 3)
+    demo_total = round(
+        sum(t for n, t in timings.items() if n in BENCH_QUERIES and t == t), 3
+    )
     print(
         json.dumps(
             {
@@ -68,6 +73,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "demo_total": demo_total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -504,17 +504,23 @@ def duplicate_clusters(
     # (the whole point of dedup); cache the edge/label relations with a
     # partition count derived from the pair count so each propagation
     # round schedules proportionate tasks
-    if num_partitions is None:
-        num_partitions = max(1, min(256, pairs.count() // 500_000 + 1))
-    edges = (
+    # size from the PERSISTED edge relation, not from pairs.count():
+    # counting an unpersisted pairs pipeline (e.g. the full PPJoin +
+    # verify chain) would execute it end-to-end twice — once for the
+    # count, once for the edges build
+    pre_edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
-        .repartition(num_partitions, "src")
         .persist()
     )
+    if num_partitions is None:
+        num_partitions = max(1, min(256, pre_edges.count() // 1_000_000 + 1))
+    edges = pre_edges.repartition(num_partitions, "src").persist()
+    edges.count()  # materialize from pre_edges' cache before dropping it
+    pre_edges.unpersist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

@@ -101,7 +101,11 @@ def try_decode(payload: bytes, kind: str) -> tuple[np.ndarray | None, str]:
     success, ``(None, "stubbed:no-codec")`` when the library is absent
     (this container), ``(None, "decode-error:<exc>")`` on bad payloads.
     Worker-side helper for ``extract_features(attempt_decode=True)``."""
-    mod_name = _CODECS[kind]
+    mod_name = _CODECS.get(kind)
+    if mod_name is None:
+        # unknown modality must degrade like a bad payload, not kill the
+        # Arrow batch with a KeyError
+        return None, f"decode-error:UnknownKind({kind})"
     try:
         import importlib
 

@@ -231,10 +231,15 @@ def rdd_distribution_stats(
         # ratios are rounded-4, so scaling by 1e4 gives EXACT integers —
         # integer sums are associative, hence merge-order-free in both
         # engines (the float-fold alternative relies on ordered list
-        # aggregation, which the twin cannot do robustly under spills)
+        # aggregation, which the twin cannot do robustly under spills).
+        # Squares run in DECIMAL: the ratio is unbounded BELOW (the
+        # reference caps only the positive side), so an int64/double
+        # square of the scaled value can overflow 2^53 for deep-loss
+        # windows; decimal×decimal stays exact in both engines.
         F.sum(F.round(r * 10000).cast("long")).alias("_sum_sc"),
         F.sum(
-            (F.round(r * 10000) * F.round(r * 10000)).cast("long")
+            F.round(r * 10000).cast("decimal(12,0)")
+            * F.round(r * 10000).cast("decimal(12,0)")
         ).alias("_sumsq_sc"),
         F.sum(F.when(r > 2.0, 1).otherwise(0)).alias("_n_gt2"),
         F.sum(F.when(r > 1.0, 1).otherwise(0)).alias("_n_gt1"),
@@ -295,9 +300,8 @@ def rdd_topsis_rank(
         *[
             F.sqrt(
                 F.sum(
-                    (F.round(F.col(c) * 10000) * F.round(F.col(c) * 10000)).cast(
-                        "long"
-                    )
+                    F.round(F.col(c) * 10000).cast("decimal(12,0)")
+                    * F.round(F.col(c) * 10000).cast("decimal(12,0)")
                 ).cast("double")
                 / F.lit(100000000.0)
             ).alias(f"_norm_{c}")

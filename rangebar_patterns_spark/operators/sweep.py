@@ -352,6 +352,14 @@ def sweep_candidates_with_thresholds(
     At the 3,344-config full-width grid this cuts the sf0.1 wall time
     ~3× vs the layered path (which remains the didactic reference shape
     for small grids)."""
+    same = [c.config_id for c in grid if c.feature1 == c.feature2]
+    if same:
+        raise ValueError(
+            "sweep_candidates_with_thresholds keys series orientation by "
+            "feature < partner and would silently drop same-feature "
+            f"configs — use the layered path for: {same[:3]}"
+            + ("..." if len(same) > 3 else "")
+        )
     formations = grid_formations(grid)
     # UNORDERED pair grain: grids may contain both orientations of a pair
     # (gen500 does) and both share one candidate set — (pa < pb) keying
@@ -492,9 +500,23 @@ def sweep_candidates_with_thresholds(
         return pdf[out_cols]
 
     # both pivot sides read this relation — persist so the Arrow pass
-    # runs once
+    # runs once.  ``threshold_shuffle_partitions`` sizes that one
+    # shuffle via an explicit repartition on the group keys (the
+    # hash-partitioned child satisfies the Arrow pass's clustered
+    # distribution, so no second exchange appears): at full-grid ×
+    # large-SF width the side relation is O(100M) rows, and the session
+    # default (32) makes each Python worker hold multi-million-row
+    # partitions — enough to OOM the worker and to serialize the stage
+    # behind its largest partition.  A scoped repartition also cannot
+    # leak into concurrently-planned queries the way mutating
+    # spark.sql.shuffle.partitions would.
+    grouped_src = side_rows
+    if threshold_shuffle_partitions is not None:
+        grouped_src = side_rows.repartition(
+            threshold_shuffle_partitions, "series_id", "symbol"
+        )
     thr = (
-        side_rows.groupBy("series_id", "symbol")
+        grouped_src.groupBy("series_id", "symbol")
         .applyInPandas(compute, thr_schema)
         .persist()
     )
@@ -503,24 +525,7 @@ def sweep_candidates_with_thresholds(
         # (funnel ⋈ metrics) would otherwise schedule the Arrow pass
         # concurrently per branch and race past the cold cache, paying
         # the full threshold computation once per branch.
-        # ``threshold_shuffle_partitions`` sizes this one shuffle: at
-        # full-grid × large-SF width the side relation is O(100M) rows,
-        # and the session default (32) makes each Python worker hold
-        # multi-million-row partitions — enough to OOM the worker and to
-        # serialize the stage behind its largest partition.  More, smaller
-        # partitions is strictly better here (groups are tiny and
-        # numerous); restored after materialization.
-        if threshold_shuffle_partitions is not None:
-            prev = spark.conf.get("spark.sql.shuffle.partitions")
-            spark.conf.set(
-                "spark.sql.shuffle.partitions", str(threshold_shuffle_partitions)
-            )
-            try:
-                thr.count()
-            finally:
-                spark.conf.set("spark.sql.shuffle.partitions", prev)
-        else:
-            thr.count()
+        thr.count()
     dec = F.broadcast(spec_df)
     p1 = thr.join(dec.filter(F.col("use_s1")), "series_id").select(
         "pair_id", "formation",
@@ -712,10 +717,23 @@ def nfeature_signals(
     sets_df = spark.createDataFrame(
         [(sid, fs) for sid, fs in sets], "set_id string, features array<string>"
     )
-    # distinct threshold series actually needed: (set, feature, q)
+    # distinct threshold series actually needed: (set, feature, q) — each
+    # gets a small-int slot id assigned HERE, from the exact float q, so
+    # the per-candidate pass-direction map and the per-config slot arrays
+    # key on the same integers (a rounded-string key would couple Python
+    # and Spark rounding modes and can collide for close quantiles)
+    slot_ids = {
+        t: i
+        for i, t in enumerate(
+            sorted({(set_id(c), f, q) for c in grid for f, q in zip(c.features, c.qs)})
+        )
+    }
     series = spark.createDataFrame(
-        sorted({(set_id(c), f, q) for c in grid for f, q in zip(c.features, c.qs)}),
-        "set_id string, feature string, q double",
+        [
+            (s, f, q, sid)
+            for (s, f, q), sid in sorted(slot_ids.items(), key=lambda kv: kv[1])
+        ],
+        "set_id string, feature string, q double, slot_id int",
     )
     base = feat.filter(
         champion_signal() & eligibility(warmup) & _belig(warmup)
@@ -732,7 +750,7 @@ def nfeature_signals(
         cand.join(F.broadcast(series), "set_id")
         .withColumn("val", F.element_at(fmap, F.col("feature")))
         .select(
-            "set_id", "feature", "q", "symbol", "rn", "close_time_ms",
+            "set_id", "feature", "q", "slot_id", "symbol", "rn", "close_time_ms",
             "threshold_decimal_bps", "entry_price", "val",
         )
     )
@@ -742,6 +760,7 @@ def nfeature_signals(
             StructField("set_id", sl.schema["set_id"].dataType),
             StructField("feature", sl.schema["feature"].dataType),
             StructField("q", DoubleType()),
+            StructField("slot_id", IntegerType()),
             StructField("symbol", sl.schema["symbol"].dataType),
             StructField("rn", sl.schema["rn"].dataType),
             StructField("close_time_ms", sl.schema["close_time_ms"].dataType),
@@ -766,30 +785,23 @@ def nfeature_signals(
 
     # trade payload rides through the Arrow kernel (no join back to the
     # candidate stream), exactly like the fused pair path
-    thr = sl.groupBy("set_id", "feature", "q", "symbol").applyInPandas(
+    thr = sl.groupBy("set_id", "feature", "q", "slot_id", "symbol").applyInPandas(
         compute, thr_schema
     )
 
-    def _k(f: str, q: float) -> str:
-        return f"{f}@{int(round(q * 100))}"
-
-    # one candidate-grain row per (set, bar): a small (series-key →
+    # one candidate-grain row per (set, bar): a small (slot_id →
     # passing-direction) map replaces the config × slot fan-out — the
     # conjunction over every config of the set is then evaluated
     # row-locally with forall over a broadcast per-set config array, so
     # NO config-grain rows (let alone a config-grain shuffle) ever exist;
     # only surviving signals are exploded out
-    skey = F.concat(
-        F.col("feature"), F.lit("@"),
-        F.round(F.col("q") * 100).cast("int").cast("string"),
-    )
     pass_dir = (
         F.when(F.col("thr").isNotNull() & (F.col("val") > F.col("thr")), F.lit(">"))
         .when(F.col("thr").isNotNull() & (F.col("val") < F.col("thr")), F.lit("<"))
         .otherwise(F.lit("x"))
     )
     candm = (
-        thr.withColumn("k", skey)
+        thr.withColumn("k", F.col("slot_id"))
         .withColumn("p", pass_dir)
         .groupBy(
             "set_id", "symbol", "rn", "close_time_ms",
@@ -800,12 +812,18 @@ def nfeature_signals(
     by_set: dict[str, list] = {sid: [] for sid, _ in sets}
     for c in grid:
         by_set[set_id(c)].append(
-            (c.config_id, [(_k(f, q), d) for f, q, d in zip(c.features, c.qs, c.dirs)])
+            (
+                c.config_id,
+                [
+                    (slot_ids[(set_id(c), f, q)], d)
+                    for f, q, d in zip(c.features, c.qs, c.dirs)
+                ],
+            )
         )
     sets_cfg = spark.createDataFrame(
         [(sid, sorted(cfgs)) for sid, cfgs in sorted(by_set.items())],
         "set_id string, cfgs array<struct<"
-        "config_id:string, slots:array<struct<k:string,d:string>>>>",
+        "config_id:string, slots:array<struct<k:int,d:string>>>>",
     )
     surviving = F.filter(
         F.col("cfgs"),

@@ -559,7 +559,6 @@ from ..operators.sweep import (  # noqa: E402
     sweep_grid_to_spark,
     sweep_signals,
     sweep_trades,
-    with_signalset_quantiles,
 )
 from .sweep_oracle import (  # noqa: E402
     sweep_funnel_oracle,

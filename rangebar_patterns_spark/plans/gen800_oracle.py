@@ -59,7 +59,8 @@ def gen800_ctes(
     )
 
     crit_norm = ",\n        ".join(
-        f"sqrt(CAST(sum(CAST(round({c} * 10000) * round({c} * 10000) AS BIGINT))"
+        f"sqrt(CAST(sum(CAST(round({c} * 10000) AS DECIMAL(12,0))"
+        f" * CAST(round({c} * 10000) AS DECIMAL(12,0)))"
         f" AS DOUBLE) / 100000000.0) AS _norm_{c}"
         for c, _, _ in GEN800_CRITERIA
     )
@@ -180,8 +181,8 @@ g8sa AS (
         min(CASE WHEN return_dd_ratio = _minr THEN w_start_ms END) AS _worst_ws,
         min(CASE WHEN return_dd_ratio = _maxr THEN w_start_ms END) AS _best_ws,
         CAST(sum(CAST(round(return_dd_ratio * 10000) AS BIGINT)) AS BIGINT) AS _sum_sc,
-        CAST(sum(CAST(round(return_dd_ratio * 10000)
-                      * round(return_dd_ratio * 10000) AS BIGINT)) AS BIGINT) AS _sumsq_sc,
+        sum(CAST(round(return_dd_ratio * 10000) AS DECIMAL(12,0))
+            * CAST(round(return_dd_ratio * 10000) AS DECIMAL(12,0))) AS _sumsq_sc,
         {pick_cols},
         sum(CASE WHEN return_dd_ratio > 2.0 THEN 1 ELSE 0 END) AS _n_gt2,
         sum(CASE WHEN return_dd_ratio > 1.0 THEN 1 ELSE 0 END) AS _n_gt1,
