@@ -500,27 +500,35 @@ def sweep_candidates_with_thresholds(
         return pdf[out_cols]
 
     # both pivot sides read this relation — persist so the Arrow pass
-    # runs once.  ``threshold_shuffle_partitions`` sizes that one
-    # shuffle via an explicit repartition on the group keys (the
-    # hash-partitioned child satisfies the Arrow pass's clustered
-    # distribution, so no second exchange appears): at full-grid ×
-    # large-SF width the side relation is O(100M) rows, and the session
-    # default (32) makes each Python worker hold multi-million-row
-    # partitions — enough to OOM the worker and to serialize the stage
-    # behind its largest partition.  A scoped repartition also cannot
-    # leak into concurrently-planned queries the way mutating
-    # spark.sql.shuffle.partitions would.
-    grouped_src = side_rows
-    if threshold_shuffle_partitions is not None:
-        grouped_src = side_rows.repartition(
-            threshold_shuffle_partitions, "series_id", "symbol"
-        )
+    # runs once.  ``threshold_shuffle_partitions`` raises the partition
+    # CEILING for that one shuffle: at full-grid × large-SF width the
+    # side relation is O(100M) rows, and the session default (32) makes
+    # each Python worker hold multi-million-row partitions — enough to
+    # OOM the worker and to serialize the stage behind its largest
+    # partition.  The ceiling is applied via a conf-scoped
+    # materialization (ENSURE_REQUIREMENTS exchange) rather than
+    # ``repartition(n)``: AQE coalesces the former down to the data's
+    # actual size, while REPARTITION_BY_NUM pins the count exactly —
+    # measured 2.5× slower at small SF from thousands of near-empty
+    # Arrow tasks.  Setting the parameter implies eager materialization
+    # (the sizing can only take effect on the materializing action); the
+    # scoped conf mutation assumes the driver plans one query at a time,
+    # which holds for every caller in this repo.
     thr = (
-        grouped_src.groupBy("series_id", "symbol")
+        side_rows.groupBy("series_id", "symbol")
         .applyInPandas(compute, thr_schema)
         .persist()
     )
-    if materialize_thresholds:
+    if threshold_shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(threshold_shuffle_partitions)
+        )
+        try:
+            thr.count()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    elif materialize_thresholds:
         # populate the cache NOW: a consumer plan with several branches
         # (funnel ⋈ metrics) would otherwise schedule the Arrow pass
         # concurrently per branch and race past the cold cache, paying
