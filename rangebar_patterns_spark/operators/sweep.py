@@ -520,14 +520,28 @@ def sweep_candidates_with_thresholds(
         .persist()
     )
     if threshold_shuffle_partitions is not None:
+        # pair the ceiling with a small ADVISORY size: AQE's coalescing
+        # targets compressed shuffle bytes, and the side relation's
+        # narrow int/double columns compress ~10×, so the 64MB default
+        # folds a 150M-row pass back to a handful of multi-million-row
+        # pandas workers — the exact OOM this parameter exists to stop
+        # (observed as an OOM-killed Python worker at sf1).  8MB
+        # compressed ≈ a few hundred thousand rows per worker.
         prev = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_adv = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(threshold_shuffle_partitions)
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(8 * 1024 * 1024)
         )
         try:
             thr.count()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev_adv
+            )
     elif materialize_thresholds:
         # populate the cache NOW: a consumer plan with several branches
         # (funnel ⋈ metrics) would otherwise schedule the Arrow pass
