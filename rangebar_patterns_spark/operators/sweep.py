@@ -514,40 +514,50 @@ def sweep_candidates_with_thresholds(
     # (the sizing can only take effect on the materializing action); the
     # scoped conf mutation assumes the driver plans one query at a time,
     # which holds for every caller in this repo.
-    thr = (
-        side_rows.groupBy("series_id", "symbol")
-        .applyInPandas(compute, thr_schema)
-        .persist()
-    )
+    def _thr_of(src):
+        return src.groupBy("series_id", "symbol").applyInPandas(compute, thr_schema)
+
     if threshold_shuffle_partitions is not None:
-        # pair the ceiling with a small ADVISORY size: AQE's coalescing
-        # targets compressed shuffle bytes, and the side relation's
-        # narrow int/double columns compress ~10×, so the 64MB default
-        # folds a 150M-row pass back to a handful of multi-million-row
-        # pandas workers — the exact OOM this parameter exists to stop
-        # (observed as an OOM-killed Python worker at sf1).  8MB
-        # compressed ≈ a few hundred thousand rows per worker.
+        # the confs must be in effect BEFORE .persist(): persist eagerly
+        # compiles and registers the physical plan with the CacheManager,
+        # baking the exchange's partition count in — confs set afterward
+        # never reach the cached shuffle.  The ceiling is paired with a
+        # small ADVISORY size: AQE's coalescing targets compressed
+        # shuffle bytes, and the side relation's narrow int/double
+        # columns compress ~10×, so the 64MB default folds a 150M-row
+        # pass back to a handful of multi-million-row pandas workers —
+        # the exact OOM-killed-worker failure this parameter exists to
+        # stop.  32MB compressed ≈ ~1M rows / well under 1GB of pandas
+        # per worker — bounded memory without fragmenting the pass into
+        # thousands of near-empty Arrow tasks.  The scoped mutation
+        # assumes the driver plans one query at a time, which holds for
+        # every caller in this repo.
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         prev_adv = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(threshold_shuffle_partitions)
-        )
-        spark.conf.set(
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(8 * 1024 * 1024)
-        )
         try:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(threshold_shuffle_partitions)
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                str(32 * 1024 * 1024),
+            )
+            thr = _thr_of(side_rows).persist()
             thr.count()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
             spark.conf.set(
                 "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev_adv
             )
-    elif materialize_thresholds:
-        # populate the cache NOW: a consumer plan with several branches
-        # (funnel ⋈ metrics) would otherwise schedule the Arrow pass
-        # concurrently per branch and race past the cold cache, paying
-        # the full threshold computation once per branch.
-        thr.count()
+    else:
+        thr = _thr_of(side_rows).persist()
+        if materialize_thresholds:
+            # populate the cache NOW: a consumer plan with several
+            # branches (funnel ⋈ metrics) would otherwise schedule the
+            # Arrow pass concurrently per branch and race past the cold
+            # cache, paying the full threshold computation once per
+            # branch.
+            thr.count()
     dec = F.broadcast(spec_df)
     p1 = thr.join(dec.filter(F.col("use_s1")), "series_id").select(
         "pair_id", "formation",

@@ -303,3 +303,33 @@ def test_gen600_complete_reference_matrix_runs(spark):
     assert (pdf.n_signals <= pdf.n_candidates).all()
     assert (pdf.hits <= pdf.n_signals).all()
     assert pdf.config_id.nunique() > 10_000
+
+
+def test_threshold_shuffle_ceiling_reaches_cached_plan(spark):
+    """The threshold_shuffle_partitions ceiling must be in effect when
+    the threshold relation's plan is compiled: ``persist()`` registers
+    the physical plan eagerly, so confs set after it never reach the
+    cached shuffle (a silent no-op that reintroduces the sf1 OOM this
+    lever exists to prevent).  Assert the requested count appears on the
+    series-key exchange inside the cached plan."""
+    import re
+
+    from rangebar_patterns_spark.operators.sweep import (
+        default_sweep_grid,
+        sweep_candidates_with_thresholds,
+    )
+    from rangebar_patterns_spark.plans import catalog as C
+
+    candq = sweep_candidates_with_thresholds(
+        C._featg(spark, SF_DIR),
+        spark,
+        default_sweep_grid(),
+        C.SWEEP_FEATURES,
+        C.WARMUP,
+        threshold_shuffle_partitions=7,
+    )
+    plan = candq._jdf.queryExecution().executedPlan().toString()
+    hits = set(re.findall(r"hashpartitioning\(series_id[^)]*, (\d+)\)", plan))
+    assert hits == {"7"}, f"ceiling did not reach the cached shuffle: {hits}"
+    # and the scoped conf mutation must have been restored
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
