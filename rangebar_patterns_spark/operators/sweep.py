@@ -518,37 +518,29 @@ def sweep_candidates_with_thresholds(
         return src.groupBy("series_id", "symbol").applyInPandas(compute, thr_schema)
 
     if threshold_shuffle_partitions is not None:
-        # the confs must be in effect BEFORE .persist(): persist eagerly
+        # the conf must be in effect BEFORE .persist(): persist eagerly
         # compiles and registers the physical plan with the CacheManager,
         # baking the exchange's partition count in — confs set afterward
-        # never reach the cached shuffle.  The ceiling is paired with a
-        # small ADVISORY size: AQE's coalescing targets compressed
-        # shuffle bytes, and the side relation's narrow int/double
-        # columns compress ~10×, so the 64MB default folds a 150M-row
-        # pass back to a handful of multi-million-row pandas workers —
-        # the exact OOM-killed-worker failure this parameter exists to
-        # stop.  32MB compressed ≈ ~1M rows / well under 1GB of pandas
-        # per worker — bounded memory without fragmenting the pass into
-        # thousands of near-empty Arrow tasks.  The scoped mutation
-        # assumes the driver plans one query at a time, which holds for
-        # every caller in this repo.
+        # never reach the cached shuffle.  The count is also EXACT, not
+        # an AQE ceiling: cached plans compile with AQE disabled
+        # (canChangeCachedPlanOutputPartitioning defaults false), so the
+        # number set here is what materializes — callers size it to
+        # bound per-worker rows directly (the session default of
+        # one-per-core puts multi-million-row pandas frames in each
+        # Python worker at large SF — an OOM-killed worker — while
+        # thousands of partitions fragment the pass into near-empty
+        # Arrow tasks).  The scoped mutation assumes the driver plans
+        # one query at a time, which holds for every caller in this
+        # repo.
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        prev_adv = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
         try:
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(threshold_shuffle_partitions)
-            )
-            spark.conf.set(
-                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-                str(32 * 1024 * 1024),
             )
             thr = _thr_of(side_rows).persist()
             thr.count()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-            spark.conf.set(
-                "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev_adv
-            )
     else:
         thr = _thr_of(side_rows).persist()
         if materialize_thresholds:

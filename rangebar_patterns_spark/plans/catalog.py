@@ -711,17 +711,16 @@ def q_sweep_gen600_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # NOT persisted at config grain: 30M-row materialization costs more
     # than recomputing the (threshold-relation-persisted) pivot join for
-    # the funnel and signal consumers
-    # partition the threshold shuffle by series-group count (≈4 groups
-    # per partition at full width) so per-worker state stays bounded at
-    # any SF — the series axis, not the data volume, sets the parallelism
-    n_groups = n_series * spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_type"
-    ).distinct().count()
+    # the funnel and signal consumers.
+    # 256-partition ceiling on the threshold shuffle: the AQE advisory
+    # (32 MB) bounds per-worker rows from above, the ceiling keeps the
+    # map side from fanning out thousands of shuffle files — a
+    # group-count-derived ceiling (~2K at this width) cost ~2.5× at
+    # sf0.1 in map-side overhead while adding no extra safety
     candq = sweep_candidates_with_thresholds(
         featx, spark, grid, features, WARMUP,
         materialize_thresholds=True,
-        threshold_shuffle_partitions=max(64, min(2048, n_groups // 4)),
+        threshold_shuffle_partitions=256,
     )
     funnel = sweep_funnel(candq)
     fwd = with_entry_and_forward(featx, cap=max_bars_cap(gen600_profiles()))
