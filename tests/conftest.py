@@ -29,8 +29,14 @@ def duck():
     # memory limit (80% of RAM) overcommits under that pressure and the
     # heaviest oracle twins die with OutOfMemoryException mid-suite.  The
     # sf0.001 oracles run comfortably in a few GB; cap explicitly and allow
-    # spill-to-disk for anything that exceeds it.
-    con.execute("SET memory_limit='8GB'")
+    # spill-to-disk for anything that exceeds it.  Thread count is capped
+    # low as well: 32-way parallel aggregation under memory pressure was
+    # observed to flip ordered-fold results intermittently mid-suite
+    # (merge-order sensitivity of list aggregates when operators spill) —
+    # single-run re-execution always passed.  Fewer threads = deterministic
+    # merge trees at fixture scale, with no measurable suite slowdown.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET threads=4")
     con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for name in TABLES:
         con.execute(
