@@ -110,3 +110,59 @@ def test_sorted_kernel_matches_two_heap():
             finally:
                 sq._SORTED_KERNEL_MAX_LOOKBACK = orig
             assert np.array_equal(a, b, equal_nan=True), (size, nan_rate, lb, p)
+
+
+def test_kernel_matches_naive_reference_property():
+    """Property check of BOTH kernels against an independent naive
+    implementation of the spec: for every row, sort the live frame and
+    apply the Hyndman-Fan type-6 formula directly.  Catches algorithmic
+    drift (heap/bisect bookkeeping bugs) that the kernel-vs-kernel
+    equality test cannot, since that test shares no third opinion."""
+    from hypothesis import given, settings, strategies as st
+
+    from rangebar_patterns_spark.functions.series_quantile import (
+        _excl_quantile_rolling_sorted,
+        excl_quantile_stream,
+    )
+
+    def naive(values, p, lookback):
+        out = np.full(len(values), np.nan)
+        for i in range(len(values)):
+            lo = 0 if lookback is None else max(0, i - lookback)
+            frame = [v for v in values[lo:i] if not np.isnan(v)]
+            n = len(frame)
+            if n == 0:
+                continue
+            s = sorted(frame)
+            h = p * (n + 1.0)
+            if h <= 1.0:
+                out[i] = s[0]
+            elif h >= n:
+                out[i] = s[-1]
+            else:
+                k = int(h)
+                out[i] = s[k - 1] + (h - float(k)) * (s[k] - s[k - 1])
+        return out
+
+    floats = st.one_of(
+        st.floats(-1e6, 1e6, allow_nan=False),
+        st.just(float("nan")),
+        st.integers(-5, 5).map(float),  # force duplicates
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        vals=st.lists(floats, min_size=0, max_size=60),
+        p=st.sampled_from([0.05, 0.25, 0.5, 0.75, 0.95]),
+        lookback=st.one_of(st.none(), st.integers(1, 40)),
+    )
+    def check(vals, p, lookback):
+        arr = np.array(vals, dtype="float64")
+        want = naive(arr, p, lookback)
+        got = excl_quantile_stream(arr, p, lookback)
+        assert np.array_equal(got, want, equal_nan=True)
+        if lookback is not None:
+            got2 = _excl_quantile_rolling_sorted(arr, p, lookback)
+            assert np.array_equal(got2, want, equal_nan=True)
+
+    check()
