@@ -62,3 +62,48 @@ def test_triangle_single_round(spark):
     rows = duplicate_clusters(pairs).collect()
     assert {r.cluster_rep for r in rows} == {10}
     assert all(r.cluster_size == 3 for r in rows)
+
+
+def test_random_graphs_match_union_find(spark):
+    """Fuzz the distributed min-label propagation against a plain
+    union-find over seeded random graphs (mixed densities: sparse
+    forests through near-cliques).  One Spark call per graph, reference
+    computed in-process — checks representative choice (component
+    minimum), cluster sizes, and exactly one rep per cluster."""
+    import numpy as np
+
+    from rangebar_patterns_spark.operators.dedup import duplicate_clusters
+
+    rng = np.random.default_rng(123)
+    for n_nodes, n_edges in [(30, 15), (60, 80), (25, 200), (80, 40)]:
+        a = rng.integers(0, n_nodes, size=n_edges)
+        b = rng.integers(0, n_nodes, size=n_edges)
+        edges = [(int(x) + 1, int(y) + 1) for x, y in zip(a, b) if x != y]
+        if not edges:
+            continue
+
+        parent = list(range(n_nodes + 1))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in edges:
+            parent[find(x)] = find(y)
+        comp: dict[int, list[int]] = {}
+        for v in {v for e in edges for v in e}:
+            comp.setdefault(find(v), []).append(v)
+        want = {}
+        for members in comp.values():
+            rep = min(members)
+            for v in members:
+                want[v] = (rep, len(members), v == rep)
+
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.doc_id: (r.cluster_rep, r.cluster_size, bool(r.is_rep))
+            for r in duplicate_clusters(pairs).collect()
+        }
+        assert got == want, f"graph({n_nodes},{n_edges}) mismatch"
