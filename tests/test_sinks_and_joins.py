@@ -72,3 +72,63 @@ def test_range_join_matches_entry_forward_arrays(spark):
     assert len(a) == len(b)
     for c in ["fwd_highs", "fwd_lows", "fwd_opens", "fwd_closes"]:
         assert all(list(x) == list(y) for x, y in zip(a[c], b[c])), c
+
+
+def test_asof_join_fuzz_vs_pandas_merge_asof(spark):
+    """Fuzz the union-merge as-of join against pandas.merge_asof
+    (direction='backward', allow_exact_matches=True — the same
+    at-or-before semantics) over seeded random bar/probe timestamp
+    sets, including exact-tie timestamps and probes before any bar."""
+    import numpy as np
+    import pandas as pd
+
+    from rangebar_patterns_spark.operators.joins import asof_join_bars
+
+    rng = np.random.default_rng(77)
+    bars_rows, probe_rows = [], []
+    pid = 0
+    for sym in ["A", "B", "C"]:
+        bts = np.unique(rng.integers(0, 5000, size=60))
+        for t in bts:
+            bars_rows.append((sym, int(t), float(rng.normal())))
+        # probes: random, plus exact bar-timestamp ties, plus one before
+        # every bar
+        pts = list(rng.integers(-100, 5100, size=40)) + list(bts[:5])
+        for t in pts:
+            probe_rows.append((pid, sym, int(t)))
+            pid += 1
+
+    bars = spark.createDataFrame(
+        bars_rows, "symbol string, close_time_ms long, close double"
+    )
+    probes = spark.createDataFrame(
+        probe_rows, "probe_id long, symbol string, ts_ms long"
+    )
+    got = (
+        asof_join_bars(probes, bars, ["close"])
+        .toPandas()
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+
+    bpd = pd.DataFrame(bars_rows, columns=["symbol", "close_time_ms", "close"])
+    ppd = pd.DataFrame(probe_rows, columns=["probe_id", "symbol", "ts_ms"])
+    want = pd.merge_asof(
+        ppd.sort_values("ts_ms"),
+        bpd.sort_values("close_time_ms"),
+        left_on="ts_ms",
+        right_on="close_time_ms",
+        by="symbol",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("probe_id").reset_index(drop=True)
+
+    assert len(got) == len(want)
+    g = got.set_index("probe_id")["bar_close"]
+    w = want.set_index("probe_id")["close"]
+    for k in w.index:
+        gv, wv = g.get(k), w[k]
+        if pd.isna(wv):
+            assert pd.isna(gv), f"probe {k}: expected no match, got {gv}"
+        else:
+            assert gv == wv, f"probe {k}: {gv} != {wv}"
