@@ -494,9 +494,9 @@ def duplicate_clusters(
     is_rep, cluster_size); downstream "drop the non-reps" is a semi-join.
 
     ``num_partitions`` sizes the cached edge/label relations; when None it
-    is derived from the pair count (~500K edge rows per partition) so a
-    toy pair set schedules one task per round while a corpus-scale pair
-    relation fans out.  Raises ``RuntimeError`` if ``max_iter`` rounds do
+    is derived as ~1M symmetrized edge rows per partition, counted from
+    the persisted edge relation, so a toy pair set schedules one task per
+    round while a corpus-scale pair relation fans out.  Raises ``RuntimeError`` if ``max_iter`` rounds do
     not reach the fixpoint (component diameter > max_iter) rather than
     silently returning a split-cluster labeling.
     """

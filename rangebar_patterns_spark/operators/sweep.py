@@ -500,20 +500,14 @@ def sweep_candidates_with_thresholds(
         return pdf[out_cols]
 
     # both pivot sides read this relation — persist so the Arrow pass
-    # runs once.  ``threshold_shuffle_partitions`` raises the partition
-    # CEILING for that one shuffle: at full-grid × large-SF width the
-    # side relation is O(100M) rows, and the session default (32) makes
-    # each Python worker hold multi-million-row partitions — enough to
-    # OOM the worker and to serialize the stage behind its largest
-    # partition.  The ceiling is applied via a conf-scoped
-    # materialization (ENSURE_REQUIREMENTS exchange) rather than
-    # ``repartition(n)``: AQE coalesces the former down to the data's
-    # actual size, while REPARTITION_BY_NUM pins the count exactly —
-    # measured 2.5× slower at small SF from thousands of near-empty
-    # Arrow tasks.  Setting the parameter implies eager materialization
-    # (the sizing can only take effect on the materializing action); the
-    # scoped conf mutation assumes the driver plans one query at a time,
-    # which holds for every caller in this repo.
+    # runs once.  ``threshold_shuffle_partitions`` sets the EXACT
+    # partition count for that one shuffle: at full-grid × large-SF
+    # width the side relation is O(100M) rows, and the session default
+    # (one per core) makes each Python worker hold multi-million-row
+    # partitions — enough to OOM the worker and to serialize the stage
+    # behind its largest partition.  See the inner block below for why
+    # the count is exact (cached plans compile with AQE off) and why
+    # setting it implies eager materialization.
     def _thr_of(src):
         return src.groupBy("series_id", "symbol").applyInPandas(compute, thr_schema)
 

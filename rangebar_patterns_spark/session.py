@@ -18,6 +18,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: minimum free bytes on /dev/shm before it is used as shuffle scratch —
+#: spill landing on a nearly-full tmpfs fails with ENOSPC *and* eats the
+#: RAM the spill was meant to relieve, so a small tmpfs is worse than disk
+_SHM_MIN_FREE_BYTES = 16 * 1024**3
+
+
+def _local_scratch_dir() -> str:
+    """Default ``spark.local.dir``: /dev/shm when it exists with ≥16 GiB
+    free, else /tmp.  Overridable via ``SPARK_LOCAL_DIRS``."""
+    if os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= _SHM_MIN_FREE_BYTES:
+                return "/dev/shm/spark-scratch"
+        except OSError:
+            pass
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "rangebar_patterns_spark",
     master: str | None = None,
@@ -51,13 +70,13 @@ def get_spark(
         # shuffle writes otherwise contend with the host's virtio disk
         # (observed as D-state stalls with idle CPUs); on a real cluster
         # this is "put spark.local.dir on the fast local NVMe", the
-        # standard deployment guidance
+        # standard deployment guidance.  tmpfs spill consumes RAM, so
+        # the default only picks /dev/shm when it has headroom
+        # (_local_scratch_dir); memory-constrained hosts should set
+        # SPARK_LOCAL_DIRS explicitly.
         .config(
             "spark.local.dir",
-            os.environ.get(
-                "SPARK_LOCAL_DIRS",
-                "/dev/shm/spark-scratch" if os.path.isdir("/dev/shm") else "/tmp",
-            ),
+            os.environ.get("SPARK_LOCAL_DIRS", _local_scratch_dir()),
         )
         .config("spark.ui.enabled", "false")
         # 128 MB input splits: at 100 TB this yields ~800K tasks; pair with

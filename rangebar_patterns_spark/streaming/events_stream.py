@@ -222,7 +222,10 @@ def dedup_events_stream(
     """Ingest-time streaming deduplication — the front door of a
     training-data pipeline fed by an at-least-once transport (replayed
     Kafka offsets, retried uploads): downstream sees each key exactly
-    once.
+    once *within the watermark horizon* — a re-delivery arriving after
+    the watermark has passed the key's event time is no longer in state
+    and passes through (size the horizon to the transport's maximum
+    redelivery delay).
 
     ``dropDuplicatesWithinWatermark`` holds per-key state only until the
     watermark passes the key's event time, so the state store is bounded
