@@ -572,12 +572,131 @@ def duplicate_clusters(
             f"duplicate_clusters did not converge in {max_iter} rounds — "
             "a component's diameter exceeds 2^max_iter; raise max_iter"
         )
+    return _cluster_output(labels.select("doc_id", F.col("label").alias("cluster_rep")))
+
+
+def _cluster_output(labeled: DataFrame) -> DataFrame:
+    """(doc_id, cluster_rep) → the shared output shape: rep flag +
+    cluster size (one window over the small labeled relation)."""
     from pyspark.sql import Window
 
-    out = labels.select("doc_id", F.col("label").alias("cluster_rep"))
     w = Window.partitionBy("cluster_rep")
     return (
-        out.withColumn("cluster_size", F.count("*").over(w).cast("long"))
+        labeled.withColumn("cluster_size", F.count("*").over(w).cast("long"))
         .withColumn("is_rep", F.col("doc_id") == F.col("cluster_rep"))
         .select("doc_id", "cluster_rep", "is_rep", "cluster_size")
     )
+
+
+def duplicate_clusters_star(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (the two-phase MapReduce CC algorithm) — same output as
+    :func:`duplicate_clusters`, different scaling shape: where min-label
+    propagation joins the FULL edge relation every round, star
+    contraction rewrites the edge set itself each round, collapsing it
+    toward one star per component — the rounds get *cheaper* as they
+    proceed, the property that matters at 10⁹-edge corpora.
+
+    One round = large-star (every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood) then small-star
+    (connects the smaller-or-equal neighbors, and itself, to that
+    minimum).  Both emit canonical (hi → lo) edges, so each round is two
+    groupBy-min + join passes over a shrinking relation.  Converged when
+    a full round leaves the canonical edge set unchanged — the edges then
+    form stars whose centers are the component minima, and labels are
+    read straight off the edges (no propagation state to carry).
+
+    Deterministic (min is order-insensitive); fuzz-tested against the
+    same union-find reference as the propagation path.  Raises
+    ``RuntimeError`` on non-convergence within ``max_iter`` rounds."""
+    canon = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    if num_partitions is None:
+        num_partitions = max(1, min(256, canon.count() // 500_000 + 1))
+    edges = canon.repartition(num_partitions, "u").persist()
+    edges.count()
+    # all docs ever seen — the star rounds drop singleton-star members
+    # from the edge relation only at the very end, but output must cover
+    # every doc that appeared in a pair
+    docs = (
+        edges.select(F.col("u").alias("doc_id"))
+        .unionByName(edges.select(F.col("v").alias("doc_id")))
+        .distinct()
+        .persist()
+    )
+    canon.unpersist()
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+            e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        return (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("src", "mn").alias("m"))
+        )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = _sym(e)
+        joined = sym.join(_mins(sym), "src")
+        return (
+            joined.filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        sym = _sym(e)
+        mins = _mins(sym)
+        joined = sym.join(mins, "src")
+        return (
+            joined.filter(F.col("dst") <= F.col("src"))
+            .select(F.col("dst").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select(F.col("src").alias("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    converged = False
+    for _ in range(max_iter):
+        new_edges = (
+            _small_star(_large_star(edges))
+            .repartition(num_partitions, "u")
+            .localCheckpoint()
+        )
+        # set equality on canonical edges: same count + empty anti-join
+        same_count = new_edges.count() == edges.count()
+        if same_count and new_edges.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0:
+            converged = True
+            edges = new_edges
+            break
+        edges = new_edges
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters_star did not converge in {max_iter} rounds; "
+            "raise max_iter"
+        )
+    # converged edges are stars: (member → component-min); roots appear
+    # only as v — label them with themselves via the doc universe
+    labels = docs.join(
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_rep")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce("cluster_rep", "doc_id").alias("cluster_rep")
+    )
+    return _cluster_output(labels)

@@ -321,6 +321,107 @@ def with_signalset_quantiles(
     return out.select(*_CAND_COLUMNS, "f1_thr", "f2_thr")
 
 
+#: Arrow-frame sizing target for the threshold shuffle: ~64K side-relation
+#: rows per partition keeps each Python worker's pandas frames tens of MB
+#: (the sf1 lesson: the session default of one-partition-per-core put
+#: multi-million-row frames in each worker — OOM-killed), while staying
+#: coarse enough that the map side doesn't fan out thousands of shuffle
+#: files (a ~2K-partition grouping-count ceiling measured ~2.5× slower at
+#: sf0.1 in map-side overhead)
+THRESHOLD_ROWS_PER_PARTITION = 65_536
+
+#: partition-count ceiling for the derived sizing — beyond this the
+#: per-partition shuffle-file fan-out dominates; at 100 TB a cluster
+#: deployment would raise it along with executor count
+THRESHOLD_MAX_PARTITIONS = 4_096
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def exact_shuffle_partitions(spark: SparkSession, n: int):
+    """Scoped ``spark.sql.shuffle.partitions`` mutation for plans that are
+    compiled-and-cached inside the scope (cached plans compile with AQE
+    off, so the count is exact).  The mutation is session-global: it
+    assumes ONE query is being planned at a time on this session — true
+    for this repo's driver/bench/test callers, NOT safe under concurrent
+    planning from multiple threads (a per-plan hint would be; Spark has
+    none for cached-plan compilation as of 4.x)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def grid_series_per_formation(grid: list[SweepConfig]) -> dict[str, int]:
+    """Distinct threshold-series count per formation for a grid — the
+    fan-out factor each candidate (bar, formation) row explodes by."""
+    s_keys = {(c.formation, c.feature1, c.q1, c.feature2) for c in grid} | {
+        (c.formation, c.feature2, c.q2, c.feature1) for c in grid
+    }
+    spf: dict[str, int] = {}
+    for f0, *_ in s_keys:
+        spf[f0] = spf.get(f0, 0) + 1
+    return spf
+
+
+def derive_grid_shuffle_partitions(
+    feat: DataFrame, spark: SparkSession, grid: list[SweepConfig], warmup: int
+) -> int:
+    """Caller-facing wrapper over :func:`derive_threshold_partitions` for
+    sizing a whole sweep plan (threshold shuffle AND the downstream pivot
+    join / funnel aggregate, which move the same order of rows)."""
+    formations = grid_formations(grid)
+    formation_arr = F.array(
+        *[F.when(FORMATIONS[name].signal(), F.lit(name)) for name in formations]
+    )
+    return derive_threshold_partitions(
+        feat, spark, warmup, formation_arr, grid_series_per_formation(grid)
+    )
+
+
+def derive_threshold_partitions(
+    feat: DataFrame,
+    spark: SparkSession,
+    warmup: int,
+    formation_arr,
+    series_per_formation: dict[str, int],
+) -> int:
+    """Size the threshold shuffle from estimated side-relation rows: count
+    candidate (bar, formation) memberships with one cheap aggregation over
+    ``feat`` (persisted by every catalog caller), multiply by each
+    formation's series fan-out, and target
+    :data:`THRESHOLD_ROWS_PER_PARTITION` rows per partition.  The estimate
+    is an upper bound (it ignores per-pair feature-NULL drops), which errs
+    toward smaller, safer Arrow frames.  Clamped to [session shuffle
+    partitions, :data:`THRESHOLD_MAX_PARTITIONS`]."""
+    fcounts = {
+        r["formation"]: r["count"]
+        for r in (
+            feat.filter(base_candidate_filter(warmup))
+            .select(
+                F.explode(F.filter(formation_arr, lambda x: x.isNotNull())).alias(
+                    "formation"
+                )
+            )
+            .groupBy("formation")
+            .count()
+            .collect()
+        )
+    }
+    est_rows = sum(
+        fcounts.get(f, 0) * n for f, n in series_per_formation.items()
+    )
+    session_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(
+        session_default,
+        min(THRESHOLD_MAX_PARTITIONS, -(-est_rows // THRESHOLD_ROWS_PER_PARTITION)),
+    )
+
+
 def sweep_candidates_with_thresholds(
     feat: DataFrame,
     spark: SparkSession,
@@ -329,7 +430,7 @@ def sweep_candidates_with_thresholds(
     warmup: int,
     lookback: int = SIGNALSET_LOOKBACK,
     materialize_thresholds: bool = False,
-    threshold_shuffle_partitions: int | None = None,
+    threshold_shuffle_partitions: int | str | None = None,
 ) -> DataFrame:
     """Fused grid-scale path producing exactly
     ``with_signalset_quantiles(sweep_candidates(...))`` (equivalence
@@ -351,7 +452,13 @@ def sweep_candidates_with_thresholds(
 
     At the 3,344-config full-width grid this cuts the sf0.1 wall time
     ~3× vs the layered path (which remains the didactic reference shape
-    for small grids)."""
+    for small grids).
+
+    ``threshold_shuffle_partitions`` sizes the threshold shuffle's exact
+    partition count; pass ``"auto"`` to derive it from estimated
+    side-relation rows (:func:`derive_threshold_partitions` — one cheap
+    aggregation over ``feat``), an int to pin it, or None to leave the
+    session default in place."""
     same = [c.config_id for c in grid if c.feature1 == c.feature2]
     if same:
         raise ValueError(
@@ -399,6 +506,10 @@ def sweep_candidates_with_thresholds(
     formation_arr = F.array(
         *[F.when(FORMATIONS[name].signal(), F.lit(name)) for name in formations]
     )
+    if threshold_shuffle_partitions == "auto":
+        threshold_shuffle_partitions = derive_threshold_partitions(
+            feat, spark, warmup, formation_arr, grid_series_per_formation(grid)
+        )
     payload = ["close_time_ms", "threshold_decimal_bps", "entry_price", "next_dir"]
     # side rows carry the trade payload so no join back to the candidate
     # stream is ever needed — the Arrow kernel passes it through.  A
@@ -526,15 +637,9 @@ def sweep_candidates_with_thresholds(
         # Arrow tasks).  The scoped mutation assumes the driver plans
         # one query at a time, which holds for every caller in this
         # repo.
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        try:
-            spark.conf.set(
-                "spark.sql.shuffle.partitions", str(threshold_shuffle_partitions)
-            )
+        with exact_shuffle_partitions(spark, threshold_shuffle_partitions):
             thr = _thr_of(side_rows).persist()
             thr.count()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
     else:
         thr = _thr_of(side_rows).persist()
         if materialize_thresholds:
@@ -571,6 +676,47 @@ def sweep_candidates_with_thresholds(
         F.broadcast(cfg_df), ["formation", "feature1", "q1", "feature2", "q2"]
     )
     return out.select(*_CAND_COLUMNS, "f1_thr", "f2_thr")
+
+
+#: grid width at which the fused pair-grain path starts to win: its
+#: spec/pivot scaffolding (series-spec broadcast, two decode joins, the
+#: eager threshold materialization) is constant overhead that only
+#: amortizes once the config/series dedup ratio is large — measured at
+#: sf0.1, the 44-config demo grid runs ~2× faster layered while the
+#: 1,008-config gen500 grid runs ~2× faster fused
+SWEEP_FUSED_MIN_CONFIGS = 256
+
+
+def sweep_candidates_auto(
+    feat: DataFrame,
+    spark: SparkSession,
+    grid: list[SweepConfig],
+    feature_cols: list[str],
+    warmup: int,
+    lookback: int = SIGNALSET_LOOKBACK,
+    **fused_kwargs,
+) -> DataFrame:
+    """Candidate-with-threshold relation, routed by grid width: wide grids
+    take the fused pair-grain path (:func:`sweep_candidates_with_thresholds`),
+    small grids — and any grid with same-feature configs, which the fused
+    path rejects — take the layered reference shape.  Both produce
+    identical rows (equivalence pinned in tests/test_sweep.py)."""
+    if len(grid) >= SWEEP_FUSED_MIN_CONFIGS and not any(
+        c.feature1 == c.feature2 for c in grid
+    ):
+        return sweep_candidates_with_thresholds(
+            feat, spark, grid, feature_cols, warmup, lookback, **fused_kwargs
+        )
+    return with_signalset_quantiles(
+        sweep_candidates(
+            feat,
+            sweep_grid_to_spark(spark, grid),
+            feature_cols,
+            warmup,
+            formations=grid_formations(grid),
+        ),
+        lookback,
+    )
 
 
 def _passes(val: str, direction: str, thr: str) -> F.Column:

@@ -61,6 +61,25 @@ def _cnt(cond) -> F.Column:
 _BARS_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
+def reset_plan_caches(spark: SparkSession) -> None:
+    """Drop every module-level per-(session, sf_dir) shared relation and
+    clear Spark's cache.  bench.py calls this between repeat passes so
+    each pass pays the full cold-cache cost (otherwise pass 2+ would
+    measure warm side-caches, not the workload)."""
+    for cache in (
+        _BARS_CACHE,
+        _FEATG_CACHE,
+        _CANDQ_CACHE,
+        _FULLGRID_CANDQ_CACHE,
+        _TRADES_CACHE,
+        _EVAL_CACHE,
+        _ARRS_CACHE,
+        _MH_PAIRS_CACHE,
+    ):
+        cache.clear()
+    spark.catalog.clearCache()
+
+
 def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _BARS_CACHE:
@@ -554,6 +573,7 @@ from ..config import gen600_profiles  # noqa: E402
 from ..operators.sweep import (  # noqa: E402
     default_sweep_grid,
     grid_formations,
+    sweep_candidates_auto,
     sweep_candidates_with_thresholds,
     sweep_funnel,
     sweep_grid_to_spark,
@@ -561,9 +581,8 @@ from ..operators.sweep import (  # noqa: E402
     sweep_trades,
 )
 from .sweep_oracle import (  # noqa: E402
-    sweep_funnel_oracle,
     sweep_funnel_oracle_bulk,
-    sweep_metrics_oracle,
+    sweep_panel_oracle,
 )
 
 #: features the demo sweep grid filters on (any bar column works)
@@ -581,10 +600,11 @@ def _sweep_candq(spark: SparkSession, sf_dir: str) -> DataFrame:
         # _featg = bar features (rolling ti) + the 5 non-ti gate
         # thresholds — the exhaustion/high-volume/VWAP formations in the
         # 22-template sweep read them; shared+persisted with
-        # formation_counts and the short-barrier entries.  Fused pair-grain
-        # path (== layered sweep_candidates → with_signalset_quantiles,
-        # pinned in tests/test_sweep.py)
-        _CANDQ_CACHE[key] = sweep_candidates_with_thresholds(
+        # formation_counts and the short-barrier entries.  Width-routed:
+        # the 44-config demo grid takes the layered path (the fused
+        # pair-grain scaffolding only amortizes at width — both paths
+        # produce identical rows, pinned in tests/test_sweep.py)
+        _CANDQ_CACHE[key] = sweep_candidates_auto(
             _featg(spark, sf_dir), spark, default_sweep_grid(), SWEEP_FEATURES, WARMUP
         ).persist()
     return _CANDQ_CACHE[key]
@@ -600,32 +620,40 @@ def _materialize(sql: str, *ctes: str) -> str:
     return sql
 
 
-_SWEEP_FUNNEL_ORACLE = _materialize(
+_SWEEP_PANEL_ORACLE = _materialize(
     f"""
 WITH {BARS_DUCKDB_CTE},
 {_featg_ctes()},
-{sweep_funnel_oracle(default_sweep_grid(), WARMUP, feat_relation="featg")}
-""",
-    "bars", "feat", "featg",
-)
-
-
-@register("sweep_funnel", _SWEEP_FUNNEL_ORACLE)
-def q_sweep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gen600-style sweep funnel over ALL 22 formation templates (11 LONG
-    + 11 SHORT) × feature-pair × quantile configs — the reference's
-    generate.sh template × substitution matrix as one shared plan."""
-    return sweep_funnel(_sweep_candq(spark, sf_dir))
-
-
-_SWEEP_METRICS_ORACLE = _materialize(
-    f"""
-WITH {BARS_DUCKDB_CTE},
-{_featg_ctes()},
-{sweep_metrics_oracle(default_sweep_grid(), gen600_profiles(), WARMUP, feat_relation="featg")}
+{sweep_panel_oracle(default_sweep_grid(), gen600_profiles(), WARMUP, feat_relation="featg")}
 """,
     "bars", "feat", "featg", "fwdarr",
 )
+
+
+@register("sweep_panel", _SWEEP_PANEL_ORACLE)
+def q_sweep_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gen600-style sweep panel over ALL 22 formation templates (11 LONG
+    + 11 SHORT) × feature-pair × quantile configs — the reference's
+    generate.sh template × substitution matrix as one shared plan: the
+    per-(config, symbol) candidate→signal→hit funnel LEFT JOINed to the
+    per-(config, symbol, barrier) trade metrics (SHORT configs run the
+    inverted TP/SL geometry via the per-row ``side`` from the config
+    grid).  Consolidates the former sweep_funnel + sweep_barrier_metrics
+    entries; the oracle remains the faithful per-config template
+    expansion (sweep_oracle.sweep_panel_oracle), and the output shape is
+    exactly the full-width gen600 headline query's."""
+    candq = _sweep_candq(spark, sf_dir)
+    funnel = sweep_funnel(candq)
+    fwd = with_entry_and_forward(
+        _featg(spark, sf_dir), cap=max_bars_cap(gen600_profiles())
+    )
+    trades = sweep_trades(
+        sweep_signals(candq), fwd, grid_to_spark(spark, gen600_profiles())
+    )
+    metrics = barrier_metrics(
+        trades, group_cols=["config_id", "symbol", "barrier_id"]
+    )
+    return funnel.join(metrics, ["config_id", "symbol"], "left")
 
 
 from ..operators.sweep import gen500_grid  # noqa: E402
@@ -655,74 +683,91 @@ def q_sweep_gen500(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sweep_barrier_metrics", _SWEEP_METRICS_ORACLE)
-def q_sweep_barrier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Barrier-stage metrics for every surviving sweep config across the
-    22-formation grid — SHORT configs run the inverted TP/SL geometry via
-    the per-row ``side`` carried from the config grid."""
-    fwd = with_entry_and_forward(
-        _featg(spark, sf_dir), cap=max_bars_cap(gen600_profiles())
-    )
-    sigs = sweep_signals(_sweep_candq(spark, sf_dir))
-    trades = sweep_trades(sigs, fwd, grid_to_spark(spark, gen600_profiles()))
-    return barrier_metrics(trades, group_cols=["config_id", "symbol", "barrier_id"])
+from ..operators.crossfeatures import (  # noqa: E402
+    CROSS_FEATURES,
+    cross_feat_cte,
+    with_cross_features,
+)
+from ..operators.sweep import (  # noqa: E402
+    derive_grid_shuffle_partitions,
+    exact_shuffle_partitions,
+    gen600_full_grid,
+)
 
-
-from ..operators.crossfeatures import CROSS_FEATURES, with_cross_features  # noqa: E402
-from ..operators.sweep import gen600_full_grid  # noqa: E402
-
-#: bar-level features the full-width bench grid pairs against the cross
+#: bar-level features the full-width grid pairs against the cross
 #: surface; the reference's full matrix uses all 9 (generate.sh:58-66)
 GEN600_FULL_BAR_FEATURES = ("ofi",)
 
+#: feature universe of the full-width grid (bar feature + 38 cross)
+_FULLGRID_FEATURES = sorted({*GEN600_FULL_BAR_FEATURES, *CROSS_FEATURES})
 
-def q_sweep_gen600_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The headline demonstration: the reference's full-width gen600 hybrid
-    sweep — ALL 22 formation templates × 38 cross-features × 4 quantile
-    combos = 3,344 configs per asset (scripts/gen600/generate.sh:104-175),
-    i.e. the per-asset width of the 301K-file sed harness — as ONE shared
-    plan: one bars scan, one formation explode, one deduped Arrow threshold
-    pass, one broadcast barrier grid.  Output is the per-(config, symbol)
-    funnel panel with per-barrier trade metrics attached.
+#: the full-width candq feeds the gate funnel entry and the bench panel —
+#: persist the threshold relation once per (session, sf_dir) via the
+#: operator's own materialize path, and share the DataFrame here
+_FULLGRID_CANDQ_CACHE: dict[tuple[int, str], DataFrame] = {}
 
-    Bench-only (BENCH_QUERIES): the driver's 50-entry gate certifies the
-    identical chain on the 44-config faithful twin (``sweep_funnel``) and
-    the 1,008-config bulk twin (``sweep_gen500_1008cfg``); the full grid is
-    additionally pinned against the side-aware bulk oracle at fixture scale
-    in tests/test_sweep.py."""
-    import sys
 
-    grid = gen600_full_grid(GEN600_FULL_BAR_FEATURES)
-    featx = with_cross_features(_featg(spark, sf_dir))
-    features = sorted({*GEN600_FULL_BAR_FEATURES, *CROSS_FEATURES})
-    # the threshold-dedup ratio is the whole game at grid width: configs
-    # collapse to (formation, feature, q, partner) series
-    n_series = len(
-        {(c.formation, f, q, p)
-         for c in grid
-         for f, q, p in (
-             (c.feature1, c.q1, c.feature2), (c.feature2, c.q2, c.feature1),
-         )}
-    )
-    print(
-        f"sweep_gen600_fullgrid: {len(grid)} configs -> {n_series} threshold "
-        f"series/symbol ({len(grid) * 2 / n_series:.1f}x dedup)",
-        file=sys.stderr,
-    )
-    # NOT persisted at config grain: 30M-row materialization costs more
-    # than recomputing the (threshold-relation-persisted) pivot join for
-    # the funnel and signal consumers.
-    # 256-partition ceiling on the threshold shuffle: the AQE advisory
-    # (32 MB) bounds per-worker rows from above, the ceiling keeps the
-    # map side from fanning out thousands of shuffle files — a
-    # group-count-derived ceiling (~2K at this width) cost ~2.5× at
-    # sf0.1 in map-side overhead while adding no extra safety
-    candq = sweep_candidates_with_thresholds(
-        featx, spark, grid, features, WARMUP,
-        materialize_thresholds=True,
-        threshold_shuffle_partitions=256,
-    )
+def _fullgrid_candq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _FULLGRID_CANDQ_CACHE:
+        # NOT persisted at config grain: 30M-row materialization costs
+        # more than recomputing the (threshold-relation-persisted) pivot
+        # join for the funnel and signal consumers.  The threshold
+        # shuffle's exact partition count is derived from estimated
+        # side-relation rows (sweep.derive_threshold_partitions) — the
+        # same sizing at any SF, no host-tuned constants.
+        _FULLGRID_CANDQ_CACHE[key] = sweep_candidates_with_thresholds(
+            with_cross_features(_featg(spark, sf_dir)),
+            spark,
+            gen600_full_grid(GEN600_FULL_BAR_FEATURES),
+            _FULLGRID_FEATURES,
+            WARMUP,
+            materialize_thresholds=True,
+            threshold_shuffle_partitions="auto",
+        )
+    return _FULLGRID_CANDQ_CACHE[key]
+
+
+_SWEEP_FULLGRID_ORACLE = _materialize(
+    f"""
+WITH {BARS_DUCKDB_CTE},
+{_featg_ctes()},
+{cross_feat_cte(source="featg", name="featx")},
+{sweep_funnel_oracle_bulk(
+    gen600_full_grid(GEN600_FULL_BAR_FEATURES),
+    WARMUP,
+    _FULLGRID_FEATURES,
+    feat_relation="featx",
+)}
+""",
+    "bars", "feat", "featg",
+)
+
+
+@register("sweep_gen600_fullgrid", _SWEEP_FULLGRID_ORACLE)
+def q_sweep_gen600_fullgrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline entry: the reference's full-width gen600 hybrid sweep
+    — ALL 22 formation templates × 38 cross-features × 4 quantile combos
+    = 3,344 configs per asset (scripts/gen600/generate.sh:104-175), the
+    per-asset width of the 301K-file sed harness — as ONE shared plan:
+    one bars scan, one formation explode, one deduped exact-count Arrow
+    threshold pass, one broadcast config fan-out into the funnel.  The
+    oracle is the side-aware bulk DuckDB twin
+    (sweep_oracle.sweep_funnel_oracle_bulk at the full 3,344-config
+    width); the barrier stage at this width runs in the bench panel
+    below, gate-certified on the 44-config faithful twin
+    (``sweep_panel``)."""
+    return sweep_funnel(_fullgrid_candq(spark, sf_dir))
+
+
+def q_sweep_gen600_full_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench demonstration: the full-width funnel with per-barrier trade
+    metrics attached — the gate entry's funnel (same shared candq) LEFT
+    JOINed to the barrier stage over every surviving signal of the
+    3,344-config grid."""
+    candq = _fullgrid_candq(spark, sf_dir)
     funnel = sweep_funnel(candq)
+    featx = with_cross_features(_featg(spark, sf_dir))
     fwd = with_entry_and_forward(featx, cap=max_bars_cap(gen600_profiles()))
     trades = sweep_trades(
         sweep_signals(candq), fwd, grid_to_spark(spark, gen600_profiles())
@@ -733,7 +778,42 @@ def q_sweep_gen600_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel.join(metrics, ["config_id", "symbol"], "left")
 
 
-BENCH_QUERIES["sweep_gen600_fullgrid"] = q_sweep_gen600_full
+BENCH_QUERIES["sweep_gen600_fullgrid_panel"] = q_sweep_gen600_full_panel
+
+#: the reference's 9 bar-level features (generate.sh:58-66) — the
+#: COMPLETE per-asset gen600 matrix pairs each against the cross surface
+GEN600_BAR9_FEATURES = (
+    "ofi", "aggression_ratio", "turnover_imbalance", "price_impact",
+    "vwap_close_deviation", "volume_per_trade", "aggregation_density",
+    "duration_us", "opposite_wick_pct",
+)
+
+
+def q_sweep_gen600_complete_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench demonstration: the reference's COMPLETE per-asset gen600
+    matrix — 22 templates × 9 bar features × 38 cross features × 4
+    quantile combos = 30,096 configs — as one plan.  The whole plan
+    (threshold shuffle AND the downstream pivot join + funnel aggregate,
+    which move the same O(side-relation) rows) is compiled under one
+    derived exact partition count and materialized inside that scope, so
+    no stage holds multi-million-row partitions at any SF."""
+    bar9 = GEN600_BAR9_FEATURES
+    grid = gen600_full_grid(bar9)
+    featx = with_cross_features(_featg(spark, sf_dir))
+    features = sorted({*bar9, *CROSS_FEATURES})
+    n = derive_grid_shuffle_partitions(featx, spark, grid, WARMUP)
+    with exact_shuffle_partitions(spark, n):
+        candq = sweep_candidates_with_thresholds(
+            featx, spark, grid, features, WARMUP,
+            materialize_thresholds=True,
+            threshold_shuffle_partitions=n,
+        )
+        out = sweep_funnel(candq).persist()
+        out.count()  # materialize while the sizing conf is in effect
+    return out
+
+
+BENCH_QUERIES["sweep_gen600_complete_matrix"] = q_sweep_gen600_complete_matrix
 
 
 # ---------------------------------------------------------------------------
@@ -1138,14 +1218,19 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sim_topk_methods", TO.SIM_TOPK_METHODS_SQL)
 def q_sim_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k similarity search, exact + approximate in one long-format
-    panel: brute-force cosine (the baseline) and sign-bucket LSH (the
-    scale path) with a ``method`` discriminator (was sim_cosine_topk +
-    sim_lsh_topk; operators unchanged in operators/similarity.py)."""
+    panel: brute-force cosine (the baseline), sign-bucket LSH (the
+    partition-local scale path), and int8-quantized IVF with float
+    re-rank (the memory-scaled serving shape — the cell scan reads only
+    the 4×-smaller quantized corpus, floats are touched for
+    queries × rerank_depth rows) with a ``method`` discriminator."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         SIM.cosine_topk(emb)
         .withColumn("method", F.lit("brute"))
         .unionByName(SIM.lsh_topk(emb).withColumn("method", F.lit("lsh")))
+        .unionByName(
+            SIM.ivf_quantized_search(emb).withColumn("method", F.lit("ivf_int8"))
+        )
     )
 
 

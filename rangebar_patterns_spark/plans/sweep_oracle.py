@@ -62,16 +62,11 @@ candp_{i} AS (
 )"""
 
 
-def sweep_funnel_oracle(
-    grid: list[SweepConfig], warmup: int, feat_relation: str = "feat"
-) -> str:
-    ctes = ",\n".join(
-        _config_cand_cte(i, c, warmup, feat_relation) for i, c in enumerate(grid)
-    )
+def _funnel_unions(grid: list[SweepConfig]) -> str:
     # a hit is the next bar moving in the formation's trade direction:
     # next_dir = 1 (up) for LONG templates, 0 (down) for SHORT ones —
     # baked per config, the way each sed-expanded template hardcodes it
-    unions = "\nUNION ALL\n".join(
+    return "\nUNION ALL\n".join(
         f"""SELECT config_id, symbol,
     count(*) AS n_candidates,
     CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_signals,
@@ -90,7 +85,51 @@ GROUP BY config_id, symbol"""
             for j, c in enumerate(grid)
         )
     )
-    return f"{ctes}\nSELECT * FROM (\n{unions}\n)"
+
+
+def sweep_funnel_oracle(
+    grid: list[SweepConfig], warmup: int, feat_relation: str = "feat"
+) -> str:
+    ctes = ",\n".join(
+        _config_cand_cte(i, c, warmup, feat_relation) for i, c in enumerate(grid)
+    )
+    return f"{ctes}\nSELECT * FROM (\n{_funnel_unions(grid)}\n)"
+
+
+#: metrics columns the consolidated panel carries next to the funnel ones
+#: (barrier_oracle.BARRIER_METRICS_SELECT output minus the group keys)
+_PANEL_METRIC_COLS = (
+    "barrier_id", "n_trades", "n_tp", "n_sl", "n_time", "win_rate",
+    "profit_factor", "avg_win", "avg_loss", "risk_reward",
+    "expected_value", "avg_bars_held", "kelly_fraction",
+)
+
+
+def sweep_panel_oracle(
+    grid: list[SweepConfig],
+    profiles: list[BarrierConfig],
+    warmup: int,
+    feat_relation: str = "feat",
+) -> str:
+    """Consolidated sweep panel: the per-(config, symbol) funnel LEFT
+    JOINed to the per-(config, symbol, barrier) trade metrics — one row
+    per (config, symbol, barrier) with the funnel columns repeated, NULL
+    metric columns for configs whose signals produced no trades.  Same
+    faithful per-config template expansion as the separate funnel/metrics
+    twins (the candidate CTE chain is shared); matches the engine's
+    ``sweep_funnel(candq) LEFT JOIN barrier_metrics(trades)`` shape —
+    the exact output shape of the full-width gen600 headline query."""
+    mcols = ",\n    ".join(f"m.{c}" for c in _PANEL_METRIC_COLS)
+    return f"""{sweep_trades_ctes(grid, profiles, warmup, feat_relation)},
+funnel AS (
+{_funnel_unions(grid)}
+),
+metrics AS (
+{barrier_metrics_select(("config_id", "symbol", "barrier_id"))}
+)
+SELECT f.*,
+    {mcols}
+FROM funnel f LEFT JOIN metrics m USING (config_id, symbol)"""
 
 
 def sweep_trades_ctes(

@@ -19,7 +19,12 @@ from ..operators.dedup import (
     SIMHASH_BITS,
     SIMHASH_CHUNKS,
 )
-from ..operators.similarity import IVF_NPROBE, N_QUERIES, TOP_K
+from ..operators.similarity import (
+    IVF_NPROBE,
+    IVF_RERANK_DEPTH,
+    N_QUERIES,
+    TOP_K,
+)
 from ..operators.textops import BPE_REGEX, LANG_PRIORITY, STOPWORDS
 
 WORDS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -367,10 +372,76 @@ SELECT query_id, cell, centroid_cos, neighbor_id, cosine FROM (
 ) WHERE rnk = 1
 """
 
+# int8-quantized IVF with float re-rank — twin of
+# similarity.ivf_quantized_search: symmetric per-vector quantization
+# (s = max|v| / 127, qv = round(v/s), zero vectors -> zero), per-label
+# centroids by ordered fold, nprobe nearest cells, int8 candidate scan
+# kept to IVF_RERANK_DEPTH per query, exact float re-rank for the final
+# top-k.  Deterministic end-to-end, so exact parity holds.
+_Q8 = (
+    "list_transform(v, x -> CAST(coalesce(round(x / "
+    "(nullif(list_max(list_transform(v, y -> abs(y))), 0.0) / 127.0)), 0)"
+    " AS DOUBLE))"
+)
+
+IVF_INT8_TOPK_SQL = f"""
+WITH ev AS (
+    SELECT vec_id, {_VD} AS v, label FROM embeddings
+),
+vq AS (
+    SELECT vec_id, label, {_Q8} AS v8 FROM ev
+),
+cellvecs AS (
+    SELECT label, list(v ORDER BY vec_id) AS vs, CAST(count(*) AS DOUBLE) AS n
+    FROM ev GROUP BY label
+),
+cent AS (
+    SELECT label,
+        [list_reduce(list_prepend(0.0, list_transform(vs, vv -> vv[j])),
+            (acc, x) -> acc + x) / n
+         FOR j IN generate_series(1, len(vs[1]))] AS cv
+    FROM cellvecs
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id < {N_QUERIES}
+),
+assigned AS (
+    SELECT query_id, cell FROM (
+        SELECT q.query_id, c.label AS cell,
+            row_number() OVER (PARTITION BY q.query_id
+                ORDER BY round({_cos("q.qv", "c.cv")}, 6) DESC, c.label ASC) AS crank
+        FROM q, cent c
+    ) WHERE crank <= {IVF_NPROBE}
+),
+q8q AS (
+    SELECT vec_id AS query_id, v8 AS q8v FROM vq WHERE vec_id < {N_QUERIES}
+),
+cand AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.query_id, e.vec_id AS neighbor_id,
+            row_number() OVER (PARTITION BY a.query_id
+                ORDER BY round({_cos("b.q8v", "e.v8")}, 6) DESC, e.vec_id ASC) AS qrank
+        FROM assigned a JOIN q8q b USING (query_id)
+        JOIN vq e ON a.cell = e.label AND a.query_id != e.vec_id
+    ) WHERE qrank <= {IVF_RERANK_DEPTH}
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine FROM (
+    SELECT c.query_id, c.neighbor_id,
+        round({_cos("q.qv", "e.v")}, 6) AS cosine,
+        row_number() OVER (PARTITION BY c.query_id
+            ORDER BY round({_cos("q.qv", "e.v")}, 6) DESC, c.neighbor_id ASC) AS rank
+    FROM cand c
+    JOIN ev e ON c.neighbor_id = e.vec_id
+    JOIN q ON c.query_id = q.query_id
+) WHERE rank <= {TOP_K}
+"""
+
 SIM_TOPK_METHODS_SQL = f"""
 SELECT 'brute' AS method, * FROM ({COSINE_TOPK_SQL})
 UNION ALL
 SELECT 'lsh' AS method, * FROM ({LSH_TOPK_SQL})
+UNION ALL
+SELECT 'ivf_int8' AS method, * FROM ({IVF_INT8_TOPK_SQL})
 """
 
 # connected components over the MinHash-LSH near-dup pairs: transitive

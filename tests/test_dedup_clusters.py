@@ -1,12 +1,26 @@
 """duplicate_clusters unit vectors: multi-hop chains must converge to one
-component (the property the per-pair relation alone doesn't give you)."""
+component (the property the per-pair relation alone doesn't give you).
+Every case runs against BOTH implementations — min-label propagation
+(duplicate_clusters) and alternating large-star/small-star contraction
+(duplicate_clusters_star)."""
 
 from __future__ import annotations
 
+import pytest
 
-def test_chain_and_island(spark):
-    from rangebar_patterns_spark.operators.dedup import duplicate_clusters
 
+@pytest.fixture(params=["propagate", "star"])
+def duplicate_clusters(request):
+    from rangebar_patterns_spark.operators import dedup
+
+    return (
+        dedup.duplicate_clusters
+        if request.param == "propagate"
+        else dedup.duplicate_clusters_star
+    )
+
+
+def test_chain_and_island(spark, duplicate_clusters):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (6, 5), (9, 8)],
         "doc_a long, doc_b long",
@@ -27,11 +41,9 @@ def test_chain_and_island(spark):
     }
 
 
-def test_deep_chain_multi_partition(spark):
+def test_deep_chain_multi_partition(spark, duplicate_clusters):
     """A 9-hop chain (diameter 9 > 3 rounds) must still converge to one
     component with a non-1 partition count — the scale configuration."""
-    from rangebar_patterns_spark.operators.dedup import duplicate_clusters
-
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 10)], "doc_a long, doc_b long"
     )
@@ -41,11 +53,7 @@ def test_deep_chain_multi_partition(spark):
     assert sum(r.is_rep for r in rows) == 1
 
 
-def test_non_convergence_raises(spark):
-    import pytest
-
-    from rangebar_patterns_spark.operators.dedup import duplicate_clusters
-
+def test_non_convergence_raises(spark, duplicate_clusters):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 40)], "doc_a long, doc_b long"
     )
@@ -53,9 +61,7 @@ def test_non_convergence_raises(spark):
         duplicate_clusters(pairs, max_iter=1)
 
 
-def test_triangle_single_round(spark):
-    from rangebar_patterns_spark.operators.dedup import duplicate_clusters
-
+def test_triangle_single_round(spark, duplicate_clusters):
     pairs = spark.createDataFrame(
         [(10, 11), (11, 12), (10, 12)], "doc_a long, doc_b long"
     )
@@ -64,15 +70,13 @@ def test_triangle_single_round(spark):
     assert all(r.cluster_size == 3 for r in rows)
 
 
-def test_random_graphs_match_union_find(spark):
+def test_random_graphs_match_union_find(spark, duplicate_clusters):
     """Fuzz the distributed min-label propagation against a plain
     union-find over seeded random graphs (mixed densities: sparse
     forests through near-cliques).  One Spark call per graph, reference
     computed in-process — checks representative choice (component
     minimum), cluster sizes, and exactly one rep per cluster."""
     import numpy as np
-
-    from rangebar_patterns_spark.operators.dedup import duplicate_clusters
 
     rng = np.random.default_rng(123)
     for n_nodes, n_edges in [(30, 15), (60, 80), (25, 200), (80, 40)]:

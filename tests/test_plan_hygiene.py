@@ -20,9 +20,9 @@ ARROW_SANCTIONED = {
     "combined_barrier_metrics",
     "barrier_profile_metrics",
     "time_decay_metrics",
-    "sweep_funnel",
+    "sweep_panel",
     "sweep_gen500_1008cfg",
-    "sweep_barrier_metrics",
+    "sweep_gen600_fullgrid",
     "sweep_nfeature_metrics",
     "hmm_regime_labels",
     "laguerre_regimes",

@@ -11,7 +11,7 @@ from conftest import SF_DIR
 def test_sweep_funnel_counts_consistent(spark):
     """signals <= candidates, hits <= signals, and at least one config
     fires at the smallest fixture (population sanity)."""
-    pdf = QUERIES["sweep_funnel"](spark, SF_DIR).toPandas()
+    pdf = QUERIES["sweep_panel"](spark, SF_DIR).toPandas()
     assert (pdf.n_signals <= pdf.n_candidates).all()
     assert (pdf.hits <= pdf.n_signals).all()
     assert pdf.n_signals.sum() > 0
@@ -124,10 +124,10 @@ def test_feature_quantile_trap_partner_nulls(spark):
 def test_gen600_fullgrid_funnel_matches_bulk_oracle(spark, duck):
     """Full-width gen600 grid (22 formations x 38 cross-features x 4
     combos = 3,344 configs) funnel vs the side-aware bulk DuckDB twin at
-    fixture scale — the correctness pin for the bench-only
-    ``sweep_gen600_fullgrid`` entry (the barrier stage it shares with
-    ``sweep_barrier_metrics`` is gate-certified on the 44-config faithful
-    twin)."""
+    fixture scale, via the LAYERED path — the gate's
+    ``sweep_gen600_fullgrid`` entry runs the same comparison through the
+    fused path at sf0.01, so this keeps the layered reference shape
+    independently pinned at full width."""
     from rangebar_patterns_spark.operators.crossfeatures import (
         CROSS_FEATURES,
         cross_feat_cte,
