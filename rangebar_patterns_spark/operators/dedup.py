@@ -473,6 +473,7 @@ def duplicate_clusters(
     pairs: DataFrame,
     max_iter: int = 20,
     num_partitions: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair relation — the dedup
     pipeline's resolution step (pairs → clusters → one surviving
@@ -529,7 +530,9 @@ def duplicate_clusters(
         .localCheckpoint()
     )
     changed = 1
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -572,6 +575,12 @@ def duplicate_clusters(
             f"duplicate_clusters did not converge in {max_iter} rounds — "
             "a component's diameter exceeds 2^max_iter; raise max_iter"
         )
+    if stats_out is not None:
+        # the propagation path joins the FULL (fixed-size) edge relation
+        # every round — record that for the scaling comparison
+        stats_out.update(
+            rounds=rounds, edge_rows_per_round=[edges.count()] * rounds
+        )
     return _cluster_output(labels.select("doc_id", F.col("label").alias("cluster_rep")))
 
 
@@ -592,6 +601,7 @@ def duplicate_clusters_star(
     pairs: DataFrame,
     max_iter: int = 20,
     num_partitions: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star
     contraction (the two-phase MapReduce CC algorithm) — same output as
@@ -672,7 +682,9 @@ def duplicate_clusters_star(
         )
 
     converged = False
+    round_edges: list[int] = []
     for _ in range(max_iter):
+        round_edges.append(edges.count())
         new_edges = (
             _small_star(_large_star(edges))
             .repartition(num_partitions, "u")
@@ -690,6 +702,8 @@ def duplicate_clusters_star(
             f"duplicate_clusters_star did not converge in {max_iter} rounds; "
             "raise max_iter"
         )
+    if stats_out is not None:
+        stats_out.update(rounds=len(round_edges), edge_rows_per_round=round_edges)
     # converged edges are stars: (member → component-min); roots appear
     # only as v — label them with themselves via the doc universe
     labels = docs.join(
