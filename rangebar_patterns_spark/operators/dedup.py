@@ -685,8 +685,13 @@ def duplicate_clusters_star(
     round_edges: list[int] = []
     for _ in range(max_iter):
         round_edges.append(edges.count())
+        # materialize the large-star output before small-star: small-star
+        # consumes it on BOTH sides of its min-join, and Catalyst does not
+        # dedupe common subplans across join branches — unmaterialized,
+        # the whole large-star subtree executes twice per round
+        large = _large_star(edges).localCheckpoint()
         new_edges = (
-            _small_star(_large_star(edges))
+            _small_star(large)
             .repartition(num_partitions, "u")
             .localCheckpoint()
         )

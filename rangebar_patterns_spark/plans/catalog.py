@@ -674,7 +674,7 @@ WITH {BARS_DUCKDB_CTE},
 # 16-way for this).  The oracle is the bulk shared-threshold DuckDB twin
 # (sweep_oracle.sweep_funnel_oracle_bulk) — the faithful per-config
 # template expansion is O(configs) window passes and needs >10 min at
-# this grid size; the 44-config sweep_funnel keeps exercising it.
+# this grid size; the 44-config sweep_panel keeps exercising it.
 def q_sweep_gen500(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sweep_funnel(
         sweep_candidates_with_thresholds(

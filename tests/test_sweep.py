@@ -333,3 +333,36 @@ def test_threshold_shuffle_ceiling_reaches_cached_plan(spark):
     assert hits == {"7"}, f"ceiling did not reach the cached shuffle: {hits}"
     # and the scoped conf mutation must have been restored
     assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+
+def test_auto_route_layered_for_same_feature_grids(spark):
+    """sweep_candidates_auto must route same-feature configs (feature1 ==
+    feature2, a shape the fused pair-grain path rejects with ValueError)
+    through the layered path regardless of grid width — wide grids that
+    contain even one such config cannot take the fused path."""
+    from rangebar_patterns_spark.operators.sweep import (
+        SWEEP_FUSED_MIN_CONFIGS,
+        SweepConfig,
+        default_sweep_grid,
+        sweep_candidates_auto,
+    )
+    from rangebar_patterns_spark.plans import catalog as C
+
+    base = default_sweep_grid()
+    # widen past the fused threshold by tiling quantile variants, then
+    # poison with one same-feature config
+    wide = [
+        SweepConfig(**{**c.__dict__, "q1": round(0.50 + 0.01 * k, 2)})
+        for k in range(1 + SWEEP_FUSED_MIN_CONFIGS // len(base))
+        for c in base
+    ]
+    assert len(wide) >= SWEEP_FUSED_MIN_CONFIGS
+    poison = SweepConfig(
+        **{**wide[0].__dict__, "feature2": wide[0].feature1, "q2": 0.5}
+    )
+    feat = C._featg(spark, SF_DIR)
+    out = sweep_candidates_auto(
+        feat, spark, wide + [poison], C.SWEEP_FEATURES, C.WARMUP
+    )
+    # layered path output: must plan without raising and carry the
+    # threshold columns both paths share
+    assert {"f1_thr", "f2_thr"} <= set(out.columns)
