@@ -40,7 +40,13 @@ from itertools import chain
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 from ..functions.series_quantile import excl_quantile_stream
 from .signals import FORMATIONS, base_eligibility
@@ -356,30 +362,32 @@ def exact_shuffle_partitions(spark: SparkSession, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def grid_series_per_formation(grid: list[SweepConfig]) -> dict[str, int]:
-    """Distinct threshold-series count per formation for a grid — the
-    fan-out factor each candidate (bar, formation) row explodes by."""
-    s_keys = {(c.formation, c.feature1, c.q1, c.feature2) for c in grid} | {
-        (c.formation, c.feature2, c.q2, c.feature1) for c in grid
+def grid_pairs_per_formation(grid: list[SweepConfig]) -> dict[str, int]:
+    """Distinct unordered feature-pair count per formation for a grid —
+    the fan-out factor each candidate (bar, formation) row explodes by in
+    the pair-grain side relation."""
+    p_keys = {
+        (c.formation, min(c.feature1, c.feature2), max(c.feature1, c.feature2))
+        for c in grid
     }
-    spf: dict[str, int] = {}
-    for f0, *_ in s_keys:
-        spf[f0] = spf.get(f0, 0) + 1
-    return spf
+    ppf: dict[str, int] = {}
+    for f0, *_ in p_keys:
+        ppf[f0] = ppf.get(f0, 0) + 1
+    return ppf
 
 
 def derive_grid_shuffle_partitions(
     feat: DataFrame, spark: SparkSession, grid: list[SweepConfig], warmup: int
 ) -> int:
     """Caller-facing wrapper over :func:`derive_threshold_partitions` for
-    sizing a whole sweep plan (threshold shuffle AND the downstream pivot
-    join / funnel aggregate, which move the same order of rows)."""
+    sizing a whole sweep plan (the threshold shuffle dominates; every
+    downstream step is a broadcast join or an aggregate over its output)."""
     formations = grid_formations(grid)
     formation_arr = F.array(
         *[F.when(FORMATIONS[name].signal(), F.lit(name)) for name in formations]
     )
     return derive_threshold_partitions(
-        feat, spark, warmup, formation_arr, grid_series_per_formation(grid)
+        feat, spark, warmup, formation_arr, grid_pairs_per_formation(grid)
     )
 
 
@@ -388,12 +396,12 @@ def derive_threshold_partitions(
     spark: SparkSession,
     warmup: int,
     formation_arr,
-    series_per_formation: dict[str, int],
+    groups_per_formation: dict[str, int],
 ) -> int:
     """Size the threshold shuffle from estimated side-relation rows: count
     candidate (bar, formation) memberships with one cheap aggregation over
     ``feat`` (persisted by every catalog caller), multiply by each
-    formation's series fan-out, and target
+    formation's pair fan-out, and target
     :data:`THRESHOLD_ROWS_PER_PARTITION` rows per partition.  The estimate
     is an upper bound (it ignores per-pair feature-NULL drops), which errs
     toward smaller, safer Arrow frames.  Clamped to [session shuffle
@@ -413,13 +421,20 @@ def derive_threshold_partitions(
         )
     }
     est_rows = sum(
-        fcounts.get(f, 0) * n for f, n in series_per_formation.items()
+        fcounts.get(f, 0) * n for f, n in groups_per_formation.items()
     )
     session_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return max(
         session_default,
         min(THRESHOLD_MAX_PARTITIONS, -(-est_rows // THRESHOLD_ROWS_PER_PARTITION)),
     )
+
+
+def _nan_to_null(c: F.Column) -> F.Column:
+    """Normalize kernel NaNs to SQL NULL (double NaN survives Arrow
+    list-array conversion where a scalar Double column's NaN would have
+    become NULL — warm-gate semantics need NULL)."""
+    return F.when(F.isnan(c), F.lit(None)).otherwise(c)
 
 
 def sweep_candidates_with_thresholds(
@@ -441,18 +456,22 @@ def sweep_candidates_with_thresholds(
       (formation, feature-pair, bar); the quantile-combo and direction
       axes of the grid never touch the candidate stream (4× fewer rows
       for the full-width grid, more for dense quantile grids);
-    * each W7 threshold series is generated exactly once **by
-      construction** (broadcast series-spec join) — the old path
-      materialized config-grain rows and ``dropDuplicates``-ed them back
-      down, a full shuffle of the widest relation in the plan;
-    * the Arrow quantile kernel returns ``val`` alongside ``thr``, so no
-      join back to the candidate stream is needed — the two sides pivot
-      together with ONE pair-grain join, and configs attach via a
-      broadcast join (no shuffle) straight into the funnel aggregate.
-
-    At the 3,344-config full-width grid this cuts the sf0.1 wall time
-    ~3× vs the layered path (which remains the didactic reference shape
-    for small grids).
+    * the Arrow threshold pass groups by **(pair, symbol)** — the kernel
+      sees both orientations' values in one frame, sorts the candidate
+      sequence ONCE, runs every W7 quantile stream the pair needs over
+      it, and emits per-bar threshold ARRAYS (one slot per q, aligned
+      with the pair's sorted q-list).  Each threshold series is still
+      generated exactly once by construction, and the old design's
+      series-grain pivot — two decode joins plus a (pair, bar)-key
+      shuffle join moving the two widest relations in the plan (~60 % of
+      task time at full-matrix width) — disappears entirely: the
+      q1 × q2 fan-out is two JVM-side ``arrays_zip``/``explode``s over
+      the pair-grain rows;
+    * trade payload rides through the kernel, so no join back to the
+      candidate stream is ever needed; configs (direction axes included)
+      attach via ONE broadcast join on (formation, pair, q_a, q_b)
+      straight into the funnel aggregate — at no point does any shuffle
+      move config-grain or series-grain rows.
 
     ``threshold_shuffle_partitions`` sizes the threshold shuffle's exact
     partition count; pass ``"auto"`` to derive it from estimated
@@ -471,10 +490,10 @@ def sweep_candidates_with_thresholds(
     # UNORDERED pair grain: grids may contain both orientations of a pair
     # (gen500 does) and both share one candidate set — (pa < pb) keying
     # gives each distinct threshold series exactly one source row stream.
-    # Series and pairs get small-int ids: the Arrow threshold pass moves
-    # (series_id, symbol, rn, payload, val) instead of four string key
-    # columns — measured ~5× less Arrow/pandas overhead at full-grid
-    # width — and the pivot join runs on (pair_id, ...) keys.
+    # Orientation a = the series whose feature is the pair's smaller name
+    # (it reads ``val_a``); orientation b reads ``val_b``.  A config with
+    # feature1 < feature2 needs q1 on orientation a and q2 on b; the
+    # reversed config contributes the other way around.
     pair_ids = {
         t: i
         for i, t in enumerate(sorted(
@@ -482,83 +501,44 @@ def sweep_candidates_with_thresholds(
              for c in grid}
         ))
     }
-    s1_keys = {(c.formation, c.feature1, c.q1, c.feature2) for c in grid}
-    s2_keys = {(c.formation, c.feature2, c.q2, c.feature1) for c in grid}
-    spec = sorted(s1_keys | s2_keys)
-    spec_rows = [
-        (
-            sid,
-            f0,
-            f,
-            q,
-            prt,
-            pair_ids[(f0, min(f, prt), max(f, prt))],
-            (f0, f, q, prt) in s1_keys,
-            (f0, f, q, prt) in s2_keys,
-        )
-        for sid, (f0, f, q, prt) in enumerate(spec)
-    ]
-    spec_schema = (
-        "series_id int, formation string, feature string, q double, "
-        "partner string, pair_id int, use_s1 boolean, use_s2 boolean"
+    qset_a: dict[int, set] = {}
+    qset_b: dict[int, set] = {}
+    for c in grid:
+        pa, pb = min(c.feature1, c.feature2), max(c.feature1, c.feature2)
+        pid = pair_ids[(c.formation, pa, pb)]
+        qa, qb = (c.q1, c.q2) if c.feature1 == pa else (c.q2, c.q1)
+        qset_a.setdefault(pid, set()).add(qa)
+        qset_b.setdefault(pid, set()).add(qb)
+    # per-pair sorted q tuples — closure-shipped to the kernel (one small
+    # dict, O(pairs)) and broadcast as array columns for the JVM decode
+    pair_qs = {
+        pid: (tuple(sorted(qset_a[pid])), tuple(sorted(qset_b[pid])))
+        for pid in pair_ids.values()
+    }
+    feat_idx = {c: i for i, c in enumerate(feature_cols)}
+    pair_sel = spark.createDataFrame(
+        [
+            (pid, f0, pa, pb, feat_idx[pa], feat_idx[pb],
+             list(pair_qs[pid][0]), list(pair_qs[pid][1]))
+            for (f0, pa, pb), pid in pair_ids.items()
+        ],
+        "pair_id int, formation string, pa string, pb string, "
+        "pa_idx int, pb_idx int, qs_a array<double>, qs_b array<double>",
     )
-    spec_df = spark.createDataFrame(spec_rows, spec_schema)
     formation_arr = F.array(
         *[F.when(FORMATIONS[name].signal(), F.lit(name)) for name in formations]
     )
     if threshold_shuffle_partitions == "auto":
         threshold_shuffle_partitions = derive_threshold_partitions(
-            feat, spark, warmup, formation_arr, grid_series_per_formation(grid)
+            feat, spark, warmup, formation_arr, grid_pairs_per_formation(grid)
         )
     payload = ["close_time_ms", "threshold_decimal_bps", "entry_price", "next_dir"]
-    # side rows carry the trade payload so no join back to the candidate
-    # stream is ever needed — the Arrow kernel passes it through.  A
-    # series (feature, partner) matches exactly one orientation of the
-    # (pa < pb) pair, so each series row appears exactly once; the spec
-    # orientation split happens in Python (feature < partner ⇔ the
-    # series reads the pair's ``val_a``).  The whole expansion is ONE
-    # pass: the per-candidate feature array and the formation explode run
-    # once, the ×pairs broadcast join fans out row *references*, and both
-    # orientations emit from one generator — the earlier two-branch union
-    # recomputed the candidate stream per orientation and built a
-    # 39-entry string map per fanned-out row (measured 3× slower at
-    # full-grid width).
-    ser_a: dict[int, list] = {}
-    ser_b: dict[int, list] = {}
-    for sid, _f0, f, q, prt, pid, _u1, _u2 in spec_rows:
-        if f < prt:
-            ser_a.setdefault(pid, []).append((sid, q))
-        elif f > prt:
-            ser_b.setdefault(pid, []).append((sid, q))
-    feat_idx = {c: i for i, c in enumerate(feature_cols)}
-    pair_sel = spark.createDataFrame(
-        [
-            (pid, f0, feat_idx[pa], feat_idx[pb],
-             ser_a.get(pid, []), ser_b.get(pid, []))
-            for (f0, pa, pb), pid in pair_ids.items()
-        ],
-        "pair_id int, formation string, pa_idx int, pb_idx int, "
-        "series_a array<struct<sid:int,q:double>>, "
-        "series_b array<struct<sid:int,q:double>>",
-    )
-    sarr = F.concat(
-        F.transform(
-            "series_a",
-            lambda s: F.struct(
-                s["sid"].alias("series_id"),
-                s["q"].alias("q"),
-                F.col("val_a").alias("val"),
-            ),
-        ),
-        F.transform(
-            "series_b",
-            lambda s: F.struct(
-                s["sid"].alias("series_id"),
-                s["q"].alias("q"),
-                F.col("val_b").alias("val"),
-            ),
-        ),
-    )
+    # ONE pass builds the pair-grain side relation: the per-candidate
+    # feature array and the formation explode run once, the ×pairs
+    # broadcast join fans out row *references*, and both orientations'
+    # values land as two columns of the SAME row — no per-series
+    # explosion (the earlier series-grain design moved 4× the rows into
+    # the Arrow pass and needed a pivot join to reassemble them).
     side_rows = (
         feat.filter(base_candidate_filter(warmup))
         .withColumn(
@@ -568,24 +548,29 @@ def sweep_candidates_with_thresholds(
         .withColumn(
             "_vals", F.array(*[F.col(c).cast("double") for c in feature_cols])
         )
-        .join(F.broadcast(pair_sel), "formation")
+        .join(
+            F.broadcast(pair_sel.select("pair_id", "formation", "pa_idx", "pb_idx")),
+            "formation",
+        )
         .withColumn("val_a", F.get("_vals", F.col("pa_idx")))
         .withColumn("val_b", F.get("_vals", F.col("pb_idx")))
         .filter(F.col("val_a").isNotNull() & F.col("val_b").isNotNull())
-        .select(F.explode(sarr).alias("_s"), "symbol", "rn", *payload)
-        .select(
-            F.col("_s.series_id").alias("series_id"),
-            F.col("_s.q").alias("q"),
-            "symbol",
-            "rn",
-            *payload,
-            F.col("_s.val").alias("val"),
-        )
+        .select("pair_id", "symbol", "rn", *payload, "val_a", "val_b")
     )
 
+    # thresholds come back as K wide scalar double columns (K = the
+    # grid-wide max q-count per orientation, small: 1-4), NOT as one
+    # array column — a pandas object column of per-row arrays creates
+    # tens of millions of Python objects whose element-wise Arrow
+    # conversion measured ~1.7× the whole kernel's cost at full-matrix
+    # width; wide columns are K vectorized assigns and stay zero-copy.
+    # Pairs with fewer q's pad with NaN; the JVM decode slices each
+    # pair's real q-count back off the assembled array.
+    k_a = max(len(qa) for qa, _ in pair_qs.values())
+    k_b = max(len(qb) for _, qb in pair_qs.values())
     thr_schema = StructType(
         [
-            StructField("series_id", IntegerType()),
+            StructField("pair_id", IntegerType()),
             StructField("symbol", feat.schema["symbol"].dataType),
             StructField("rn", feat.schema["rn"].dataType),
             StructField("close_time_ms", feat.schema["close_time_ms"].dataType),
@@ -595,32 +580,40 @@ def sweep_candidates_with_thresholds(
             ),
             StructField("entry_price", DoubleType()),
             StructField("next_dir", feat.schema["next_dir"].dataType),
-            StructField("val", DoubleType()),
-            StructField("thr", DoubleType()),
+            StructField("val_a", DoubleType()),
+            StructField("val_b", DoubleType()),
+            *[StructField(f"thr_a_{i}", DoubleType()) for i in range(k_a)],
+            *[StructField(f"thr_b_{i}", DoubleType()) for i in range(k_b)],
         ]
     )
     out_cols = [f.name for f in thr_schema.fields]
 
     def compute(pdf):
         pdf = pdf.sort_values("rn", kind="mergesort").reset_index(drop=True)
-        pdf["thr"] = excl_quantile_stream(
-            pdf["val"].to_numpy("float64", na_value=np.nan),
-            float(pdf["q"].iloc[0]),
-            lookback,
-        )
+        qa, qb = pair_qs[int(pdf["pair_id"].iloc[0])]
+        va = pdf["val_a"].to_numpy("float64", na_value=np.nan)
+        vb = pdf["val_b"].to_numpy("float64", na_value=np.nan)
+        for i in range(k_a):
+            pdf[f"thr_a_{i}"] = (
+                excl_quantile_stream(va, qa[i], lookback) if i < len(qa) else np.nan
+            )
+        for i in range(k_b):
+            pdf[f"thr_b_{i}"] = (
+                excl_quantile_stream(vb, qb[i], lookback) if i < len(qb) else np.nan
+            )
         return pdf[out_cols]
 
-    # both pivot sides read this relation — persist so the Arrow pass
-    # runs once.  ``threshold_shuffle_partitions`` sets the EXACT
+    # every consumer branch reads this relation — persist so the Arrow
+    # pass runs once.  ``threshold_shuffle_partitions`` sets the EXACT
     # partition count for that one shuffle: at full-grid × large-SF
-    # width the side relation is O(100M) rows, and the session default
-    # (one per core) makes each Python worker hold multi-million-row
-    # partitions — enough to OOM the worker and to serialize the stage
-    # behind its largest partition.  See the inner block below for why
-    # the count is exact (cached plans compile with AQE off) and why
-    # setting it implies eager materialization.
+    # width the side relation is O(10M-100M) rows, and the session
+    # default (one per core) makes each Python worker hold
+    # multi-million-row partitions — enough to OOM the worker and to
+    # serialize the stage behind its largest partition.  See the inner
+    # block below for why the count is exact (cached plans compile with
+    # AQE off) and why setting it implies eager materialization.
     def _thr_of(src):
-        return src.groupBy("series_id", "symbol").applyInPandas(compute, thr_schema)
+        return src.groupBy("pair_id", "symbol").applyInPandas(compute, thr_schema)
 
     if threshold_shuffle_partitions is not None:
         # the conf must be in effect BEFORE .persist(): persist eagerly
@@ -649,31 +642,74 @@ def sweep_candidates_with_thresholds(
             # cache, paying the full threshold computation once per
             # branch.
             thr.count()
-    dec = F.broadcast(spec_df)
-    p1 = thr.join(dec.filter(F.col("use_s1")), "series_id").select(
-        "pair_id", "formation",
-        F.col("feature").alias("feature1"),
-        F.col("q").alias("q1"),
-        F.col("partner").alias("feature2"),
-        "symbol", "rn", *payload,
-        F.col("val").alias("f1_val"),
-        F.col("thr").alias("f1_thr"),
+    # JVM-side decode: assemble each orientation's wide columns into an
+    # array, slice off the pair's real q-count, zip with its q-list
+    # (broadcast) and explode — the q1 × q2 fan-out the old design paid a
+    # shuffle join for, now pure Tungsten generate.  Kernel NaNs (scalar
+    # Doubles become NULL in the Arrow conversion, but normalize anyway)
+    # keep the downstream ``thr IS NOT NULL`` warm-gate semantics.
+    thr_a_arr = F.array(*[F.col(f"thr_a_{i}") for i in range(k_a)])
+    thr_b_arr = F.array(*[F.col(f"thr_b_{i}") for i in range(k_b)])
+    ex = (
+        thr.join(
+            F.broadcast(
+                pair_sel.select("pair_id", "formation", "pa", "pb", "qs_a", "qs_b")
+            ),
+            "pair_id",
+        )
+        .withColumn(
+            "_za",
+            F.explode(
+                F.arrays_zip("qs_a", F.slice(thr_a_arr, 1, F.size("qs_a")))
+            ),
+        )
+        .withColumn(
+            "_zb",
+            F.explode(
+                F.arrays_zip("qs_b", F.slice(thr_b_arr, 1, F.size("qs_b")))
+            ),
+        )
+        .select(
+            "formation", "pa", "pb", "symbol", "rn", *payload,
+            "val_a", "val_b",
+            F.col("_za.qs_a").alias("q_a"),
+            _nan_to_null(F.col("_za").getField("1")).alias("_thr_a"),
+            F.col("_zb.qs_b").alias("q_b"),
+            _nan_to_null(F.col("_zb").getField("1")).alias("_thr_b"),
+        )
     )
-    p2 = thr.join(dec.filter(F.col("use_s2")), "series_id").select(
-        "pair_id",
-        F.col("partner").alias("feature1"),
-        F.col("feature").alias("feature2"),
-        F.col("q").alias("q2"),
-        "symbol", "rn",
-        F.col("val").alias("f2_val"),
-        F.col("thr").alias("f2_thr"),
+    # configs broadcast once, annotated with their pair key and which
+    # orientation their feature1 reads — (q_a, q_b) combos no config
+    # uses drop in this inner join (same fan-out the old pivot had)
+    cfg_df = spark.createDataFrame(
+        [
+            (
+                c.config_id, c.formation, c.feature1, c.q1, c.dir1,
+                c.feature2, c.q2, c.dir2, FORMATIONS[c.formation].side,
+                *((c.feature1, c.feature2, c.q1, c.q2, True)
+                  if c.feature1 < c.feature2
+                  else (c.feature2, c.feature1, c.q2, c.q1, False)),
+            )
+            for c in grid
+        ],
+        SWEEP_GRID_SCHEMA
+        + ", pa string, pb string, q_a double, q_b double, f1_is_a boolean",
     )
-    both = p1.join(
-        p2, ["pair_id", "feature1", "feature2", "symbol", "rn"]
-    )
-    cfg_df = sweep_grid_to_spark(spark, grid)
-    out = both.join(
-        F.broadcast(cfg_df), ["formation", "feature1", "q1", "feature2", "q2"]
+    out = ex.join(F.broadcast(cfg_df), ["formation", "pa", "pb", "q_a", "q_b"])
+    f1_is_a = F.col("f1_is_a")
+    out = (
+        out.withColumn(
+            "f1_val", F.when(f1_is_a, F.col("val_a")).otherwise(F.col("val_b"))
+        )
+        .withColumn(
+            "f2_val", F.when(f1_is_a, F.col("val_b")).otherwise(F.col("val_a"))
+        )
+        .withColumn(
+            "f1_thr", F.when(f1_is_a, F.col("_thr_a")).otherwise(F.col("_thr_b"))
+        )
+        .withColumn(
+            "f2_thr", F.when(f1_is_a, F.col("_thr_b")).otherwise(F.col("_thr_a"))
+        )
     )
     return out.select(*_CAND_COLUMNS, "f1_thr", "f2_thr")
 

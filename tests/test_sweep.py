@@ -311,7 +311,7 @@ def test_threshold_shuffle_ceiling_reaches_cached_plan(spark):
     the physical plan eagerly, so confs set after it never reach the
     cached shuffle (a silent no-op that reintroduces the sf1 OOM this
     lever exists to prevent).  Assert the requested count appears on the
-    series-key exchange inside the cached plan."""
+    pair-key exchange inside the cached plan."""
     import re
 
     from rangebar_patterns_spark.operators.sweep import (
@@ -329,7 +329,7 @@ def test_threshold_shuffle_ceiling_reaches_cached_plan(spark):
         threshold_shuffle_partitions=7,
     )
     plan = candq._jdf.queryExecution().executedPlan().toString()
-    hits = set(re.findall(r"hashpartitioning\(series_id[^)]*, (\d+)\)", plan))
+    hits = set(re.findall(r"hashpartitioning\(pair_id[^)]*, (\d+)\)", plan))
     assert hits == {"7"}, f"ceiling did not reach the cached shuffle: {hits}"
     # and the scoped conf mutation must have been restored
     assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
