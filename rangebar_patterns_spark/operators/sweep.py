@@ -714,13 +714,15 @@ def sweep_candidates_with_thresholds(
     return out.select(*_CAND_COLUMNS, "f1_thr", "f2_thr")
 
 
-#: grid width at which the fused pair-grain path starts to win: its
-#: spec/pivot scaffolding (series-spec broadcast, two decode joins, the
-#: eager threshold materialization) is constant overhead that only
-#: amortizes once the config/series dedup ratio is large — measured at
-#: sf0.1, the 44-config demo grid runs ~2× faster layered while the
-#: 1,008-config gen500 grid runs ~2× faster fused
-SWEEP_FUSED_MIN_CONFIGS = 256
+#: grid width at which the fused pair-grain path starts to win.  The
+#: original series-grain pivot design carried constant scaffolding (two
+#: decode joins + a pivot shuffle) that only amortized at width, so small
+#: grids routed layered; after the pair-grain rewrite the fused path has
+#: no pivot at all and measured faster at EVERY width (sf0.1 medians of
+#: 3: 44-config grid 2.9 s fused vs 8.1 s layered; 1,008-config 2.5 s vs
+#: 6.5 s) — 0 routes everything fused except same-feature grids, which
+#: the fused path rejects and only the layered shape can express
+SWEEP_FUSED_MIN_CONFIGS = 0
 
 
 def sweep_candidates_auto(

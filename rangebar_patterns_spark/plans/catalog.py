@@ -600,10 +600,11 @@ def _sweep_candq(spark: SparkSession, sf_dir: str) -> DataFrame:
         # _featg = bar features (rolling ti) + the 5 non-ti gate
         # thresholds — the exhaustion/high-volume/VWAP formations in the
         # 22-template sweep read them; shared+persisted with
-        # formation_counts and the short-barrier entries.  Width-routed:
-        # the 44-config demo grid takes the layered path (the fused
-        # pair-grain scaffolding only amortizes at width — both paths
-        # produce identical rows, pinned in tests/test_sweep.py)
+        # formation_counts and the short-barrier entries.  Routed via
+        # sweep_candidates_auto: since the pair-grain rewrite the fused
+        # path wins at every width, so only same-feature grids fall back
+        # to the layered shape (both produce identical rows, pinned in
+        # tests/test_sweep.py)
         _CANDQ_CACHE[key] = sweep_candidates_auto(
             _featg(spark, sf_dir), spark, default_sweep_grid(), SWEEP_FEATURES, WARMUP
         ).persist()
@@ -711,8 +712,9 @@ def _fullgrid_candq(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _FULLGRID_CANDQ_CACHE:
         # NOT persisted at config grain: 30M-row materialization costs
-        # more than recomputing the (threshold-relation-persisted) pivot
-        # join for the funnel and signal consumers.  The threshold
+        # more than recomputing the (threshold-relation-persisted)
+        # explode + broadcast decode for the funnel and signal
+        # consumers.  The threshold
         # shuffle's exact partition count is derived from estimated
         # side-relation rows (sweep.derive_threshold_partitions) — the
         # same sizing at any SF, no host-tuned constants.
@@ -793,10 +795,10 @@ def q_sweep_gen600_complete_matrix(spark: SparkSession, sf_dir: str) -> DataFram
     """Bench demonstration: the reference's COMPLETE per-asset gen600
     matrix — 22 templates × 9 bar features × 38 cross features × 4
     quantile combos = 30,096 configs — as one plan.  The whole plan
-    (threshold shuffle AND the downstream pivot join + funnel aggregate,
-    which move the same O(side-relation) rows) is compiled under one
-    derived exact partition count and materialized inside that scope, so
-    no stage holds multi-million-row partitions at any SF."""
+    (the pair-grain threshold shuffle and the funnel aggregate over its
+    exploded output) is compiled under one derived exact partition count
+    and materialized inside that scope, so no stage holds
+    multi-million-row partitions at any SF."""
     bar9 = GEN600_BAR9_FEATURES
     grid = gen600_full_grid(bar9)
     featx = with_cross_features(_featg(spark, sf_dir))
