@@ -82,10 +82,38 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
+def spread_narrow_scan(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Hash-repartition a document scan up to session parallelism when the
+    source produced fewer partitions — a small corpus stored as one
+    parquet file scans as ONE partition, and every narrow per-doc
+    transformation downstream (shingle explode, token hashing) then runs
+    single-threaded until the first shuffle (measured ~47 s of serialized
+    wall on the sf1 bench).  At real corpus scale the scan is already
+    wider than the session default and this is a no-op — the guard keeps
+    the extra shuffle from ever touching a big input."""
+    spark = docs.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if docs.rdd.getNumPartitions() >= n:
+        return docs
+    return docs.repartition(n, F.col(key))
+
+
 def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct — the posting-list relation."""
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
+    """(doc_id, shingle) distinct — the posting-list relation.
+
+    Shingles are 63-bit ``hexint`` hashes of the n-gram strings, not the
+    strings themselves (standard web-dedup practice): posting lists and
+    verify arrays carry longs instead of ~25-char strings, which shrinks
+    the posting shuffle ~3× and makes the 10M-pair ``array_intersect``
+    verify hash fixed-width ints.  Collisions under-merge two distinct
+    shingles with probability ~n²/2⁶⁴ (even a 10¹¹-shingle corpus expects
+    only a few hundred corpus-wide) — the DuckDB twin hashes identically,
+    so cross-engine exactness is by construction, not collision-luck."""
+    return spread_narrow_scan(docs).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(shingles_col(), hexint))
+        ).alias("shingle"),
     )
 
 
@@ -271,7 +299,7 @@ def minhash_signatures(
     # NB: a 2-arg lambda would be treated by pyspark as (element, index) —
     # the seed must be bound via closure, not a default argument
     def seeded(i: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s.cast("string")))
 
     return arrs.select(
         "doc_id",
@@ -329,7 +357,9 @@ def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame
     position over ALL tokens (frequency-weighted), sign → fingerprint.
     (Bit shifts use the SQL ``>>``/``<<`` operators — the pyspark
     shiftleft/shiftright wrappers only take literal shift amounts.)"""
-    toks = docs.select("doc_id", F.explode(words_col()).alias("w"))
+    toks = spread_narrow_scan(docs).select(
+        "doc_id", F.explode(words_col()).alias("w")
+    )
     toks = toks.withColumn("h", hexint(F.col("w")))
     contrib = toks.select(
         "doc_id",
@@ -445,7 +475,8 @@ def embedding_near_dup_pairs(
     # IEEE ops in the same order (sqrt per side, then multiply), so the
     # result is bit-identical to cosine_col and the oracle twin.
     v = (
-        emb.select(
+        spread_narrow_scan(emb, key="vec_id")
+        .select(
             "vec_id",
             vec_double(F.col("embedding")).alias("v"),
         )

@@ -49,7 +49,9 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1
 """
 
 _SHINGLE_REL = f"""docsh AS (
-    SELECT doc_id, unnest(list_distinct({_shingles()})) AS shingle
+    SELECT doc_id,
+        unnest(list_distinct(list_transform({_shingles()},
+            s -> {_hexint('s')}))) AS shingle
     FROM documents
 ),
 shsizes AS (
@@ -103,7 +105,8 @@ SELECT doc_a, doc_b, inter, jaccard FROM shjac WHERE jaccard >= {threshold!r}
 def _minhash_sql() -> str:
     rows = MINHASH_SEEDS // MINHASH_BANDS
     mh_cols = ",\n        ".join(
-        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(MINHASH_SEEDS)
+        f"min(md5('{i}|' || CAST(shingle AS VARCHAR))) AS mh{i}"
+        for i in range(MINHASH_SEEDS)
     )
     band_rows = "\nUNION ALL\n".join(
         f"SELECT doc_id, {bi} AS band, md5("
