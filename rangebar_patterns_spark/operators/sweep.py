@@ -342,7 +342,14 @@ THRESHOLD_ROWS_PER_PARTITION = 65_536
 THRESHOLD_MAX_PARTITIONS = 4_096
 
 
+import threading
 from contextlib import contextmanager
+
+#: guards exact_shuffle_partitions — the conf mutation is session-global,
+#: so two threads planning concurrently would compile each other's counts
+#: into their cached plans; non-blocking acquire turns that silent
+#: corruption into a loud error
+_EXACT_PARTITIONS_LOCK = threading.Lock()
 
 
 @contextmanager
@@ -350,16 +357,26 @@ def exact_shuffle_partitions(spark: SparkSession, n: int):
     """Scoped ``spark.sql.shuffle.partitions`` mutation for plans that are
     compiled-and-cached inside the scope (cached plans compile with AQE
     off, so the count is exact).  The mutation is session-global: it
-    assumes ONE query is being planned at a time on this session — true
-    for this repo's driver/bench/test callers, NOT safe under concurrent
-    planning from multiple threads (a per-plan hint would be; Spark has
-    none for cached-plan compilation as of 4.x)."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    requires ONE query being planned at a time on the session — true for
+    this repo's driver/bench/test callers and now ENFORCED: concurrent
+    entry raises instead of silently cross-compiling counts (a per-plan
+    hint would be safe under concurrency; Spark has none for cached-plan
+    compilation as of 4.x)."""
+    if not _EXACT_PARTITIONS_LOCK.acquire(blocking=False):
+        raise RuntimeError(
+            "exact_shuffle_partitions entered concurrently: the session-"
+            "global shuffle-partition mutation would compile one plan's "
+            "count into another's cache — serialize sweep planning"
+        )
     try:
-        yield
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _EXACT_PARTITIONS_LOCK.release()
 
 
 def grid_pairs_per_formation(grid: list[SweepConfig]) -> dict[str, int]:
