@@ -366,3 +366,49 @@ def test_auto_route_layered_for_same_feature_grids(spark):
     # layered path output: must plan without raising and carry the
     # threshold columns both paths share
     assert {"f1_thr", "f2_thr"} <= set(out.columns)
+
+def test_fused_mixed_q_width_padding(spark):
+    """Pairs in one grid may need different q-counts per orientation; the
+    kernel pads its wide threshold columns to the grid-wide max and the
+    JVM decode slices each pair's real q-list back off.  No catalog grid
+    mixes widths uniformly, so pin fused == layered on a grid where one
+    pair carries 3 q's and another carries 1."""
+    import pandas as pd
+
+    from rangebar_patterns_spark.operators.sweep import (
+        SweepConfig,
+        grid_formations,
+        sweep_candidates,
+        sweep_candidates_with_thresholds,
+        sweep_grid_to_spark,
+        with_signalset_quantiles,
+    )
+    from rangebar_patterns_spark.plans import catalog as C
+
+    grid = [
+        # pair (ofi, price_impact): 3 distinct q's on each orientation
+        SweepConfig("2down", "ofi", 0.25, ">", "price_impact", 0.50, ">"),
+        SweepConfig("2down", "ofi", 0.50, "<", "price_impact", 0.75, ">"),
+        SweepConfig("2down", "ofi", 0.75, ">", "price_impact", 0.25, "<"),
+        # same pair, reversed orientation (exercises f1_is_a=False)
+        SweepConfig("2down", "price_impact", 0.50, ">", "ofi", 0.25, ">"),
+        # pair (aggression_ratio, turnover_imbalance): a single q each
+        SweepConfig(
+            "3down", "aggression_ratio", 0.50, ">", "turnover_imbalance", 0.50, "<"
+        ),
+    ]
+    feat = C._featg(spark, SF_DIR)
+    layered = with_signalset_quantiles(
+        sweep_candidates(
+            feat, sweep_grid_to_spark(spark, grid), C.SWEEP_FEATURES, C.WARMUP,
+            formations=grid_formations(grid),
+        )
+    )
+    fused = sweep_candidates_with_thresholds(
+        feat, spark, grid, C.SWEEP_FEATURES, C.WARMUP
+    )
+    cols = sorted(layered.columns)
+    assert cols == sorted(fused.columns)
+    lp = layered.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    fp = fused.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(lp, fp)
