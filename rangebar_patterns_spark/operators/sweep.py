@@ -348,8 +348,11 @@ from contextlib import contextmanager
 #: guards exact_shuffle_partitions — the conf mutation is session-global,
 #: so two threads planning concurrently would compile each other's counts
 #: into their cached plans; non-blocking acquire turns that silent
-#: corruption into a loud error
-_EXACT_PARTITIONS_LOCK = threading.Lock()
+#: corruption into a loud error.  REENTRANT: one thread may nest scopes
+#: (the complete-matrix entry wraps its whole plan in one count and the
+#: inner threshold pass re-enters with the same) — nesting on a single
+#: thread is sequential and each scope restores its predecessor's value.
+_EXACT_PARTITIONS_LOCK = threading.RLock()
 
 
 @contextmanager
@@ -605,19 +608,42 @@ def sweep_candidates_with_thresholds(
     )
     out_cols = [f.name for f in thr_schema.fields]
 
+    # the Arrow pass groups by a HASH BUCKET of (pair, symbol), not the
+    # (pair, symbol) key itself: Spark's grouped-pandas runner pays a
+    # fixed per-group cost (its own Arrow batch + pandas frame + function
+    # dispatch) that measured ~40 ms/group — at full-matrix width (37K
+    # groups) that machinery was ~5× the actual quantile math.  A bucket
+    # frame holds many whole groups (the hash key contains the full group
+    # key, so no group ever splits); the kernel sorts the frame once by
+    # (pair, symbol, rn) and walks the contiguous group runs with numpy
+    # boundary detection — per-group cost collapses to one Python loop
+    # iteration + the quantile streams themselves.
     def compute(pdf):
-        pdf = pdf.sort_values("rn", kind="mergesort").reset_index(drop=True)
-        qa, qb = pair_qs[int(pdf["pair_id"].iloc[0])]
+        pdf = pdf.sort_values(
+            ["pair_id", "symbol", "rn"], kind="mergesort"
+        ).reset_index(drop=True)
+        pid = pdf["pair_id"].to_numpy()
+        sym = pdf["symbol"].to_numpy()
         va = pdf["val_a"].to_numpy("float64", na_value=np.nan)
         vb = pdf["val_b"].to_numpy("float64", na_value=np.nan)
+        n = len(pdf)
+        outs_a = [np.full(n, np.nan) for _ in range(k_a)]
+        outs_b = [np.full(n, np.nan) for _ in range(k_b)]
+        if n:
+            change = (
+                np.flatnonzero((pid[1:] != pid[:-1]) | (sym[1:] != sym[:-1])) + 1
+            )
+            bounds = np.concatenate(([0], change, [n]))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                qa, qb = pair_qs[int(pid[s])]
+                for i, q in enumerate(qa):
+                    outs_a[i][s:e] = excl_quantile_stream(va[s:e], q, lookback)
+                for i, q in enumerate(qb):
+                    outs_b[i][s:e] = excl_quantile_stream(vb[s:e], q, lookback)
         for i in range(k_a):
-            pdf[f"thr_a_{i}"] = (
-                excl_quantile_stream(va, qa[i], lookback) if i < len(qa) else np.nan
-            )
+            pdf[f"thr_a_{i}"] = outs_a[i]
         for i in range(k_b):
-            pdf[f"thr_b_{i}"] = (
-                excl_quantile_stream(vb, qb[i], lookback) if i < len(qb) else np.nan
-            )
+            pdf[f"thr_b_{i}"] = outs_b[i]
         return pdf[out_cols]
 
     # every consumer branch reads this relation — persist so the Arrow
@@ -629,8 +655,25 @@ def sweep_candidates_with_thresholds(
     # serialize the stage behind its largest partition.  See the inner
     # block below for why the count is exact (cached plans compile with
     # AQE off) and why setting it implies eager materialization.
+    # Buckets outnumber partitions 4× so hash collisions between buckets
+    # still spread evenly; per-frame rows stay bounded by the same
+    # partition sizing either way.
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_buckets = 4 * (
+        threshold_shuffle_partitions
+        if isinstance(threshold_shuffle_partitions, int)
+        else session_parts
+    )
+
     def _thr_of(src):
-        return src.groupBy("pair_id", "symbol").applyInPandas(compute, thr_schema)
+        return (
+            src.withColumn(
+                "_bkt",
+                F.pmod(F.hash("pair_id", "symbol"), F.lit(n_buckets)).cast("int"),
+            )
+            .groupBy("_bkt")
+            .applyInPandas(compute, thr_schema)
+        )
 
     if threshold_shuffle_partitions is not None:
         # the conf must be in effect BEFORE .persist(): persist eagerly

@@ -329,7 +329,7 @@ def test_threshold_shuffle_ceiling_reaches_cached_plan(spark):
         threshold_shuffle_partitions=7,
     )
     plan = candq._jdf.queryExecution().executedPlan().toString()
-    hits = set(re.findall(r"hashpartitioning\(pair_id[^)]*, (\d+)\)", plan))
+    hits = set(re.findall(r"hashpartitioning\(_bkt[^)]*, (\d+)\)", plan))
     assert hits == {"7"}, f"ceiling did not reach the cached shuffle: {hits}"
     # and the scoped conf mutation must have been restored
     assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
