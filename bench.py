@@ -123,9 +123,12 @@ def main() -> None:
         )
         if not os.path.exists(os.path.join(sf1_dir, "events.parquet")):
             print("bench: generating sf1 fixtures...", file=sys.stderr)
+            # keep stdout clean — this process prints ONE JSON line, so the
+            # generator's progress output must land on stderr
             subprocess.run(
                 [sys.executable, os.path.join(os.path.dirname(__file__), "tools", "gen_sf1.py"), sf1_dir],
                 check=True,
+                stdout=sys.stderr,
             )
         reset_plan_caches(spark)
         print("bench: === sf1 catalog pass ===", file=sys.stderr)
