@@ -1,0 +1,242 @@
+#!/usr/bin/env python
+"""Physical-plan audit across the whole correctness catalog.
+
+For every `__spark_entry__.queries()` entry this executes the query at
+``$SPARK_GRAFT_SF_DIR`` (default sf0.01) and records BOTH the static plan
+shape (exchange count, join strategies, Arrow/Python nodes, unpartitioned
+windows, widest parquet ReadSchema) and the runtime shuffle totals
+(bytes written + spill, summed over every SQL execution the query
+triggered, read from Spark's SQL status store).  Output is a Markdown
+table written to ``PLAN_AUDIT.md`` — regenerated per round so the
+scale-design claims stay tied to the actual plans, not to prose.
+
+Red flags are collected in a final section; an exit code of 1 means the
+audit found a plan-hygiene violation (CartesianProduct or row-at-a-time
+BatchEvalPython anywhere, including in entries where Arrow batching is
+sanctioned).
+
+Usage: python tools/plan_audit.py [output.md]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SIZE_UNITS = {
+    "B": 1,
+    "KiB": 1024,
+    "MiB": 1024**2,
+    "GiB": 1024**3,
+    "TiB": 1024**4,
+}
+
+
+def parse_size(text: str) -> float:
+    """'59.6 KiB' -> bytes.  Metric strings may carry a 'total (min, med,
+    max)' breakdown — the leading figure is the total."""
+    m = re.match(r"\s*([\d.]+)\s*(B|KiB|MiB|GiB|TiB)", text)
+    return float(m.group(1)) * SIZE_UNITS[m.group(2)] if m else 0.0
+
+
+def fmt_size(n: float) -> str:
+    for unit in ("B", "KiB", "MiB", "GiB"):
+        if n < 1024 or unit == "GiB":
+            return f"{n:.1f} {unit}" if unit != "B" else f"{int(n)} B"
+        n /= 1024
+    return f"{n:.1f} GiB"
+
+
+def scala_seq(seq):
+    for i in range(seq.size()):
+        yield seq.apply(i)
+
+
+def execution_totals(store, start_id: int) -> tuple[float, float, int]:
+    """Sum shuffle-write + spill bytes over executions with id > start_id."""
+    shuffle = spill = 0.0
+    n_exec = 0
+    for e in scala_seq(store.executionsList()):
+        if e.executionId() <= start_id:
+            continue
+        n_exec += 1
+        vals = store.executionMetrics(e.executionId())
+        for m in scala_seq(e.metrics().toSeq()):
+            opt = vals.get(m.accumulatorId())
+            if not opt.isDefined():
+                continue
+            if m.name() == "shuffle bytes written":
+                shuffle += parse_size(opt.get())
+            elif m.name() == "spill size":
+                spill += parse_size(opt.get())
+    return shuffle, spill, n_exec
+
+
+def last_execution_id(store) -> int:
+    last = -1
+    for e in scala_seq(store.executionsList()):
+        last = max(last, e.executionId())
+    return last
+
+
+ARROW_NODES = {
+    "FlatMapGroupsInPandasExec",
+    "MapInPandasExec",
+    "ArrowEvalPythonExec",
+    "FlatMapGroupsInPandasWithStateExec",
+}
+
+
+def walk_plan(node):
+    """Yield every operator of the FINAL physical plan exactly once:
+    descends into AQE-resolved plans and materialized query stages, stops
+    at InMemoryTableScan (the cached subtree already ran — its cost is
+    charged, by the status store, to the entry that materialized it)."""
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        yield from walk_plan(node.executedPlan())
+        return
+    if name.endswith("QueryStageExec"):
+        yield from walk_plan(node.plan())
+        return
+    yield name, node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from walk_plan(ch.apply(i))
+
+
+def audit_plan(root) -> dict:
+    counts: dict[str, int] = {}
+    global_windows = 0
+    widest, widest_cols = 0, ""
+    for name, node in walk_plan(root):
+        counts[name] = counts.get(name, 0) + 1
+        if name == "WindowExec" and node.partitionSpec().size() == 0:
+            global_windows += 1
+        if name == "FileSourceScanExec":
+            try:
+                sch = node.requiredSchema()
+                cols = [
+                    sch.apply(i).name() for i in range(sch.size())
+                ]
+            except Exception:
+                cols = []
+            if len(cols) > widest:
+                widest, widest_cols = len(cols), ",".join(cols[:6])
+
+    def c(*names):
+        return sum(counts.get(n, 0) for n in names)
+
+    return {
+        "exchanges": c("ShuffleExchangeExec"),
+        "reused": c("ReusedExchangeExec"),
+        "bcast_joins": c("BroadcastHashJoinExec", "BroadcastNestedLoopJoinExec"),
+        "smj": c("SortMergeJoinExec"),
+        "arrow": c(*ARROW_NODES),
+        "global_windows": global_windows,
+        "cartesian": c("CartesianProductExec") > 0,
+        "row_python": c("BatchEvalPythonExec") > 0,
+        "scan_width": (widest, widest_cols),
+    }
+
+
+def main() -> int:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLAN_AUDIT.md",
+    )
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    from rangebar_patterns_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    rows, flags = [], []
+    for name, fn in qs.items():
+        mark = last_execution_id(store)
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.count()
+        dt = time.perf_counter() - t0
+        a = audit_plan(df._jdf.queryExecution().executedPlan())
+        shuffle, spill, n_exec = execution_totals(store, mark)
+        rows.append((name, a, shuffle, spill, n_exec, dt))
+        if a["cartesian"]:
+            flags.append(f"{name}: unbroadcast CartesianProduct")
+        if a["row_python"]:
+            flags.append(f"{name}: row-at-a-time BatchEvalPython")
+        print(
+            f"audit: {name}: exch={a['exchanges']}+{a['reused']}r "
+            f"bcast={a['bcast_joins']} smj={a['smj']} arrow={a['arrow']} "
+            f"gwin={a['global_windows']} "
+            f"shuffle={fmt_size(shuffle)} spill={fmt_size(spill)} "
+            f"({dt:.1f}s)",
+            file=sys.stderr,
+        )
+
+    lines = [
+        "# Physical-plan audit (regenerated per round — tools/plan_audit.py)",
+        "",
+        f"Catalog executed at `{sf_dir}`; shuffle/spill are runtime totals",
+        "from Spark's SQL status store summed over every execution the entry",
+        "triggered (shared persisted relations are charged to their first",
+        "consumer, same attribution as bench.py).  Static columns come from",
+        "walking the final post-AQE operator tree — cached",
+        "(InMemoryTableScan) subtrees are NOT re-counted in their consumers.",
+        "'global windows' are Window nodes with an empty PARTITION BY:",
+        "legitimate only on config-grain relations (~symbols × grid rows),",
+        "never on bar/event grain — the per-entry count is listed so that",
+        "invariant stays auditable.",
+        "",
+        "| query | shuffles (+reused) | bcast joins | sort-merge joins |"
+        " arrow nodes | global windows | widest scan |"
+        " shuffle written | spill | wall |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for name, a, shuffle, spill, n_exec, dt in rows:
+        w, cols = a["scan_width"]
+        lines.append(
+            f"| {name} | {a['exchanges']} (+{a['reused']}) |"
+            f" {a['bcast_joins']} | {a['smj']} |"
+            f" {a['arrow']} | {a['global_windows']} |"
+            f" {w} ({cols}{'…' if w > 6 else ''}) |"
+            f" {fmt_size(shuffle)} | {fmt_size(spill)} | {dt:.1f}s |"
+        )
+    lines += [
+        "",
+        "## Red flags",
+        "",
+    ]
+    if flags:
+        lines += [f"- **{f}**" for f in flags]
+    else:
+        lines.append(
+            "None: no CartesianProduct, no row-at-a-time Python anywhere in"
+            " the 50-entry catalog."
+        )
+    tot_sh = sum(r[2] for r in rows)
+    tot_sp = sum(r[3] for r in rows)
+    lines += [
+        "",
+        f"Catalog totals: shuffle written {fmt_size(tot_sh)}, spill"
+        f" {fmt_size(tot_sp)}.",
+        "",
+    ]
+    with open(out_path, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {out_path}", file=sys.stderr)
+    return 1 if flags else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
