@@ -98,10 +98,14 @@ def rolling_rdd_windows(
     W = F.lit(window_days * DAY_MS)
     S = F.lit(step_days * DAY_MS)
     ex = F.col("exit_ts_ms")
-    bounds = trades.groupBy(g).agg(
-        F.min(ex).alias("_earliest"), F.max(ex).alias("_latest")
+    # per-asset span as whole-partition window aggregates, NOT a self-join
+    # against a grouped copy: the trades subtree (itself a bar join over
+    # the barrier sim) would otherwise be evaluated once per side, and
+    # every downstream self-join would double it again
+    wg = Window.partitionBy(*g)
+    t = trades.withColumn("_earliest", F.min(ex).over(wg)).withColumn(
+        "_latest", F.max(ex).over(wg)
     )
-    t = trades.join(F.broadcast(bounds), g)
     first_end = F.col("_earliest") + W
     single = first_end > F.col("_latest")
     # ms magnitudes < 2^53: double division is exact enough that
@@ -209,22 +213,21 @@ def rdd_distribution_stats(
     sorted_r = F.array_sort(F.collect_list(r))
     # argmin/argmax (np.argmin/argmax = FIRST extreme): w_start_ms is
     # strictly monotone in the window index, so "first window at the
-    # extreme ratio" is min(w_start) over the windows whose ratio equals
-    # the (separately aggregated) extreme — plain min/max aggregates,
-    # deterministic under any parallel merge order in both engines
-    # (struct-sort and list-aggregate formulations were observed to be
-    # merge-order-sensitive in the twin under memory pressure)
-    ext = windows.groupBy(g).agg(
-        F.min(r).alias("_minr"), F.max(r).alias("_maxr")
-    )
-    windows = windows.join(F.broadcast(ext), g)
-    worst_ws = F.min(F.when(r == F.col("_minr"), F.col("w_start_ms")))
-    best_ws = F.min(F.when(r == F.col("_maxr"), F.col("w_start_ms")))
+    # extreme ratio" is min(w_start) over the windows at the extreme.
+    # Lexicographic struct min/max gets both in ONE aggregate pass — no
+    # self-join against a grouped copy of the windows relation (which
+    # would evaluate the whole explode/window subtree twice):
+    #   min (r, ws)  → (min r, min ws among ties)      = first worst
+    #   max (r, -ws) → (max r, max -ws = min ws among ties) = first best
+    # min/max over a total order are associative → merge-order-free in
+    # both engines (unlike ordered-list formulations, which the DuckDB
+    # twin cannot do robustly under memory-pressure spills).
+    ws = F.col("w_start_ms")
+    worst = F.min(F.struct(r.alias("r"), ws.alias("ws")))
+    best = F.max(F.struct(r.alias("r"), (-ws).alias("nws")))
     agg = windows.groupBy(g).agg(
-        F.min("_minr").alias("_worst_r"),
-        F.max("_maxr").alias("_best_r"),
-        worst_ws.alias("_worst_ws"),
-        best_ws.alias("_best_ws"),
+        worst.alias("_worst"),
+        best.alias("_best"),
         F.count("*").alias("n_windows"),
         F.sum("n_trades").alias("n_trades_total"),
         sorted_r.alias("_sr"),
@@ -269,10 +272,10 @@ def rdd_distribution_stats(
         F.round(F.col("_n_gt1") / n, 4).alias("frac_gt_1"),
         F.round(F.col("_n_lt1") / n, 4).alias("frac_lt_1"),
         F.round(F.col("_n_neg") / n, 4).alias("frac_negative"),
-        F.col("_worst_ws").alias("worst_window_start_ms"),
-        F.col("_worst_r").alias("worst_window_ratio"),
-        F.col("_best_ws").alias("best_window_start_ms"),
-        F.col("_best_r").alias("best_window_ratio"),
+        F.col("_worst.ws").alias("worst_window_start_ms"),
+        F.col("_worst.r").alias("worst_window_ratio"),
+        (-F.col("_best.nws")).alias("best_window_start_ms"),
+        F.col("_best.r").alias("best_window_ratio"),
     ).filter(F.col("n_windows") >= min_valid_windows)
     cv = F.when(
         F.col("mean_ratio") > 1e-6,
@@ -295,30 +298,36 @@ def rdd_topsis_rank(
     reference sorts rounded scores over sorted asset keys)."""
     crit = GEN800_CRITERIA
     # criteria are rounded-4 values: L2 norms via exact integer-scaled
-    # squares (merge-order-free, identical arithmetic in the twin)
-    norms = stats.groupBy(group_col).agg(
-        *[
+    # squares (merge-order-free, identical arithmetic in the twin).
+    # Norms and per-group extremes are whole-partition window aggregates
+    # over the config group — NOT self-joins against grouped copies of
+    # ``stats``, which would re-evaluate the entire upstream windows
+    # subtree once per join side.  One exchange on the group key serves
+    # every window below.
+    wg = Window.partitionBy(group_col)
+    t = stats
+    for c, _, _ in crit:
+        t = t.withColumn(
+            f"_norm_{c}",
             F.sqrt(
                 F.sum(
                     F.round(F.col(c) * 10000).cast("decimal(12,0)")
                     * F.round(F.col(c) * 10000).cast("decimal(12,0)")
-                ).cast("double")
+                )
+                .over(wg)
+                .cast("double")
                 / F.lit(100000000.0)
-            ).alias(f"_norm_{c}")
-            for c, _, _ in crit
-        ]
-    )
-    t = stats.join(F.broadcast(norms), group_col)
+            ),
+        )
     for c, w, _ in crit:
         nz = F.when(F.col(f"_norm_{c}") == 0.0, F.lit(1.0)).otherwise(
             F.col(f"_norm_{c}")
         )
         t = t.withColumn(f"_w_{c}", F.col(c) / nz * F.lit(w))
-    extremes = t.groupBy(group_col).agg(
-        *[F.max(f"_w_{c}").alias(f"_max_{c}") for c, _, _ in crit],
-        *[F.min(f"_w_{c}").alias(f"_min_{c}") for c, _, _ in crit],
-    )
-    t = t.join(F.broadcast(extremes), group_col)
+    for c, _, _ in crit:
+        t = t.withColumn(f"_max_{c}", F.max(f"_w_{c}").over(wg)).withColumn(
+            f"_min_{c}", F.min(f"_w_{c}").over(wg)
+        )
     d_pos = None
     d_neg = None
     for c, _, typ in crit:
