@@ -110,3 +110,44 @@ def test_join_strategies_across_catalog(spark):
     assert "BroadcastNestedLoopJoin" in trades or "BroadcastExchange" in trades, (
         "barrier grid cross join should broadcast the grid side"
     )
+
+
+def test_gen800_plan_is_join_free_past_the_bar_lookup(spark):
+    """The gen800 chain once self-joined against grouped copies of its
+    own output three times (span bounds, ratio extremes, TOPSIS
+    norms/extremes), re-evaluating the explode/window subtree per join
+    side — 31 broadcast joins in the executed plan.  Pin the rewrite:
+    the only join left is the exit-bar equi-join; everything grouped is
+    a window aggregate over the same partition key."""
+    from rangebar_patterns_spark.plans.catalog import QUERIES
+
+    df = QUERIES["gen800_rolling_rdd"](spark, SF_DIR)
+    df.count()  # resolve AQE so the final plan is the one that ran
+
+    def walk(node):
+        # final-plan walk: descend through AQE wrappers/query stages,
+        # stop at cached subtrees (their joins already ran elsewhere)
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            yield from walk(node.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            yield from walk(node.plan())
+            return
+        yield name
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    names = list(walk(df._jdf.queryExecution().executedPlan()))
+    n_joins = sum(
+        1
+        for n in names
+        if n in (
+            "BroadcastHashJoinExec",
+            "SortMergeJoinExec",
+            "ShuffledHashJoinExec",
+            "BroadcastNestedLoopJoinExec",
+        )
+    )
+    assert n_joins <= 1, f"gen800 grew {n_joins} joins (expected 1: bar lookup)"
