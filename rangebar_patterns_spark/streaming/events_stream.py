@@ -43,16 +43,25 @@ from pyspark.sql.types import (
 VALUE_SCALE = 1_000_000
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+def _events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    stream_options: dict[str, str] | None = None,
+) -> DataFrame:
+    static = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
     # the file source wants a directory; pathGlobFilter narrows it to the
-    # events file inside the shared sf dir
-    stream = (
+    # events file(s) inside the shared sf dir.  ``stream_options`` lets
+    # tests shape micro-batching (e.g. maxFilesPerTrigger=1 to force one
+    # batch per file and exercise cross-batch operator state).
+    reader = (
         spark.readStream.schema(static.schema)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", glob)
     )
+    for k, v in (stream_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.load(sf_dir)
     ts_type = dict(static.dtypes)["ts"]
     if ts_type == "bigint":  # TIMESTAMP(NANOS) read as raw int64 ns
         event_time = F.timestamp_micros(F.expr("ts div 1000"))
@@ -157,10 +166,19 @@ def build_bars_batch(values: list[float], threshold: float) -> list[tuple]:
 def range_bars_stateful(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5,
     sink_name: str = "range_bars_sink",
+    glob: str = "events.parquet",
+    stream_options: dict[str, str] | None = None,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """applyInPandasWithState range-bar constructor over the event stream:
     a bar closes whenever the (high - low) range of the accumulated value
-    path reaches ``threshold``."""
+    path reaches ``threshold``.
+
+    ``stream_options`` passes through to the file stream source (tests
+    use maxFilesPerTrigger=1 to split the run into one micro-batch per
+    input file, exercising state carry-over across batches);
+    ``progress_out``, when given, receives the finished query's
+    per-micro-batch progress dicts."""
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -191,7 +209,7 @@ def range_bars_stateful(
         state.update((open_v, high_v, low_v, last_v, n_events, bar_seq))
         yield pd.DataFrame(out, columns=[f.name for f in BAR_OUT_SCHEMA.fields])
 
-    ev = _events_stream(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir, glob=glob, stream_options=stream_options)
     bars = (
         ev.select("event_type", "ts", "event_id", "value")
         .groupBy("event_type")
@@ -211,6 +229,8 @@ def range_bars_stateful(
         .start()
     )
     q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(p for p in q.recentProgress if p is not None)
     return spark.table(sink_name)
 
 

@@ -38,6 +38,70 @@ def test_stateful_range_bars_match_batch_twin(spark):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_stateful_range_bars_carry_state_across_micro_batches(spark, tmp_path):
+    """Split the event file into three time-contiguous files and force
+    one micro-batch per file (maxFilesPerTrigger=1): a bar that opens in
+    one batch must close in a later one, so this fails if the
+    applyInPandasWithState kernel drops or misrestores state between
+    batches — single-batch runs (the twin test above) can't catch that."""
+    import os
+
+    events = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    # split on distinct ts boundaries so no timestamp spans two files
+    cut = events["ts"].quantile([1 / 3, 2 / 3]).tolist()
+    parts = [
+        events[events["ts"] <= cut[0]],
+        events[(events["ts"] > cut[0]) & (events["ts"] <= cut[1])],
+        events[events["ts"] > cut[1]],
+    ]
+    assert all(len(p) > 0 for p in parts)
+    for i, p in enumerate(parts):
+        f = tmp_path / f"events_{i}.parquet"
+        p.to_parquet(f, index=False)
+        # the file source orders batches by (modification time, path):
+        # make both ascending so arrival order == event-time order
+        os.utime(f, (1_000_000 + i, 1_000_000 + i))
+
+    progress: list = []
+    got = (
+        range_bars_stateful(
+            spark,
+            str(tmp_path),
+            threshold=0.5,
+            sink_name="rb_multibatch_sink",
+            glob="events_*.parquet",
+            stream_options={"maxFilesPerTrigger": "1"},
+            progress_out=progress,
+        )
+        .toPandas()
+        .sort_values(["symbol", "bar_seq"])
+        .reset_index(drop=True)
+    )
+    batches_with_rows = [p for p in progress if p.numInputRows > 0]
+    assert len(batches_with_rows) == 3, (
+        f"expected 3 micro-batches, saw {len(batches_with_rows)}"
+    )
+
+    rows = []
+    for sym, grp in events.groupby("event_type"):
+        vals = grp.sort_values(["ts", "event_id"])["value"].astype(float).tolist()
+        for seq, o, h, lo, c, n in build_bars_batch(vals, 0.5):
+            rows.append((sym, seq, o, h, lo, c, n))
+    want = (
+        pd.DataFrame(rows, columns=list(got.columns))
+        .sort_values(["symbol", "bar_seq"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_streaming_hourly_matches_batch(spark, duck):
     from rangebar_patterns_spark.plans.catalog import ORACLES, QUERIES
 
