@@ -72,3 +72,36 @@ def test_gen800_window_invariants(spark):
     assert (win.return_dd_ratio <= 50.0).all()
     assert (win.w_end_ms - win.w_start_ms <= 7 * _DAY_MS).all()
     assert (win.n_trades >= 1).all()
+
+
+def test_distribution_argmin_argmax_first_occurrence_on_ties(spark):
+    """np.argmin/argmax semantics: when several windows share the extreme
+    ratio (common — the positive side is capped at 50.0), the FIRST
+    window wins, i.e. the smallest w_start_ms.  Pins the lexicographic
+    struct min/max formulation (min (r, ws) / max (r, -ws))."""
+    from rangebar_patterns_spark.operators.rolling_rdd import (
+        rdd_distribution_stats,
+    )
+
+    rows = [
+        # (w_start, ratio): min ratio -2.0 at ws 300 and 100 -> worst=100
+        #                   max ratio 50.0 at ws 400 and 200 -> best=200
+        ("A", "b1", 100, -2.0),
+        ("A", "b1", 200, 50.0),
+        ("A", "b1", 300, -2.0),
+        ("A", "b1", 400, 50.0),
+        ("A", "b1", 500, 1.5),
+    ]
+    win = spark.createDataFrame(
+        [(s, b, ws, r, 7) for s, b, ws, r in rows],
+        "symbol string, barrier_id string, w_start_ms long,"
+        " return_dd_ratio double, n_trades int",
+    )
+    got = rdd_distribution_stats(win, min_valid_windows=1).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row.worst_window_start_ms == 100
+    assert row.worst_window_ratio == -2.0
+    assert row.best_window_start_ms == 200
+    assert row.best_window_ratio == 50.0
+    assert row.min_ratio == -2.0 and row.max_ratio == 50.0
