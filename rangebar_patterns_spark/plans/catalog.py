@@ -654,7 +654,10 @@ def q_sweep_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics = barrier_metrics(
         trades, group_cols=["config_id", "symbol", "barrier_id"]
     )
-    return funnel.join(metrics, ["config_id", "symbol"], "left")
+    # metrics is config-grain (configs x symbols x barriers) — its size is
+    # set by the grid, not the data, so it stays the broadcast side at any
+    # SF; the hint removes the sort-merge exchanges AQE won't always elide
+    return funnel.join(F.broadcast(metrics), ["config_id", "symbol"], "left")
 
 
 from ..operators.sweep import gen500_grid  # noqa: E402
@@ -777,7 +780,10 @@ def q_sweep_gen600_full_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics = barrier_metrics(
         trades, group_cols=["config_id", "symbol", "barrier_id"]
     )
-    return funnel.join(metrics, ["config_id", "symbol"], "left")
+    # metrics is config-grain (configs x symbols x barriers) — its size is
+    # set by the grid, not the data, so it stays the broadcast side at any
+    # SF; the hint removes the sort-merge exchanges AQE won't always elide
+    return funnel.join(F.broadcast(metrics), ["config_id", "symbol"], "left")
 
 
 BENCH_QUERIES["sweep_gen600_fullgrid_panel"] = q_sweep_gen600_full_panel
