@@ -412,3 +412,43 @@ def test_fused_mixed_q_width_padding(spark):
     lp = layered.toPandas()[cols].sort_values(cols).reset_index(drop=True)
     fp = fused.toPandas()[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(lp, fp)
+
+
+def test_derive_threshold_partitions_scales_with_fanout(spark):
+    """The threshold-shuffle sizing must be (a) clamped below by the
+    session shuffle-partition count, (b) monotone in the grid's pair
+    fan-out, (c) capped at THRESHOLD_MAX_PARTITIONS — so no caller at any
+    SF inherits a host-tuned constant."""
+    from rangebar_patterns_spark.operators.sweep import (
+        THRESHOLD_MAX_PARTITIONS,
+        default_sweep_grid,
+        derive_grid_shuffle_partitions,
+        derive_threshold_partitions,
+        grid_formations,
+    )
+    from rangebar_patterns_spark.operators.signals import FORMATIONS
+    from rangebar_patterns_spark.plans.catalog import WARMUP, _featg
+    import pyspark.sql.functions as F
+
+    feat = _featg(spark, SF_DIR)
+    grid = default_sweep_grid()
+    session_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # tiny fixture grid: the estimate lands under one partition's rows,
+    # so the session default is the floor
+    n_small = derive_grid_shuffle_partitions(feat, spark, grid, WARMUP)
+    assert n_small == session_default
+
+    formations = grid_formations(grid)
+    formation_arr = F.array(
+        *[F.when(FORMATIONS[name].signal(), F.lit(name)) for name in formations]
+    )
+    # same candidate counts, thousandfold fan-out: must grow, stay capped
+    big = {f: 5_000 for f in formations}
+    n_big = derive_threshold_partitions(feat, spark, WARMUP, formation_arr, big)
+    assert n_big > n_small
+    assert n_big <= THRESHOLD_MAX_PARTITIONS
+
+    huge = {f: 10_000_000 for f in formations}
+    n_huge = derive_threshold_partitions(feat, spark, WARMUP, formation_arr, huge)
+    assert n_huge == THRESHOLD_MAX_PARTITIONS
