@@ -291,8 +291,8 @@ def rdd_topsis_rank(
 ) -> DataFrame:
     """Weighted TOPSIS with cost criteria per config group (reference
     eval/ranking.py:333-367 topsis_rank; criteria/weights
-    gen800_rolling_rdd.py:255-262): L2 column norms (ordered folds; 0 →
-    1), weighted normalized matrix, ideal/nadir per criterion type,
+    gen800_rolling_rdd.py:255-262): L2 column norms (integer-scaled exact
+    sums; 0 → 1), weighted normalized matrix, ideal/nadir per criterion type,
     closeness coefficient (0 when both distances are 0), ranked by
     rounded score desc with the asset key as the stable tie-break (the
     reference sorts rounded scores over sorted asset keys)."""
