@@ -160,7 +160,12 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    # the bench demo grids (full-width gen600 panels) get the same audit:
+    # the headline plans should carry the same evidence as the gate
+    from rangebar_patterns_spark.plans.catalog import BENCH_QUERIES
+
+    qs.update(BENCH_QUERIES)
     rows, flags = [], []
     for name, fn in qs.items():
         mark = last_execution_id(store)
@@ -222,7 +227,7 @@ def main() -> int:
     else:
         lines.append(
             "None: no CartesianProduct, no row-at-a-time Python anywhere in"
-            " the 50-entry catalog."
+            " the gate catalog or the bench demo grids."
         )
     tot_sh = sum(r[2] for r in rows)
     tot_sp = sum(r[3] for r in rows)
