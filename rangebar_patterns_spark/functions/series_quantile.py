@@ -77,6 +77,60 @@ def _excl_quantile_rolling_sorted(
     return out
 
 
+def _excl_quantile_rolling_sorted_multi(
+    values: np.ndarray, ps: tuple[float, ...], lookback: int
+) -> list[np.ndarray]:
+    """Multi-quantile variant of the sorted-list kernel: the window's
+    sorted buffer — whose O(w) insert/evict memmoves dominate the kernel —
+    is maintained ONCE per series, and each requested p costs only its
+    O(1) order-statistic pick per row.  Pick arithmetic is byte-for-byte
+    the single-q kernel's, so each output array is bit-equal to the
+    corresponding ``excl_quantile_stream(values, p, lookback)`` (pinned in
+    tests/test_quantile_engines.py).  The sweep's pair-grain Arrow pass
+    calls this with the pair's whole per-orientation q-list: at the gen600
+    grid shape (2 q's per orientation) it nearly halves threshold-kernel
+    time."""
+    n_rows = len(values)
+    outs = [np.full(n_rows, np.nan) for _ in ps]
+    buf: list[float] = []
+    vals_l = values.tolist()
+    isnan_l = np.isnan(values).tolist()
+    for i in range(n_rows):
+        n = len(buf)
+        if n > 0:
+            for oi, p in enumerate(ps):
+                h = p * (n + 1.0)
+                if h <= 1.0:
+                    outs[oi][i] = buf[0]
+                elif h >= n:
+                    outs[oi][i] = buf[-1]
+                else:
+                    k = int(h)
+                    lo_v = buf[k - 1]
+                    outs[oi][i] = lo_v + (h - float(k)) * (buf[k] - lo_v)
+        if not isnan_l[i]:
+            insort(buf, vals_l[i])
+        j = i - lookback
+        if j >= 0 and not isnan_l[j]:
+            del buf[bisect_left(buf, vals_l[j])]
+    return outs
+
+
+def excl_quantile_stream_multi(
+    values: np.ndarray, ps: tuple[float, ...], lookback: int | None = None
+) -> list[np.ndarray]:
+    """Per-row type-6 exclusive quantiles over the preceding frame, every
+    requested ``p`` from ONE pass of window maintenance where the frame is
+    bounded (the sorted-list kernel); expanding/wide frames fall back to
+    one two-heap stream per p (the heap layout is shaped by its single
+    target rank, so its maintenance cannot be shared)."""
+    if not ps:
+        return []
+    if lookback is not None and lookback <= _SORTED_KERNEL_MAX_LOOKBACK:
+        return _excl_quantile_rolling_sorted_multi(values, tuple(ps), lookback)
+    return [excl_quantile_stream(values, p, lookback) for p in ps]
+
+
 def excl_quantile_stream(
     values: np.ndarray, p: float, lookback: int | None = None
 ) -> np.ndarray:

@@ -48,7 +48,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.series_quantile import excl_quantile_stream
+from ..functions.series_quantile import (
+    excl_quantile_stream,
+    excl_quantile_stream_multi,
+)
 from .signals import FORMATIONS, base_eligibility
 
 #: W7 rolling window over the candidate sequence (gen600: 999 PRECEDING .. 1 PRECEDING)
@@ -636,10 +639,13 @@ def sweep_candidates_with_thresholds(
             bounds = np.concatenate(([0], change, [n]))
             for s, e in zip(bounds[:-1], bounds[1:]):
                 qa, qb = pair_qs[int(pid[s])]
-                for i, q in enumerate(qa):
-                    outs_a[i][s:e] = excl_quantile_stream(va[s:e], q, lookback)
-                for i, q in enumerate(qb):
-                    outs_b[i][s:e] = excl_quantile_stream(vb[s:e], q, lookback)
+                # all of an orientation's q's in one kernel pass: the
+                # sorted-window maintenance (the O(w) memmoves) is paid
+                # once per series, each extra q costs only its O(1) pick
+                for i, got in enumerate(excl_quantile_stream_multi(va[s:e], qa, lookback)):
+                    outs_a[i][s:e] = got
+                for i, got in enumerate(excl_quantile_stream_multi(vb[s:e], qb, lookback)):
+                    outs_b[i][s:e] = got
         for i in range(k_a):
             pdf[f"thr_a_{i}"] = outs_a[i]
         for i in range(k_b):

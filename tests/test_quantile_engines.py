@@ -166,3 +166,49 @@ def test_kernel_matches_naive_reference_property():
             assert np.array_equal(got2, want, equal_nan=True)
 
     check()
+
+
+def test_multi_q_kernel_bit_equal_to_singles():
+    """excl_quantile_stream_multi shares one pass of window maintenance
+    across its q-list; every output array must be BIT-equal to the
+    corresponding single-q stream (same picks, same IEEE interpolation),
+    across NaN mixes, frame widths (incl. the two-heap fallback), and
+    duplicate-heavy values."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rangebar_patterns_spark.functions.series_quantile import (
+        _SORTED_KERNEL_MAX_LOOKBACK,
+        excl_quantile_stream,
+        excl_quantile_stream_multi,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        vals=st.lists(
+            st.one_of(
+                st.floats(-100, 100, allow_nan=False),
+                st.just(float("nan")),
+                st.integers(-3, 3).map(float),  # force duplicates
+            ),
+            min_size=0,
+            max_size=120,
+        ),
+        ps=st.lists(
+            st.floats(0.01, 0.99, allow_nan=False), min_size=1, max_size=4
+        ),
+        lookback=st.one_of(
+            st.none(),
+            st.integers(1, 40),
+            st.just(_SORTED_KERNEL_MAX_LOOKBACK + 1),  # two-heap fallback
+        ),
+    )
+    def check(vals, ps, lookback):
+        arr = np.array(vals, dtype="float64")
+        multi = excl_quantile_stream_multi(arr, tuple(ps), lookback)
+        assert len(multi) == len(ps)
+        for p, got in zip(ps, multi):
+            want = excl_quantile_stream(arr, p, lookback)
+            assert np.array_equal(got, want, equal_nan=True)
+
+    check()
