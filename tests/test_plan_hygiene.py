@@ -112,6 +112,62 @@ def test_join_strategies_across_catalog(spark):
     )
 
 
+#: entries allowed to carry Window nodes with an EMPTY partition spec —
+#: all of them rank/scan across the config grain (~symbols × grid rows,
+#: set by the grid, not the data), where a single-partition window is the
+#: semantics.  A global window over bar/event grain funnels the whole
+#: dataset through one task and must never appear.
+GLOBAL_WINDOW_SANCTIONED = {
+    "eval_evalues_ebh",
+    "eval_ranking",
+    "cutoff_grid_search",
+    "eval_bootstrap_synthesis",
+    "eval_spearman",
+    "eval_knee_points",
+    "eval_signal_regularity",
+    "gt_composite_mbb",
+    "cpcv_pbo",
+    "wf_topk",
+    "crossasset_validation",
+    "crossasset_confluence",
+}
+
+
+def _walk_final_plan(node):
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        yield from _walk_final_plan(node.executedPlan())
+        return
+    if name.endswith("QueryStageExec"):
+        yield from _walk_final_plan(node.plan())
+        return
+    yield name, node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_final_plan(ch.apply(i))
+
+
+def test_global_windows_only_on_config_grain_entries(spark):
+    """Walk every catalog entry's physical plan (cached subtrees excluded
+    — their shape is pinned where they're built) and flag any Window node
+    with an empty PARTITION BY outside the sanctioned config-grain set."""
+    from rangebar_patterns_spark.plans.catalog import QUERIES
+
+    leaked = []
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_DIR)
+        n_global = sum(
+            1
+            for nn, node in _walk_final_plan(
+                df._jdf.queryExecution().executedPlan()
+            )
+            if nn == "WindowExec" and node.partitionSpec().size() == 0
+        )
+        if n_global and name not in GLOBAL_WINDOW_SANCTIONED:
+            leaked.append((name, n_global))
+    assert not leaked, f"unpartitioned windows outside config grain: {leaked}"
+
+
 def test_gen800_plan_is_join_free_past_the_bar_lookup(spark):
     """The gen800 chain once self-joined against grouped copies of its
     own output three times (span bounds, ratio extremes, TOPSIS
@@ -123,26 +179,9 @@ def test_gen800_plan_is_join_free_past_the_bar_lookup(spark):
 
     df = QUERIES["gen800_rolling_rdd"](spark, SF_DIR)
     df.count()  # resolve AQE so the final plan is the one that ran
-
-    def walk(node):
-        # final-plan walk: descend through AQE wrappers/query stages,
-        # stop at cached subtrees (their joins already ran elsewhere)
-        name = node.getClass().getSimpleName()
-        if name == "AdaptiveSparkPlanExec":
-            yield from walk(node.executedPlan())
-            return
-        if name.endswith("QueryStageExec"):
-            yield from walk(node.plan())
-            return
-        yield name
-        ch = node.children()
-        for i in range(ch.size()):
-            yield from walk(ch.apply(i))
-
-    names = list(walk(df._jdf.queryExecution().executedPlan()))
     n_joins = sum(
         1
-        for n in names
+        for n, _ in _walk_final_plan(df._jdf.queryExecution().executedPlan())
         if n in (
             "BroadcastHashJoinExec",
             "SortMergeJoinExec",
