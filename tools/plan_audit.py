@@ -5,8 +5,11 @@ For every `__spark_entry__.queries()` entry this executes the query at
 ``$SPARK_GRAFT_SF_DIR`` (default sf0.01) and records BOTH the static plan
 shape (exchange count, join strategies, Arrow/Python nodes, unpartitioned
 windows, widest parquet ReadSchema) and the runtime shuffle totals
-(bytes written + spill, summed over every SQL execution the query
-triggered, read from Spark's SQL status store).  Output is a Markdown
+(bytes written + spill, summed over every STAGE the query triggered,
+read from the UI status API — stage-level accounting, unlike the SQL
+status store's per-execution metrics, also captures shuffles that run
+inside a persisted relation's materialization, whose accumulators never
+attach to any SQL execution).  Output is a Markdown
 table written to ``PLAN_AUDIT.md`` — regenerated per round so the
 scale-design claims stay tied to the actual plans, not to prose.
 
@@ -21,29 +24,12 @@ Usage: python tools/plan_audit.py [output.md]
 from __future__ import annotations
 
 import os
-import re
 import sys
 import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
-
-SIZE_UNITS = {
-    "B": 1,
-    "KiB": 1024,
-    "MiB": 1024**2,
-    "GiB": 1024**3,
-    "TiB": 1024**4,
-}
-
-
-def parse_size(text: str) -> float:
-    """'59.6 KiB' -> bytes.  Metric strings may carry a 'total (min, med,
-    max)' breakdown — the leading figure is the total."""
-    m = re.match(r"\s*([\d.]+)\s*(B|KiB|MiB|GiB|TiB)", text)
-    return float(m.group(1)) * SIZE_UNITS[m.group(2)] if m else 0.0
-
 
 def fmt_size(n: float) -> str:
     for unit in ("B", "KiB", "MiB", "GiB"):
@@ -53,36 +39,37 @@ def fmt_size(n: float) -> str:
     return f"{n:.1f} GiB"
 
 
-def scala_seq(seq):
-    for i in range(seq.size()):
-        yield seq.apply(i)
+def _stages(ui_port: int = 4040) -> list[dict]:
+    import json
+    import urllib.request
+
+    base = f"http://localhost:{ui_port}/api/v1/applications"
+    apps = json.load(urllib.request.urlopen(base))
+    return json.load(
+        urllib.request.urlopen(
+            f"{base}/{apps[0]['id']}/stages?status=complete"
+        )
+    )
 
 
-def execution_totals(store, start_id: int) -> tuple[float, float, int]:
-    """Sum shuffle-write + spill bytes over executions with id > start_id."""
+def stage_totals(start_id: int) -> tuple[float, float, int]:
+    """Sum shuffle-write + spill bytes over completed stages with id >
+    start_id.  Stage-level accounting (vs the SQL store's per-execution
+    metrics) also captures work done materializing persisted relations."""
     shuffle = spill = 0.0
-    n_exec = 0
-    for e in scala_seq(store.executionsList()):
-        if e.executionId() <= start_id:
+    last = start_id
+    try:
+        stages = _stages()
+    except Exception:
+        return 0.0, 0.0, start_id
+    for s in stages:
+        sid = s["stageId"]
+        last = max(last, sid)
+        if sid <= start_id:
             continue
-        n_exec += 1
-        vals = store.executionMetrics(e.executionId())
-        for m in scala_seq(e.metrics().toSeq()):
-            opt = vals.get(m.accumulatorId())
-            if not opt.isDefined():
-                continue
-            if m.name() == "shuffle bytes written":
-                shuffle += parse_size(opt.get())
-            elif m.name() == "spill size":
-                spill += parse_size(opt.get())
-    return shuffle, spill, n_exec
-
-
-def last_execution_id(store) -> int:
-    last = -1
-    for e in scala_seq(store.executionsList()):
-        last = max(last, e.executionId())
-    return last
+        shuffle += s.get("shuffleWriteBytes", 0)
+        spill += s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0)
+    return shuffle, spill, last
 
 
 ARROW_NODES = {
@@ -155,8 +142,7 @@ def main() -> int:
 
     from rangebar_patterns_spark.session import get_spark
 
-    spark = get_spark("plan-audit")
-    store = spark._jsparkSession.sharedState().statusStore()
+    spark = get_spark("plan-audit", extra_conf={"spark.ui.enabled": "true"})
 
     import __spark_entry__ as entrymod
 
@@ -167,15 +153,21 @@ def main() -> int:
 
     qs.update(BENCH_QUERIES)
     rows, flags = [], []
+    mark = -1
     for name, fn in qs.items():
-        mark = last_execution_id(store)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.count()
         dt = time.perf_counter() - t0
         a = audit_plan(df._jdf.queryExecution().executedPlan())
-        shuffle, spill, n_exec = execution_totals(store, mark)
-        rows.append((name, a, shuffle, spill, n_exec, dt))
+        # the status store is fed asynchronously off the listener bus;
+        # drain it so just-finished stages' totals are visible
+        try:
+            spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+        except Exception:
+            time.sleep(0.5)  # older/newer API shape — settle heuristically
+        shuffle, spill, mark = stage_totals(mark)
+        rows.append((name, a, shuffle, spill, 0, dt))
         if a["cartesian"]:
             flags.append(f"{name}: unbroadcast CartesianProduct")
         if a["row_python"]:
@@ -193,9 +185,10 @@ def main() -> int:
         "# Physical-plan audit (regenerated per round — tools/plan_audit.py)",
         "",
         f"Catalog executed at `{sf_dir}`; shuffle/spill are runtime totals",
-        "from Spark's SQL status store summed over every execution the entry",
-        "triggered (shared persisted relations are charged to their first",
-        "consumer, same attribution as bench.py).  Static columns come from",
+        "over every STAGE the entry triggered, from the UI status API —",
+        "including stages materializing persisted relations (charged to",
+        "their first consumer, same attribution as bench.py).  Static",
+        "columns come from",
         "walking the final post-AQE operator tree — cached",
         "(InMemoryTableScan) subtrees are NOT re-counted in their consumers.",
         "'global windows' are Window nodes with an empty PARTITION BY:",
