@@ -168,6 +168,27 @@ def test_global_windows_only_on_config_grain_entries(spark):
     assert not leaked, f"unpartitioned windows outside config grain: {leaked}"
 
 
+def test_fullgrid_funnel_plan_stays_broadcast_shaped(spark):
+    """The headline sweep's consumer plan must stay: one exact-count
+    threshold shuffle feeding the Arrow pass (inside the persisted
+    relation), broadcast-only joins for the config fan-out, no sort-merge
+    join and no cartesian anywhere.  Generous upper bounds — AQE may
+    restructure details — but a config-grain shuffle or an unbroadcast
+    fan-out join is exactly the regression this pins out."""
+    from rangebar_patterns_spark.plans.catalog import QUERIES
+
+    df = QUERIES["sweep_gen600_fullgrid"](spark, SF_DIR)
+    df.count()
+    names = [
+        n for n, _ in _walk_final_plan(df._jdf.queryExecution().executedPlan())
+    ]
+    assert names.count("SortMergeJoinExec") == 0
+    assert names.count("CartesianProductExec") == 0
+    assert names.count("ShuffleExchangeExec") <= 2, names.count(
+        "ShuffleExchangeExec"
+    )
+
+
 def test_gen800_plan_is_join_free_past_the_bar_lookup(spark):
     """The gen800 chain once self-joined against grouped copies of its
     own output three times (span bounds, ratio extremes, TOPSIS
