@@ -211,3 +211,24 @@ def test_gen800_plan_is_join_free_past_the_bar_lookup(spark):
         )
     )
     assert n_joins <= 1, f"gen800 grew {n_joins} joins (expected 1: bar lookup)"
+
+
+def test_reset_plan_caches_covers_every_module_cache(spark):
+    """bench.py relies on reset_plan_caches to make repeat passes cold; a
+    module-level *_CACHE dict added without registering it in the reset
+    list would silently turn the medians warm.  Enumerate every cache in
+    the catalog namespace, plant a sentinel, and require reset to clear
+    them all."""
+    import rangebar_patterns_spark.plans.catalog as cat
+
+    cache_names = [
+        n
+        for n, v in vars(cat).items()
+        if n.endswith("_CACHE") and isinstance(v, dict)
+    ]
+    assert len(cache_names) >= 8, cache_names
+    for n in cache_names:
+        getattr(cat, n)["__sentinel__"] = None
+    cat.reset_plan_caches(spark)
+    stale = [n for n in cache_names if getattr(cat, n)]
+    assert not stale, f"reset_plan_caches does not clear: {stale}"
