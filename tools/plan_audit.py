@@ -203,11 +203,12 @@ def main() -> int:
     ]
     for name, a, shuffle, spill, n_exec, dt in rows:
         w, cols = a["scan_width"]
+        scan = f"{w} ({cols}{'…' if w > 6 else ''})" if w else "— (cached)"
         lines.append(
             f"| {name} | {a['exchanges']} (+{a['reused']}) |"
             f" {a['bcast_joins']} | {a['smj']} |"
             f" {a['arrow']} | {a['global_windows']} |"
-            f" {w} ({cols}{'…' if w > 6 else ''}) |"
+            f" {scan} |"
             f" {fmt_size(shuffle)} | {fmt_size(spill)} | {dt:.1f}s |"
         )
     lines += [
