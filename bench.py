@@ -1,26 +1,36 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline catalog queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE compact JSON line:
 
-    {"bench_version": 3, "metric": "...", "value": N, "unit": "sec",
-     "runs": R, "queries": {...}, "spread": {...}, "demo_total": N,
-     "sf1": {...}, "sf": ...}
+    {"bench_version": 4, "metric": "catalog_total_wall", "value": N,
+     "unit": "sec", "runs": R, "queries": {name: median_sec, ...},
+     "sf": ..., "demo_total": N, "detail": "BENCH_DETAIL.json"}
 
-Timing convention: each query is planned AND fully executed (count() of the
-result — forces the whole DAG, no collect of wide rows to the driver).  The
-session is built once; first query pays JVM/codegen warmup, so we run a tiny
-pre-warm query first.
+The driver captures only a bounded stdout TAIL (~2000 chars; round 5's
+line outgrew it and the round's numbers were lost to the record —
+VERDICT r5 "What's wrong #1"), so the driver-facing line is kept under
+``LINE_BUDGET`` bytes by construction: it carries per-query MEDIANS and
+totals only, is printed LAST, and everything else — per-query [min, max]
+spread, demo-grid medians + spread, the sf1 scale block, raw samples —
+goes to the ``BENCH_DETAIL.json`` sidecar next to this file.
+tests/test_bench_output.py pins the budget against the live catalog.
+
+Timing convention: each query is planned AND fully executed (count() of
+the result — forces the whole DAG, no collect of wide rows to the
+driver).  The session is built once; a tiny pre-warm query pays
+JVM/codegen warmup before the first timed pass.
 
 Schema history ("bench_version"):
   (absent) r1-r3 — "value" summed every query incl. demo grids, single run.
-  2 (implicit, r4) — "value" = the 50 gate entries only; demo grids under
+  2 (implicit, r4) — "value" = the gate entries only; demo grids under
     "demo_total".  Not comparable to r1-r3 "value".
-  3 — "queries" holds per-query MEDIANS over ``runs`` cold-cache passes of
-    the gate catalog ("spread" = [min, max] per query; "value" = sum of
-    medians); demos stay single-run; optional "sf1" block = one catalog
-    pass at scale-factor 1 (tools/gen_sf1.py fixtures, generated under
-    .scratch/sf1 on first use; skip with SPARK_GRAFT_BENCH_SF1=0).
+  3 (r5) — per-query medians over ``runs`` cold-cache passes + spread +
+    demos + sf1 block, all on the one stdout line (too long; truncated).
+  4 — same measurements, split transport: compact driver line (medians +
+    totals), full detail in the BENCH_DETAIL.json sidecar.  Demo grids
+    and the sf1 block are now median-over-``demo_runs``/``sf1_runs``
+    passes (default 2) instead of single-run.
 """
 
 from __future__ import annotations
@@ -32,7 +42,11 @@ import subprocess
 import sys
 import time
 
-BENCH_VERSION = 3
+BENCH_VERSION = 4
+#: driver stdout-tail capture is ~2000 chars; stay safely under it
+LINE_BUDGET = 1900
+DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json")
 
 
 def time_queries(spark, qs, sf_dir, timings):
@@ -49,10 +63,50 @@ def time_queries(spark, qs, sf_dir, timings):
         print(f"bench: {name}: {dt}s ({n} rows)", file=sys.stderr)
 
 
+def _med(v):
+    clean = [x for x in v if x == x]
+    return round(statistics.median(clean), 3) if clean else float("nan")
+
+
+def medians(samples: dict[str, list[float]]) -> dict[str, float]:
+    return {n: _med(v) for n, v in samples.items()}
+
+
+def spreads(samples: dict[str, list[float]]) -> dict[str, list[float]]:
+    return {
+        n: [round(min(v), 3), round(max(v), 3)]
+        for n, v in ((n, [x for x in v if x == x]) for n, v in samples.items())
+        if v
+    }
+
+
+def driver_line(out: dict, budget: int = LINE_BUDGET) -> str:
+    """Serialize the driver-facing record compactly, degrading
+    deterministically if it would ever exceed ``budget``: first re-round
+    the per-query medians to 2 decimals, then (last resort — a far larger
+    catalog than today's) drop "queries" entirely and point at the
+    sidecar, which always carries the full detail."""
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) <= budget:
+        return line
+    slim = dict(out)
+    slim["queries"] = {
+        n: (round(t, 2) if t == t else t) for n, t in out["queries"].items()
+    }
+    line = json.dumps(slim, separators=(",", ":"))
+    if len(line) <= budget:
+        return line
+    slim.pop("queries")
+    slim["queries_in"] = "BENCH_DETAIL.json"
+    return json.dumps(slim, separators=(",", ":"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    demo_runs = int(os.environ.get("SPARK_GRAFT_BENCH_DEMO_RUNS", "2"))
+    sf1_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_RUNS", "2"))
 
     from rangebar_patterns_spark.session import get_spark
 
@@ -80,41 +134,36 @@ def main() -> None:
         time_queries(spark, qs, sf_dir, samples)
         reset_plan_caches(spark)
 
-    def med(v):
-        clean = [x for x in v if x == x]
-        return round(statistics.median(clean), 3) if clean else float("nan")
-
-    queries = {n: med(v) for n, v in samples.items()}
-    spread = {
-        n: [round(min(v), 3), round(max(v), 3)]
-        for n, v in ((n, [x for x in v if x == x]) for n, v in samples.items())
-        if v
-    }
+    queries = medians(samples)
     total = round(sum(t for t in queries.values() if t == t), 3)
 
-    # the demonstration grids are measured standalone (single run: the
-    # catalog spread above already characterizes host noise) with the
-    # catalog's persisted relations dropped first, so the wide grids
-    # aren't competing with them for executor memory
+    # the demonstration grids are the noisiest AND most-quoted numbers
+    # (single runs have spanned 86-270 s on this host) — median them too.
+    # Catalog caches are dropped first so the wide grids aren't competing
+    # with the gate's persisted relations for executor memory.
     demo_t: dict[str, list[float]] = {}
-    time_queries(spark, BENCH_QUERIES, sf_dir, demo_t)
-    demos = {n: v[0] for n, v in demo_t.items()}
+    for r in range(demo_runs):
+        print(f"bench: === demo pass {r + 1}/{demo_runs} ===", file=sys.stderr)
+        time_queries(spark, BENCH_QUERIES, sf_dir, demo_t)
+        reset_plan_caches(spark)
+    demos = medians(demo_t)
     demo_total = round(sum(t for t in demos.values() if t == t), 3)
 
-    out = {
+    detail = {
         "bench_version": BENCH_VERSION,
-        "metric": "catalog_total_wall",
-        "value": total,
-        "unit": "sec",
         "runs": n_runs,
-        "queries": queries,
-        "spread": spread,
-        "demos": demos,
-        "demo_total": demo_total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": queries,
+        "spread": spreads(samples),
+        "samples": samples,
+        "total": total,
+        "demo_runs": demo_runs,
+        "demos": demos,
+        "demo_spread": spreads(demo_t),
+        "demo_total": demo_total,
     }
 
-    # sf1 section: one cold catalog pass at ~10x the default bench SF
+    # sf1 section: cold catalog passes at ~10x the default bench SF
     # (50 symbols, ~1M events) — the scale validation the README claims,
     # driver-recorded.  Fixtures are tiled from sf0.1 on first use.
     if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0" and sf == "0.1":
@@ -130,17 +179,39 @@ def main() -> None:
                 check=True,
                 stdout=sys.stderr,
             )
-        reset_plan_caches(spark)
-        print("bench: === sf1 catalog pass ===", file=sys.stderr)
         sf1_t: dict[str, list[float]] = {}
-        time_queries(spark, qs, sf1_dir, sf1_t)
-        sf1_q = {n: v[0] for n, v in sf1_t.items()}
-        out["sf1"] = {
+        for r in range(sf1_runs):
+            reset_plan_caches(spark)
+            print(f"bench: === sf1 pass {r + 1}/{sf1_runs} ===", file=sys.stderr)
+            time_queries(spark, qs, sf1_dir, sf1_t)
+        sf1_q = medians(sf1_t)
+        detail["sf1"] = {
+            "runs": sf1_runs,
             "queries": sf1_q,
+            "spread": spreads(sf1_t),
             "total": round(sum(t for t in sf1_q.values() if t == t), 3),
         }
 
-    print(json.dumps(out))
+    with open(DETAIL_PATH, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(f"bench: detail written to {DETAIL_PATH}", file=sys.stderr)
+
+    out = {
+        "bench_version": BENCH_VERSION,
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "runs": n_runs,
+        "queries": queries,
+        "sf": detail["sf"],
+        "demo_total": demo_total,
+        "detail": "BENCH_DETAIL.json",
+    }
+    if "sf1" in detail:
+        out["sf1_total"] = detail["sf1"]["total"]
+
+    # the ONE driver-facing line, printed LAST (tail capture keeps the end)
+    print(driver_line(out))
 
 
 if __name__ == "__main__":
