@@ -81,6 +81,29 @@ def gen720_grid() -> list[BarrierConfig]:
     ] + rev
 
 
+def gen720_wf_grid() -> list[BarrierConfig]:
+    """The reference's FULL-width gen720 walk-forward barrier grid
+    (gen720_wf_wl1d_template.sql:118-135): fixed TP 2.5× / wide SL 5.0×,
+    phase1_bars {2,3,5,7,10,15,20,30} × sl_tight {7.5,5.0,3.5,2.5,1.0,
+    0.5,0.0} × max_bars {10,15,20,30,50,75,100,150,200}, constraint
+    ``phase1_bars < max_bars`` → 8×7×9 − 70 = 434 combos.  barrier_id
+    matches the reference's ``p{phase1}_slt{tight*10:03d}_mb{max_bars}``
+    concat exactly.  sl_tight 0.0 is a breakeven stop (phase-2 SL at the
+    entry price); sl_tight 7.5 > sl_wide inverts the usual tighten-over-
+    time shape — the simulator takes both roles from the grid with no
+    magnitude assumption (config.py gen720_grid docstring)."""
+    return [
+        BarrierConfig(
+            2.5, 5.0, slt, phase1_bars=p1, max_bars=mb,
+            name=f"p{p1}_slt{int(slt * 10):03d}_mb{mb}",
+        )
+        for p1 in (2, 3, 5, 7, 10, 15, 20, 30)
+        for slt in (7.5, 5.0, 3.5, 2.5, 1.0, 0.5, 0.0)
+        for mb in (10, 15, 20, 30, 50, 75, 100, 150, 200)
+        if p1 < mb
+    ]
+
+
 def gen600_profiles() -> list[BarrierConfig]:
     """The gen600 3-profile barrier grid (gen600_2down_template.sql:150-156):
     inverted 2.5/5.0×100, symmetric 5.0/5.0×50, momentum 7.5/2.5×50 —

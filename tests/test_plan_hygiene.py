@@ -19,7 +19,7 @@ ARROW_SANCTIONED = {
     "trailing_stop_trades",
     "combined_barrier_metrics",
     "barrier_profile_metrics",
-    "time_decay_metrics",
+    "gen720_wl1d_metrics",
     "sweep_panel",
     "sweep_gen500_1008cfg",
     "sweep_gen600_fullgrid",
