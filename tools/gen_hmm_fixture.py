@@ -1,4 +1,4 @@
-"""Regenerate the pinned HMM regime-label fixture (plans/hmm_fixture.py).
+"""Regenerate the pinned HMM regime-label fixture (plans/hmm_fixture.json).
 
 The E24 HMM operator is EM-in-Python — the documented non-SQL-expressible
 case — so its DuckDB oracle is a bit-stability regression fixture: the
@@ -18,7 +18,7 @@ from __future__ import annotations
 import sys
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
-OUT = "/root/repo/rangebar_patterns_spark/plans/hmm_fixture.py"
+OUT = "/root/repo/rangebar_patterns_spark/plans/hmm_fixture.json"
 
 
 def rle(df) -> list[tuple[str, int, int, int]]:
@@ -42,7 +42,9 @@ def main() -> None:
 
     spark = get_spark("gen-hmm-fixture", master="local[8]", shuffle_partitions=8)
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
-    blocks = []
+    import json
+
+    out: dict[str, list[list]] = {}
     for sf_dir in SF_DIRS:
         df = (
             QUERIES["hmm_regime_labels"](spark, sf_dir)
@@ -50,19 +52,10 @@ def main() -> None:
             .sort_values(["symbol", "rn"])
         )
         segs = rle(df)
-        lines = ",\n        ".join(repr(s) for s in segs)
-        blocks.append(f"    {len(df)}: [\n        {lines},\n    ]")
+        out[str(len(df))] = [list(s) for s in segs]
         print(f"{sf_dir}: {len(segs)} segments over {len(df)} rows")
     with open(OUT, "w") as f:
-        f.write(
-            '"""Pinned HMM regime labels, run-length encoded, keyed by\n'
-            "total bar count (sf0.001 and sf0.01 — the two correctness\n"
-            "gate scales).\n\n"
-            "Generated by tools/gen_hmm_fixture.py — do not edit by hand.\n"
-            '"""\n\n'
-            "#: {n_bars: [(symbol, rn_lo, rn_hi, regime), ...]} inclusive ranges\n"
-            "SEGMENTS_BY_NBARS = {\n" + ",\n".join(blocks) + ",\n}\n"
-        )
+        json.dump(out, f, indent=0)
     print(f"wrote {OUT}")
 
 
