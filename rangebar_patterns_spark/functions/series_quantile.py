@@ -51,30 +51,13 @@ def _excl_quantile_rolling_sorted(
     """Bounded-frame twin of the two-heap kernel: one sorted window list,
     quantile picks by direct index.  IDENTICAL interpolation arithmetic
     (same h/k expressions over the same k-th order statistics), so the
-    outputs are bit-equal — pinned in tests/test_quantile_engines.py."""
-    n_rows = len(values)
-    out = np.full(n_rows, np.nan)
-    buf: list[float] = []
-    vals_l = values.tolist()
-    isnan_l = np.isnan(values).tolist()
-    for i in range(n_rows):
-        n = len(buf)
-        if n > 0:
-            h = p * (n + 1.0)
-            if h <= 1.0:
-                out[i] = buf[0]
-            elif h >= n:
-                out[i] = buf[-1]
-            else:
-                k = int(h)
-                lo_v = buf[k - 1]
-                out[i] = lo_v + (h - float(k)) * (buf[k] - lo_v)
-        if not isnan_l[i]:
-            insort(buf, vals_l[i])
-        j = i - lookback
-        if j >= 0 and not isnan_l[j]:
-            del buf[bisect_left(buf, vals_l[j])]
-    return out
+    outputs are bit-equal — pinned in tests/test_quantile_engines.py.
+
+    Thin wrapper over the multi-q kernel: there is exactly ONE copy of the
+    window-maintenance + pick/interpolation arithmetic, so the
+    single-q/multi-q bit-equality contract holds by construction rather
+    than by convention (ADVICE r5)."""
+    return _excl_quantile_rolling_sorted_multi(values, (p,), lookback)[0]
 
 
 def _excl_quantile_rolling_sorted_multi(

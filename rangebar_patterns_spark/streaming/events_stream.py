@@ -178,7 +178,13 @@ def range_bars_stateful(
     use maxFilesPerTrigger=1 to split the run into one micro-batch per
     input file, exercising state carry-over across batches);
     ``progress_out``, when given, receives the finished query's
-    per-micro-batch progress dicts."""
+    per-micro-batch progress dicts — sourced from ``q.recentProgress``,
+    which retains only the newest ``spark.sql.streaming
+    .numRecentProgressUpdates`` entries (default 100): a run split into
+    more micro-batches than that (e.g. maxFilesPerTrigger=1 over a large
+    directory) yields a silently TRUNCATED tail, so don't build
+    batch-count assertions on it at that scale — attach a
+    ``StreamingQueryListener`` when completeness matters."""
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState

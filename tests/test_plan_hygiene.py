@@ -117,19 +117,16 @@ def test_join_strategies_across_catalog(spark):
 #: set by the grid, not the data), where a single-partition window is the
 #: semantics.  A global window over bar/event grain funnels the whole
 #: dataset through one task and must never appear.
+#: entry -> MAX allowed unpartitioned-window count (ADVICE r5: a boolean
+#: allowlist over-sanctions — several formerly listed entries now have
+#: ZERO global windows, and growth within a sanctioned entry must fail
+#: too).  All are config-grain relations (~symbols x grid rows).
 GLOBAL_WINDOW_SANCTIONED = {
-    "eval_evalues_ebh",
-    "eval_ranking",
-    "cutoff_grid_search",
-    "eval_bootstrap_synthesis",
-    "eval_spearman",
-    "eval_knee_points",
-    "eval_signal_regularity",
-    "gt_composite_mbb",
-    "cpcv_pbo",
-    "wf_topk",
-    "crossasset_validation",
-    "crossasset_confluence",
+    "eval_evalues_ebh": 3,  # e-BH rank + GROW ordering + fold ranks
+    "eval_ranking": 2,  # TOPSIS ideal-point scalars
+    "cutoff_grid_search": 2,  # per-candidate ranking over the metric grid
+    "eval_bootstrap_synthesis": 2,  # RW config-id axis + critical value
+    "eval_spearman": 6,  # 2 rank windows x 3 metric pairs
 }
 
 
@@ -163,9 +160,12 @@ def test_global_windows_only_on_config_grain_entries(spark):
             )
             if nn == "WindowExec" and node.partitionSpec().size() == 0
         )
-        if n_global and name not in GLOBAL_WINDOW_SANCTIONED:
+        if n_global > GLOBAL_WINDOW_SANCTIONED.get(name, 0):
             leaked.append((name, n_global))
-    assert not leaked, f"unpartitioned windows outside config grain: {leaked}"
+    assert not leaked, (
+        f"unpartitioned windows above the per-entry pins: {leaked} "
+        f"(update GLOBAL_WINDOW_SANCTIONED only for config-grain relations)"
+    )
 
 
 def test_fullgrid_funnel_plan_stays_broadcast_shaped(spark):

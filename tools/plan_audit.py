@@ -39,29 +39,41 @@ def fmt_size(n: float) -> str:
     return f"{n:.1f} GiB"
 
 
-def _stages(ui_port: int = 4040) -> list[dict]:
+def _stages(spark) -> list[dict]:
+    """Completed stages of THIS application, from its own UI status API.
+
+    The REST base comes from ``sc.uiWebUrl`` and the application id from
+    ``sc.applicationId`` — never a hard-coded localhost:4040/apps[0],
+    which on a co-tenant host can be a different Spark app's UI and would
+    silently attribute another workload's shuffle totals to this audit."""
     import json
     import urllib.request
 
-    base = f"http://localhost:{ui_port}/api/v1/applications"
-    apps = json.load(urllib.request.urlopen(base))
+    sc = spark.sparkContext
+    ui = sc.uiWebUrl
+    if not ui:
+        raise RuntimeError("spark.ui.enabled is off — no status API")
+    base = f"{ui}/api/v1/applications"
     return json.load(
         urllib.request.urlopen(
-            f"{base}/{apps[0]['id']}/stages?status=complete"
+            f"{base}/{sc.applicationId}/stages?status=complete"
         )
     )
 
 
-def stage_totals(start_id: int) -> tuple[float, float, int]:
+def stage_totals(spark, start_id: int) -> tuple[float, float, int, bool]:
     """Sum shuffle-write + spill bytes over completed stages with id >
     start_id.  Stage-level accounting (vs the SQL store's per-execution
-    metrics) also captures work done materializing persisted relations."""
+    metrics) also captures work done materializing persisted relations.
+    The final element is False when the status API could not be read —
+    callers must surface that instead of reporting 0 B."""
     shuffle = spill = 0.0
     last = start_id
     try:
-        stages = _stages()
-    except Exception:
-        return 0.0, 0.0, start_id
+        stages = _stages(spark)
+    except Exception as exc:
+        print(f"audit: status API fetch failed: {exc}", file=sys.stderr)
+        return 0.0, 0.0, start_id, False
     for s in stages:
         sid = s["stageId"]
         last = max(last, sid)
@@ -69,7 +81,7 @@ def stage_totals(start_id: int) -> tuple[float, float, int]:
             continue
         shuffle += s.get("shuffleWriteBytes", 0)
         spill += s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0)
-    return shuffle, spill, last
+    return shuffle, spill, last, True
 
 
 ARROW_NODES = {
@@ -166,8 +178,10 @@ def main() -> int:
             spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
         except Exception:
             time.sleep(0.5)  # older/newer API shape — settle heuristically
-        shuffle, spill, mark = stage_totals(mark)
-        rows.append((name, a, shuffle, spill, 0, dt))
+        shuffle, spill, mark, st_ok = stage_totals(spark, mark)
+        rows.append((name, a, shuffle, spill, st_ok, dt))
+        if not st_ok:
+            flags.append(f"{name}: status API unreadable — shuffle/spill unknown")
         if a["cartesian"]:
             flags.append(f"{name}: unbroadcast CartesianProduct")
         if a["row_python"]:
@@ -201,15 +215,17 @@ def main() -> int:
         " shuffle written | spill | wall |",
         "|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for name, a, shuffle, spill, n_exec, dt in rows:
+    for name, a, shuffle, spill, st_ok, dt in rows:
         w, cols = a["scan_width"]
         scan = f"{w} ({cols}{'…' if w > 6 else ''})" if w else "— (cached)"
+        sh_cell = fmt_size(shuffle) if st_ok else "n/a"
+        sp_cell = fmt_size(spill) if st_ok else "n/a"
         lines.append(
             f"| {name} | {a['exchanges']} (+{a['reused']}) |"
             f" {a['bcast_joins']} | {a['smj']} |"
             f" {a['arrow']} | {a['global_windows']} |"
             f" {scan} |"
-            f" {fmt_size(shuffle)} | {fmt_size(spill)} | {dt:.1f}s |"
+            f" {sh_cell} | {sp_cell} | {dt:.1f}s |"
         )
     lines += [
         "",
