@@ -301,3 +301,24 @@ def test_rev_phase2_wide_sl_fill(spark):
     (t,) = run_case(spark, fwd, cfg=REV_CFG)
     assert (t.exit_type, t.exit_bar) == ("SL", 8)
     assert t.exit_price == pytest.approx(95.0)
+
+
+def test_gen720_wf_grid_matches_reference_width():
+    """The full walk-forward grid must be exactly the reference's
+    constraint-filtered 8x7x9 matrix (gen720_wf_wl1d_template.sql:118-135)
+    with its barrier_id concat format."""
+    from rangebar_patterns_spark.config import gen720_wf_grid
+
+    grid = gen720_wf_grid()
+    assert len(grid) == 434
+    ids = {c.barrier_id for c in grid}
+    assert len(ids) == 434
+    # spot-check the reference's lpad(tight*10, 3, '0') id format
+    assert "p2_slt075_mb10" in ids
+    assert "p30_slt000_mb200" in ids
+    assert "p5_slt005_mb50" in ids  # tight 0.5 -> '005'
+    for c in grid:
+        assert c.phase1_bars < c.max_bars
+        assert c.tp_mult == 2.5 and c.sl_mult == 5.0
+    # breakeven stop (tight 0.0) present for every (phase1, max_bars) cell
+    assert sum(1 for c in grid if c.sl_tight_mult == 0.0) == 62
