@@ -102,11 +102,23 @@ def driver_line(out: dict, budget: int = LINE_BUDGET) -> str:
 
 
 def main() -> None:
+    t_start = time.monotonic()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     demo_runs = int(os.environ.get("SPARK_GRAFT_BENCH_DEMO_RUNS", "2"))
     sf1_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_RUNS", "2"))
+    # soft wall-clock budget for the OPTIONAL tiers (extra demo passes and
+    # the sf1 block): if the driver kills a long run mid-phase, the final
+    # stdout line never prints and the round's record is lost (the r5
+    # failure mode) — so before each optional phase we check that its
+    # estimated duration fits and otherwise skip it, marking the detail
+    # sidecar "truncated".  The compact line always prints.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
+    truncated: list[str] = []
+
+    def fits(estimate_s: float) -> bool:
+        return time.monotonic() - t_start + estimate_s <= budget_s
 
     from rangebar_patterns_spark.session import get_spark
 
@@ -142,9 +154,18 @@ def main() -> None:
     # Catalog caches are dropped first so the wide grids aren't competing
     # with the gate's persisted relations for executor memory.
     demo_t: dict[str, list[float]] = {}
+    demo_dur = 0.0
     for r in range(demo_runs):
+        # the first demo pass always runs; later passes only if a repeat
+        # of the previous pass fits the budget
+        if r > 0 and not fits(demo_dur):
+            truncated.append(f"demo pass {r + 1}/{demo_runs}")
+            print(f"bench: skipping demo pass {r + 1} (budget)", file=sys.stderr)
+            continue
         print(f"bench: === demo pass {r + 1}/{demo_runs} ===", file=sys.stderr)
+        t0 = time.monotonic()
         time_queries(spark, BENCH_QUERIES, sf_dir, demo_t)
+        demo_dur = time.monotonic() - t0
         reset_plan_caches(spark)
     demos = medians(demo_t)
     demo_total = round(sum(t for t in demos.values() if t == t), 3)
@@ -180,18 +201,32 @@ def main() -> None:
                 stdout=sys.stderr,
             )
         sf1_t: dict[str, list[float]] = {}
+        # first-pass estimate: sf1 has historically run ~2-5x the sf0.1
+        # catalog total; later passes use the measured previous pass
+        sf1_dur = 4.0 * total
+        ran = 0
         for r in range(sf1_runs):
+            if not fits(sf1_dur):
+                truncated.append(f"sf1 pass {r + 1}/{sf1_runs}")
+                print(f"bench: skipping sf1 pass {r + 1} (budget)", file=sys.stderr)
+                continue
             reset_plan_caches(spark)
             print(f"bench: === sf1 pass {r + 1}/{sf1_runs} ===", file=sys.stderr)
+            t0 = time.monotonic()
             time_queries(spark, qs, sf1_dir, sf1_t)
-        sf1_q = medians(sf1_t)
-        detail["sf1"] = {
-            "runs": sf1_runs,
-            "queries": sf1_q,
-            "spread": spreads(sf1_t),
-            "total": round(sum(t for t in sf1_q.values() if t == t), 3),
-        }
+            sf1_dur = time.monotonic() - t0
+            ran += 1
+        if ran:
+            sf1_q = medians(sf1_t)
+            detail["sf1"] = {
+                "runs": ran,
+                "queries": sf1_q,
+                "spread": spreads(sf1_t),
+                "total": round(sum(t for t in sf1_q.values() if t == t), 3),
+            }
 
+    if truncated:
+        detail["truncated"] = truncated
     with open(DETAIL_PATH, "w") as fh:
         json.dump(detail, fh, indent=1)
     print(f"bench: detail written to {DETAIL_PATH}", file=sys.stderr)
