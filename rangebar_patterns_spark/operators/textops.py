@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import HASH_MOD, shingles_col, words_col
+from .dedup import HASH_MOD, SHINGLE_N, shingles_col, words_col
 
 #: BPE-ish tokenization: word runs or single non-space symbols
 BPE_REGEX = r"\w+|[^\w\s]"
@@ -196,4 +196,79 @@ def pack_documents(
             "pack_pos",
             F.row_number().over(Window.partitionBy("shard", "pack_id").orderBy("doc_id")).cast("long"),
         )
+    )
+
+
+# --- benchmark decontamination -------------------------------------------
+
+#: deterministic stand-in eval set: documents with doc_id % MOD == RESIDUE
+BENCHMARK_MOD = 100
+BENCHMARK_RESIDUE = 7
+#: flag threshold on the (rounded) contaminated-shingle fraction — the
+#: GPT-3 appendix-C / PaLM family uses n-gram-overlap fractions; the exact
+#: cut is policy, so it is a named constant shared with the oracle twin
+CONTAMINATION_RATIO = 0.1
+
+
+def benchmark_overlap(
+    docs: DataFrame, benchmark: DataFrame, n: int | None = None
+) -> DataFrame:
+    """Training-data decontamination: score every corpus document by its
+    word n-gram overlap with an evaluation/benchmark set (the GPT-3
+    appendix-C / PaLM pre-training hygiene step: training examples sharing
+    n-grams with eval data leak the benchmark).
+
+    Output per doc: ``n_shingles`` (distinct n-grams), ``n_contaminated``
+    (those also present anywhere in the benchmark set),
+    ``contamination_ratio`` (rounded to 6), and ``is_contaminated``
+    (ratio >= CONTAMINATION_RATIO).  Callers decide the corpus/benchmark
+    split — pass ``docs`` already excluding the benchmark members when
+    the eval set is drawn from the same table.
+
+    Scale shape: an eval suite is small relative to a 100 TB corpus
+    (thousands of documents, millions of distinct n-grams), so its
+    hashed-shingle set is BROADCAST; the corpus side explodes each
+    document's distinct shingles once (64-bit md5-prefix ints, never the
+    raw strings) and aggregates straight back to doc grain — one keyed
+    shuffle of (doc_id, count) pairs, no shuffle of document text."""
+    from .dedup import hexint, shingles_col
+
+    k = n or SHINGLE_N
+    bench_sh = (
+        benchmark.select(F.explode(shingles_col(k)).alias("s"))
+        .select(hexint(F.col("s")).alias("shingle"))
+        .distinct()
+    )
+    corpus = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingles_col(k), lambda s: hexint(s))
+        ).alias("_shs"),
+    )
+    hits = (
+        corpus.select("doc_id", F.explode("_shs").alias("shingle"))
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    base = corpus.select(
+        "doc_id", F.size("_shs").cast("long").alias("n_shingles")
+    )
+    out = base.join(hits, "doc_id", "left").withColumn(
+        "n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long"))
+    )
+    ratio = F.round(
+        F.when(
+            F.col("n_shingles") > 0,
+            F.col("n_contaminated").cast("double")
+            / F.col("n_shingles").cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        ratio.alias("contamination_ratio"),
+        (ratio >= F.lit(CONTAMINATION_RATIO)).alias("is_contaminated"),
     )

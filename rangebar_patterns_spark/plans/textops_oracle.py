@@ -471,3 +471,49 @@ SELECT doc_id, cluster_rep,
     CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
 FROM labels
 """
+
+
+def decontamination_sql() -> str:
+    """Twin of textops.benchmark_overlap over the deterministic
+    doc_id % BENCHMARK_MOD == BENCHMARK_RESIDUE eval split: same md5-prefix
+    shingle ints, same distinct-per-doc counting, same rounded-ratio flag."""
+    from ..operators.textops import (
+        BENCHMARK_MOD,
+        BENCHMARK_RESIDUE,
+        CONTAMINATION_RATIO,
+    )
+
+    sh = _shingles()
+    return f"""
+WITH bench AS (
+    SELECT DISTINCT {_hexint('s')} AS shingle
+    FROM (
+        SELECT unnest({sh}) AS s FROM documents
+        WHERE doc_id % {BENCHMARK_MOD} = {BENCHMARK_RESIDUE}
+    )
+),
+corpus AS (
+    SELECT doc_id,
+        list_distinct(list_transform({sh}, s -> {_hexint('s')})) AS shs
+    FROM documents
+    WHERE doc_id % {BENCHMARK_MOD} != {BENCHMARK_RESIDUE}
+),
+hits AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+    FROM (SELECT doc_id, unnest(shs) AS shingle FROM corpus) c
+    JOIN bench USING (shingle)
+    GROUP BY doc_id
+),
+scored AS (
+    SELECT c.doc_id,
+        CAST(len(c.shs) AS BIGINT) AS n_shingles,
+        coalesce(h.n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated,
+        round(CASE WHEN len(c.shs) > 0
+            THEN CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+                / CAST(len(c.shs) AS DOUBLE)
+            ELSE 0.0 END, 6) AS contamination_ratio
+    FROM corpus c LEFT JOIN hits h USING (doc_id)
+)
+SELECT *, contamination_ratio >= {CONTAMINATION_RATIO!r} AS is_contaminated
+FROM scored
+"""
