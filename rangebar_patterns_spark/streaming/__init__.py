@@ -3,3 +3,4 @@ from .events_stream import (  # noqa: F401
     hourly_counts_stream,
     range_bars_stateful,
 )
+from .signal_stream import champion_signals_stateful  # noqa: F401
