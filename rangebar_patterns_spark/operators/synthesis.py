@@ -254,6 +254,14 @@ def knee_points(
     pts = []
     for r in collected:
         vals = [_round6_half_up(r[c]) for c in metric_cols]
+        if any(v is not None and v != v for v in vals):
+            # a NaN metric would need Spark SQL's NaN ordering (NaN ==
+            # NaN, NaN greater than every number) replicated through the
+            # whole dominance/min/max chain — route through the
+            # distributed twin, which evaluates with exactly those
+            # semantics.  Real metric layers emit NULL (nullif guards),
+            # never NaN, so this path is a correctness backstop.
+            return knee_points_distributed(metrics, metric_cols, keys)
         if any(v is None for v in vals):
             continue
         pts.append((tuple(r[k] for k in g), vals))

@@ -66,3 +66,16 @@ def test_round6_matches_spark_round(spark):
     got = [r[0] for r in df.select(F.round("x", 6)).collect()]
     want = [_round6_half_up(v) for v in vals]
     assert got == want
+
+
+def test_nan_metric_routes_to_distributed(spark):
+    df = spark.createDataFrame(
+        [("a", "b1", 1.0, 2.0, float("nan")), ("a", "b2", 2.0, 1.0, 3.0),
+         ("a", "b3", 3.0, 3.0, 1.0)],
+        "symbol string, barrier_id string, omega double, rachev double, "
+        "cdar_inv double",
+    )
+    cols = ["omega", "rachev", "cdar_inv"]
+    drv = knee_points(df, cols)
+    dist = knee_points_distributed(df, cols).toPandas()
+    compare_frames(drv, dist)  # identical because it IS the distributed plan
