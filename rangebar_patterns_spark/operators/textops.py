@@ -272,3 +272,49 @@ def benchmark_overlap(
         ratio.alias("contamination_ratio"),
         (ratio >= F.lit(CONTAMINATION_RATIO)).alias("is_contaminated"),
     )
+
+
+# --- per-source corpus statistics ----------------------------------------
+
+def source_stats(docs: DataFrame) -> DataFrame:
+    """Per-source corpus statistics — the CCNet/C4-style per-domain lens a
+    pretraining pipeline filters on before touching individual documents:
+    volume (docs, chars), language spread, global-duplicate share (how
+    much of the source is a copy of anything else in the corpus), and
+    mean heuristic quality.
+
+    Exactness: mean quality is a sequential doc_id-ordered float fold
+    (functions/detsum.osum), every other aggregate is integer-exact, so
+    the DuckDB twin (textops_oracle.source_stats_sql) hash-matches.
+    Scale shape: one md5-grain aggregate to find duplicate groups, one
+    broadcast-back join, one source-grain aggregate — source cardinality
+    is tiny (thousands) relative to any corpus, so the final shuffle is
+    negligible and the duplicate-group relation is the only data-sized
+    exchange (same as exact dedup)."""
+    from ..functions import detsum as _det
+
+    q = quality_score(docs).select("doc_id", "quality_score")
+    h = docs.select(
+        "doc_id", "source", "lang", "n_chars", F.md5("text").alias("_h")
+    )
+    grp = h.groupBy("_h").agg(F.count("*").alias("_grp"))
+    j = h.join(grp, "_h").join(q, "doc_id")
+    n_docs = F.count("*").cast("long")
+    dup_docs = F.sum(F.when(F.col("_grp") > 1, 1).otherwise(0)).cast("long")
+    return (
+        j.groupBy("source")
+        .agg(
+            n_docs.alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            dup_docs.alias("dup_docs"),
+            F.round(
+                dup_docs.cast("double") / n_docs.cast("double"), 6
+            ).alias("dup_ratio"),
+            F.round(
+                _det.osum(F.col("doc_id"), F.col("quality_score"))
+                / n_docs.cast("double"),
+                6,
+            ).alias("mean_quality"),
+        )
+    )

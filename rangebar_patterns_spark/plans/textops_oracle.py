@@ -517,3 +517,34 @@ scored AS (
 SELECT *, contamination_ratio >= {CONTAMINATION_RATIO!r} AS is_contaminated
 FROM scored
 """
+
+
+def source_stats_sql() -> str:
+    """Twin of textops.source_stats: same per-doc quality scores
+    (QUALITY_SQL reused as a CTE), same global-duplicate grouping, and the
+    doc_id-ordered sequential fold for mean quality."""
+    from ..functions.detsum import duck_fold
+
+    return f"""
+WITH q AS ({QUALITY_SQL}),
+h AS (
+    SELECT doc_id, source, lang, n_chars, md5(text) AS _h FROM documents
+),
+grp AS (SELECT _h, count(*) AS _grp FROM h GROUP BY _h),
+j AS (
+    SELECT h.doc_id, h.source, h.lang, h.n_chars, grp._grp,
+        q.quality_score
+    FROM h JOIN grp USING (_h) JOIN q ON q.doc_id = h.doc_id
+)
+SELECT source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+    CAST(sum(CASE WHEN _grp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+    round(CAST(sum(CASE WHEN _grp > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS dup_ratio,
+    round({duck_fold("quality_score", "doc_id")}
+        / CAST(count(*) AS DOUBLE), 6) AS mean_quality
+FROM j
+GROUP BY source
+"""
