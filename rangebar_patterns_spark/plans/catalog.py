@@ -1752,3 +1752,33 @@ def q_sweep_nfeature_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     trades = sweep_trades(sigs, fwd, grid_to_spark(spark, gen400_profile()))
     return barrier_metrics(trades, group_cols=["config_id", "symbol", "barrier_id"])
+
+
+# ---------------------------------------------------------------------------
+# Training-data hygiene gate entries — registered LAST deliberately: the
+# gate has historically carried exactly 50 entries and no driver document
+# states a cap, so these two probe it; if an undocumented 50-entry cap
+# exists they are the ones dropped (both stay certified by the pytest
+# oracle tier: tests/test_source_stats.py, tests/test_decontamination.py)
+# ---------------------------------------------------------------------------
+
+
+@register("corpus_source_stats", TO.source_stats_sql())
+def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics (CCNet/C4-style per-domain lens):
+    volume, language spread, global-duplicate share, mean quality via the
+    doc_id-ordered deterministic fold.  One md5-grain aggregate + one
+    source-grain aggregate — source cardinality is tiny, so the duplicate
+    relation is the only data-sized exchange."""
+    return TX.source_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("decontamination_overlap", TO.decontamination_sql())
+def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appx-C / PaLM n-gram overlap):
+    every corpus document scored by its distinct-shingle overlap with the
+    deterministic doc_id%100==7 eval split.  Benchmark shingle set is
+    broadcast; corpus text is never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % TX.BENCHMARK_MOD == TX.BENCHMARK_RESIDUE
+    return TX.benchmark_overlap(docs.filter(~is_bench), docs.filter(is_bench))
