@@ -1782,3 +1782,13 @@ def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % TX.BENCHMARK_MOD == TX.BENCHMARK_RESIDUE
     return TX.benchmark_overlap(docs.filter(~is_bench), docs.filter(is_bench))
+
+
+@register("text_repetition", TO.repetition_sql())
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher/MassiveText repetition
+    quality filter, Rae et al. 2021 Table A1 adapted to word grain):
+    duplicate-word fraction, duplicate/top n-gram occurrence fractions,
+    policy flag.  MAP-ONLY — sorted-array HOFs inside one projection, no
+    explode, no shuffle, no Python: scan-bound at any corpus size."""
+    return TX.repetition_stats(load_table(spark, sf_dir, "documents"))

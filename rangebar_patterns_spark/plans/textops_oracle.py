@@ -548,3 +548,63 @@ SELECT source,
 FROM j
 GROUP BY source
 """
+
+
+def repetition_sql() -> str:
+    """Twin of textops.repetition_stats: the Spark side counts duplicate
+    occurrences via a sorted-array neighbor scan and max multiplicity via
+    a longest-equal-run fold; this twin computes the same integers the
+    canonical way (unnest + GROUP BY multiplicity) — the two agree by the
+    definition of multiplicity, and every fraction is the same
+    round(int/int, 6)."""
+    from ..operators.textops import (
+        DUP_NGRAM_FRAC_MAX,
+        DUP_WORD_FRAC_MAX,
+        REPETITION_NGRAMS,
+        TOP_NGRAM_FRAC_MAX,
+    )
+
+    ctes = [
+        f"w AS (SELECT doc_id, {WORDS} AS ws FROM documents)",
+        "b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,"
+        " CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct FROM w)",
+    ]
+    frac_cols = [
+        "b.doc_id",
+        "b.n_words",
+        "round(CASE WHEN b.n_words > 0 THEN"
+        " CAST(b.n_words - b.n_distinct AS DOUBLE) / CAST(b.n_words AS DOUBLE)"
+        " ELSE 0.0 END, 6) AS dup_word_frac",
+    ]
+    joins = []
+    flags = [f"dup_word_frac > {DUP_WORD_FRAC_MAX!r}"]
+    for n in REPETITION_NGRAMS:
+        ctes.append(
+            f"g{n} AS (SELECT doc_id, s, count(*) AS c FROM"
+            f" (SELECT doc_id, unnest({_shingles(n)}) AS s FROM documents)"
+            f" GROUP BY doc_id, s)"
+        )
+        ctes.append(
+            f"a{n} AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,"
+            f" CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup,"
+            f" CAST(max(c) AS BIGINT) AS top FROM g{n} GROUP BY doc_id)"
+        )
+        joins.append(f"LEFT JOIN a{n} ON a{n}.doc_id = b.doc_id")
+        frac_cols.append(
+            f"round(CASE WHEN coalesce(a{n}.total, 0) > 0 THEN"
+            f" CAST(a{n}.dup AS DOUBLE) / CAST(a{n}.total AS DOUBLE)"
+            f" ELSE 0.0 END, 6) AS dup_{n}gram_frac"
+        )
+        frac_cols.append(
+            f"round(CASE WHEN coalesce(a{n}.total, 0) > 0 THEN"
+            f" CAST(a{n}.top AS DOUBLE) / CAST(a{n}.total AS DOUBLE)"
+            f" ELSE 0.0 END, 6) AS top_{n}gram_frac"
+        )
+        flags.append(f"dup_{n}gram_frac > {DUP_NGRAM_FRAC_MAX[n]!r}")
+        flags.append(f"top_{n}gram_frac > {TOP_NGRAM_FRAC_MAX[n]!r}")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + ",\nscored AS (SELECT " + ",\n    ".join(frac_cols)
+        + "\nFROM b " + " ".join(joins) + ")"
+        + "\nSELECT *, (" + " OR ".join(flags) + ") AS is_repetitive FROM scored"
+    )

@@ -1,0 +1,70 @@
+"""Within-document repetition filter (Gopher-style) vs the DuckDB twin,
+plus semantic invariants on constructed documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rangebar_patterns_spark.operators.textops import repetition_stats
+from rangebar_patterns_spark.plans.textops_oracle import repetition_sql
+from rangebar_patterns_spark.sources.tables import load_table
+
+from conftest import SF_DIR, compare_frames
+
+
+def test_matches_oracle(spark, duck):
+    docs = load_table(spark, SF_DIR, "documents")
+    sp = repetition_stats(docs)
+    du = duck.execute(repetition_sql()).df()
+    compare_frames(sp, du)
+
+
+def test_plan_is_map_only(spark):
+    """The whole point of the HOF formulation: no shuffle, no Python."""
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_fully_repeated_doc_saturates(spark):
+    out = repetition_stats(_docs(spark, ["spam ham " * 40])).collect()[0]
+    assert out.dup_word_frac > 0.9
+    assert out.dup_2gram_frac == 1.0  # every 2-gram occurs many times
+    assert out.top_2gram_frac > 0.4   # "spam ham" is half of all 2-grams
+    assert out.is_repetitive
+
+
+def test_all_distinct_doc_scores_zero(spark):
+    words = " ".join(f"w{i}" for i in range(50))
+    out = repetition_stats(_docs(spark, [words])).collect()[0]
+    assert out.dup_word_frac == 0.0
+    assert out.dup_2gram_frac == 0.0 and out.dup_3gram_frac == 0.0
+    assert out.top_2gram_frac == round(1 / 49, 6)
+    assert not out.is_repetitive
+
+
+def test_empty_and_short_docs_are_safe(spark):
+    rows = {
+        r.doc_id: r
+        for r in repetition_stats(_docs(spark, ["", "one", "a b"])).collect()
+    }
+    assert rows[0].n_words == 0 and rows[0].dup_word_frac == 0.0
+    assert rows[1].dup_2gram_frac == 0.0  # no 2-grams in a 1-word doc
+    assert rows[2].top_2gram_frac == 1.0  # exactly one 2-gram
+    assert not rows[0].is_repetitive
+
+
+def test_duplicate_occurrences_count_every_copy(spark):
+    """A gram appearing 3 times contributes 3 occurrences (Gopher counts
+    copies, not excess): 'x y x y x y' has 2-grams [xy, yx, xy, yx, xy]
+    -> all 5 duplicated."""
+    out = repetition_stats(_docs(spark, ["x y x y x y"])).collect()[0]
+    assert out.dup_2gram_frac == 1.0
+    assert out.top_2gram_frac == 0.6  # xy appears 3/5
