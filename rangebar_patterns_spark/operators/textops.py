@@ -424,3 +424,101 @@ def source_stats(docs: DataFrame) -> DataFrame:
             ).alias("mean_quality"),
         )
     )
+
+
+# --- domain-mixture reweighting --------------------------------------------
+
+#: membership-hash salt + modulus for mixture sampling (md5-prefix ints —
+#: the shared cross-engine hash, unlike xxhash64 — so the sample is
+#: oracle-certifiable); deterministic in (salt, source, doc_id) only
+MIXTURE_SALT = "mix-v1"
+SAMPLE_MOD = 1_000_000
+#: default token budget for the gate entry (the synthetic corpus holds
+#: ~27K whitespace tokens, so 12K forces real downsampling on most
+#: sources while upweighted small sources keep rate 1.0)
+MIXTURE_BUDGET_TOKENS = 12_000
+
+
+def _source_weight(source: Column) -> Column:
+    """Deterministic demo target mixture: weight (src index % 4) + 1 —
+    stands in for the curated per-domain weights a real pipeline feeds
+    in (The Pile / DoReMi tables); callers with real weights join them
+    instead."""
+    return (
+        F.pmod(F.substring(source, 4, 10).cast("long"), F.lit(4)) + 1
+    ).cast("long")
+
+
+def mixture_plan(
+    docs: DataFrame, budget: int = MIXTURE_BUDGET_TOKENS
+) -> DataFrame:
+    """Per-source sampling plan to hit a target domain mixture under a
+    token budget (the data-mixing step of every LLM pretraining corpus:
+    each source s gets budget*target_s tokens, so its sampling rate is
+    min(1, budget*target_s / tokens_s)).
+
+    Scale shape: one source-grain aggregate (sources are thousands at
+    most) + a broadcast scalar total — nothing data-sized moves."""
+    toks = F.size(words_col()).cast("long")
+    per_src = (
+        docs.select("source", toks.alias("_t"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+        )
+        .withColumn("weight", _source_weight(F.col("source")))
+    )
+    tot = per_src.agg(F.sum("weight").cast("double").alias("_W"))
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.when(
+                F.col("n_tokens") > 0,
+                (F.lit(float(budget)) * F.col("weight").cast("double"))
+                / F.col("_W")
+                / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(1.0)),
+        ),
+        6,
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens", "weight", rate.alias("sample_rate")
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    budget: int = MIXTURE_BUDGET_TOKENS,
+    salt: str = MIXTURE_SALT,
+) -> DataFrame:
+    """Apply the mixture plan: keep each document iff its (salt, source,
+    doc_id) md5-hash bucket falls under the source's sampling rate —
+    partition-layout-invariant membership, reproducible across re-runs
+    and appends, exact-twin certifiable (md5 exists in both engines).
+
+    Scale shape: broadcast the tiny per-source plan onto the corpus scan,
+    one hash + compare per row — map-only over the data."""
+    from .dedup import hexint
+
+    plan = mixture_plan(docs, budget).select("source", "sample_rate")
+    toks = F.size(words_col()).cast("long")
+    bucket = F.pmod(
+        hexint(
+            F.concat_ws(
+                ":", F.lit(salt), F.col("source"), F.col("doc_id").cast("string")
+            )
+        ),
+        F.lit(SAMPLE_MOD),
+    )
+    return (
+        docs.select("doc_id", "source", toks.alias("n_tokens"))
+        .join(F.broadcast(plan), "source")
+        .filter(
+            bucket
+            < F.floor(F.col("sample_rate") * F.lit(float(SAMPLE_MOD))).cast(
+                "long"
+            )
+        )
+        .select("doc_id", "source", "n_tokens", "sample_rate")
+    )

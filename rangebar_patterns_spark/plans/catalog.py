@@ -1792,3 +1792,14 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy flag.  MAP-ONLY — sorted-array HOFs inside one projection, no
     explode, no shuffle, no Python: scan-bound at any corpus size."""
     return TX.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("mixture_sample", TO.mixture_sample_sql())
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting (The Pile / DoReMi data-mixing step):
+    per-source sampling rates min(1, budget*target_s/tokens_s) from a
+    source-grain plan aggregate, applied by md5-hash membership — the
+    keep decision is a pure function of (salt, source, doc_id), so the
+    sample is partition-invariant and exactly reproducible by the DuckDB
+    twin.  Broadcast plan onto the corpus scan: map-only over the data."""
+    return TX.mixture_sample(load_table(spark, sf_dir, "documents"))

@@ -608,3 +608,43 @@ def repetition_sql() -> str:
         + "\nFROM b " + " ".join(joins) + ")"
         + "\nSELECT *, (" + " OR ".join(flags) + ") AS is_repetitive FROM scored"
     )
+
+
+def mixture_sample_sql() -> str:
+    """Twin of textops.mixture_sample at the default budget/salt: same
+    source-grain plan arithmetic (double ops in identical association
+    order), same md5-prefix membership hash (the cross-engine hexint),
+    same floor(rate*mod) cut."""
+    from ..operators.textops import (
+        MIXTURE_BUDGET_TOKENS,
+        MIXTURE_SALT,
+        SAMPLE_MOD,
+    )
+
+    return f"""
+WITH t AS (
+    SELECT doc_id, source,
+        CAST(len({WORDS}) AS BIGINT) AS n_tokens
+    FROM documents
+),
+s AS (
+    SELECT source, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS toks,
+        CAST((CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS BIGINT) AS w
+    FROM t GROUP BY source
+),
+tot AS (SELECT CAST(sum(w) AS DOUBLE) AS wsum FROM s),
+plan AS (
+    SELECT source,
+        round(least(1.0, CASE WHEN toks > 0
+            THEN CAST({MIXTURE_BUDGET_TOKENS} AS DOUBLE) * CAST(w AS DOUBLE)
+                / wsum / CAST(toks AS DOUBLE)
+            ELSE 1.0 END), 6) AS sample_rate
+    FROM s, tot
+)
+SELECT t.doc_id, t.source, t.n_tokens, p.sample_rate
+FROM t JOIN plan p USING (source)
+WHERE {_hexint(f"'{MIXTURE_SALT}:' || t.source || ':' || CAST(t.doc_id AS VARCHAR)")}
+        % {SAMPLE_MOD}
+    < CAST(floor(p.sample_rate * {SAMPLE_MOD}.0) AS BIGINT)
+"""
