@@ -323,3 +323,102 @@ def ivf_quantized_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+# --- distributed k-means for IVF centroid training -------------------------
+
+#: spherical k-means shape for the gate entry: small fixed grid so the
+#: unrolled DuckDB twin stays readable; real corpora raise K, not the code
+KMEANS_K = 8
+KMEANS_ITERS = 4
+
+
+def _kmeans_vecs(emb: DataFrame) -> DataFrame:
+    return emb.select("vec_id", vec_double(F.col("embedding")).alias("x"))
+
+
+def _assign(v: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by ROUNDED cosine (round-6 before the
+    rank kills any sub-ulp drift; ties break to the smallest cid)."""
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(
+            F.col("cos").desc(), F.col("cid").asc()
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(cdf))
+        .withColumn("cos", F.round(cosine_col(F.col("x"), F.col("cv")), 6))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .drop("rn", "cv")
+    )
+
+
+def kmeans_train(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> list[list[float]]:
+    """Distributed spherical k-means (Lloyd's iterations) training the IVF
+    coarse quantizer IN the engine — MLlib's execution shape: the data
+    never leaves the cluster; only the k x dim centroid matrix visits the
+    driver each round (k*dim doubles — constant in the data size, which
+    is why this scales to any corpus).
+
+    Deterministic and oracle-certifiable end to end: seeds are the k
+    smallest vec_ids, assignment ranks a ROUND-6 cosine with cid
+    tie-break, and the per-dimension means are vec_id-ordered folds
+    (functions/detsum.osum) rounded to 6 — so both engines stay in exact
+    lockstep across iterations (the DuckDB twin unrolls the same
+    iterations as CTEs).  Empty clusters keep their previous centroid."""
+    from ..functions import detsum as _det
+
+    spark = emb.sparkSession
+    v = _kmeans_vecs(emb)
+    seed = v.orderBy("vec_id").limit(k).select(
+        F.transform("x", lambda d: F.round(d, 6)).alias("cv")
+    )
+    cents: list[list[float]] = [list(r.cv) for r in seed.collect()]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            list(enumerate(cents)), "cid int, cv array<double>"
+        )
+        a = _assign(v, cdf)
+        upd = (
+            a.select(
+                "vec_id", "cid", F.posexplode("x").alias("pos", "val")
+            )
+            .groupBy("cid", "pos")
+            .agg(
+                F.round(
+                    _det.osum(F.col("vec_id"), F.col("val")) / F.count("*"),
+                    6,
+                ).alias("m")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+        new = {r.cid: list(r.cv) for r in upd.collect()}
+        cents = [new.get(i, cents[i]) for i in range(k)]
+    return cents
+
+
+def kmeans_assign(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Final cluster assignment after :func:`kmeans_train` — the trained
+    coarse-quantizer cells an IVF index would bucket the corpus by.
+    Output: (vec_id, cluster, centroid_cos)."""
+    spark = emb.sparkSession
+    cents = kmeans_train(emb, k, iters)
+    cdf = spark.createDataFrame(
+        list(enumerate(cents)), "cid int, cv array<double>"
+    )
+    return _assign(_kmeans_vecs(emb), cdf).select(
+        "vec_id",
+        F.col("cid").alias("cluster"),
+        F.col("cos").alias("centroid_cos"),
+    )

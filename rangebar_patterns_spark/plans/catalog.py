@@ -1803,3 +1803,15 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample is partition-invariant and exactly reproducible by the DuckDB
     twin.  Broadcast plan onto the corpus scan: map-only over the data."""
     return TX.mixture_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register("kmeans_ivf_assign", TO.kmeans_assign_sql())
+def q_kmeans_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (Lloyd's) training the IVF coarse
+    quantizer in-engine — MLlib's execution shape: data-sized work stays
+    distributed (assignment scan + per-dimension mean aggregate per
+    round); only the k x dim centroid matrix visits the driver, constant
+    in corpus size.  Deterministic end to end (round-6 cosine ranking,
+    vec_id-ordered mean folds), so the unrolled-CTE DuckDB twin
+    hash-matches the final assignment."""
+    return SIM.kmeans_assign(load_table(spark, sf_dir, "embeddings"))

@@ -648,3 +648,54 @@ WHERE {_hexint(f"'{MIXTURE_SALT}:' || t.source || ':' || CAST(t.doc_id AS VARCHA
         % {SAMPLE_MOD}
     < CAST(floor(p.sample_rate * {SAMPLE_MOD}.0) AS BIGINT)
 """
+
+
+def kmeans_assign_sql() -> str:
+    """Twin of similarity.kmeans_assign: the same spherical-k-means
+    iterations UNROLLED as CTEs — identical seeds (k smallest vec_ids,
+    round-6), identical round-6 cosine ranking with cid tie-break,
+    identical vec_id-ordered per-dimension mean folds — so the final
+    assignment matches hash-exactly."""
+    from ..functions.detsum import duck_fold
+    from ..operators.similarity import KMEANS_ITERS, KMEANS_K
+
+    k, T = KMEANS_K, KMEANS_ITERS
+
+    def assign(prev: str) -> str:
+        return (
+            f"SELECT vec_id, cid, cos FROM ("
+            f"SELECT v.vec_id, c.cid,"
+            f" round({_cos('v.x', 'c.cv')}, 6) AS cos,"
+            f" row_number() OVER (PARTITION BY v.vec_id"
+            f" ORDER BY round({_cos('v.x', 'c.cv')}, 6) DESC, c.cid ASC) AS rn"
+            f" FROM v, {prev} c) WHERE rn = 1"
+        )
+
+    ctes = [
+        f"v AS (SELECT vec_id, {_VD} AS x FROM embeddings)",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)"
+        f" AS cid, list_transform(x, d -> round(d, 6)) AS cv"
+        f" FROM v ORDER BY vec_id LIMIT {k})",
+        "vu AS (SELECT vec_id, unnest(x) AS val,"
+        " generate_subscripts(x, 1) AS pos FROM v)",
+    ]
+    for t in range(1, T + 1):
+        ctes.append(f"a{t} AS ({assign(f'c{t - 1}')})")
+        ctes.append(
+            f"m{t} AS (SELECT cid, pos,"
+            f" round({duck_fold('val', 'vec_id')} / count(*), 6) AS m"
+            f" FROM (SELECT a.cid, u.vec_id, u.pos, u.val"
+            f" FROM a{t} a JOIN vu u ON u.vec_id = a.vec_id)"
+            f" GROUP BY cid, pos)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT p.cid, coalesce(n.cv, p.cv) AS cv"
+            f" FROM c{t - 1} p LEFT JOIN"
+            f" (SELECT cid, list_transform(list_sort(list({{'o': pos, 'v': m}})),"
+            f" s -> s.v) AS cv FROM m{t} GROUP BY cid) n USING (cid))"
+        )
+    final = (
+        f"SELECT vec_id, cid AS cluster, cos AS centroid_cos"
+        f" FROM ({assign(f'c{T}')})"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final

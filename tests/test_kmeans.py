@@ -1,0 +1,59 @@
+"""Distributed spherical k-means for IVF training: oracle compare plus
+convergence/determinism invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rangebar_patterns_spark.operators.similarity import (
+    KMEANS_ITERS,
+    KMEANS_K,
+    _assign,
+    _kmeans_vecs,
+    kmeans_assign,
+    kmeans_train,
+)
+from rangebar_patterns_spark.plans.textops_oracle import kmeans_assign_sql
+from rangebar_patterns_spark.sources.tables import load_table
+
+from conftest import SF_DIR, compare_frames
+
+
+def test_matches_oracle(spark, duck):
+    sp = kmeans_assign(load_table(spark, SF_DIR, "embeddings"))
+    du = duck.execute(kmeans_assign_sql()).df()
+    compare_frames(sp, du)
+
+
+def _mean_cos(spark, cents):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cdf = spark.createDataFrame(
+        list(enumerate(cents)), "cid int, cv array<double>"
+    )
+    return (
+        _assign(_kmeans_vecs(emb), cdf)
+        .agg(F.avg("cos"))
+        .collect()[0][0]
+    )
+
+
+def test_iterations_improve_fit(spark):
+    """Lloyd's objective (mean assignment cosine, the spherical twin of
+    -inertia) must not degrade with training."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    before = _mean_cos(spark, kmeans_train(emb, iters=0))
+    after = _mean_cos(spark, kmeans_train(emb, iters=KMEANS_ITERS))
+    assert after >= before - 1e-9
+    assert after > before + 0.01  # and actually moves on this data
+
+
+def test_all_clusters_populated_and_stable(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = kmeans_assign(emb).toPandas()
+    assert out.cluster.nunique() == KMEANS_K
+    assert len(out) == emb.count()
+    # partition-layout invariance: same assignment after a reshuffle
+    out2 = kmeans_assign(emb.repartition(13, "label")).toPandas()
+    a = out.sort_values("vec_id").reset_index(drop=True)
+    b = out2.sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b[a.columns])
