@@ -114,12 +114,13 @@ def main() -> None:
     # failure mode) — so before each optional phase we check that its
     # estimated duration fits and otherwise skip it, marking the detail
     # sidecar "truncated".  The compact line always prints.
-    # default: just above a full healthy run (~36 min observed: 3 catalog
-    # passes + 2 demo passes + 2 sf1 passes at sf0.1), so nothing is
-    # skipped normally — the budget exists to cap co-tenant-noise blowups
-    # (documented 2-4x CPU-steal swings would otherwise turn this into a
-    # 2h+ run and risk an external kill losing the record entirely)
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2250"))
+    # default: just above a full healthy run (~36 min observed for the
+    # 50-entry catalog: 3 catalog passes + 2 demo passes + 2 sf1 passes
+    # at sf0.1; the round-6 catalog is 55 entries, ~+1 min), so nothing
+    # is skipped normally — the budget exists to cap co-tenant-noise
+    # blowups (documented 2-4x CPU-steal swings would otherwise turn
+    # this into a 2h+ run and risk an external kill losing the record)
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2500"))
     truncated: list[str] = []
 
     def fits(estimate_s: float) -> bool:

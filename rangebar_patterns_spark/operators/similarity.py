@@ -339,18 +339,27 @@ def _kmeans_vecs(emb: DataFrame) -> DataFrame:
 
 def _assign(v: DataFrame, cdf: DataFrame) -> DataFrame:
     """Nearest-centroid assignment by ROUNDED cosine (round-6 before the
-    rank kills any sub-ulp drift; ties break to the smallest cid)."""
-    rn = F.row_number().over(
-        Window.partitionBy("vec_id").orderBy(
-            F.col("cos").desc(), F.col("cid").asc()
-        )
+    rank kills any sub-ulp drift; ties break to the smallest cid).
+
+    Shaped as max(struct(cos, -cid, cid)) — an aggregate, not a window:
+    partial aggregation collapses the N x k candidate rows map-side and
+    the shuffle carries (vec_id, cos, cid) triples only, never the
+    vectors (a window over the scored rows would move k copies of every
+    embedding).  Lexicographic struct max == ORDER BY cos DESC, cid ASC.
+    Output: (vec_id, cid, cos) — callers needing the vectors join back
+    to ``v`` by key."""
+    scored = v.crossJoin(F.broadcast(cdf)).select(
+        "vec_id",
+        "cid",
+        F.round(cosine_col(F.col("x"), F.col("cv")), 6).alias("cos"),
     )
-    return (
-        v.crossJoin(F.broadcast(cdf))
-        .withColumn("cos", F.round(cosine_col(F.col("x"), F.col("cv")), 6))
-        .withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .drop("rn", "cv")
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("cos"), (-F.col("cid")).alias("_nc"), F.col("cid"))
+        ).alias("_b")
+    )
+    return best.select(
+        "vec_id", F.col("_b.cid").alias("cid"), F.col("_b.cos").alias("cos")
     )
 
 
@@ -372,37 +381,44 @@ def kmeans_train(
     from ..functions import detsum as _det
 
     spark = emb.sparkSession
-    v = _kmeans_vecs(emb)
-    seed = v.orderBy("vec_id").limit(k).select(
-        F.transform("x", lambda d: F.round(d, 6)).alias("cv")
-    )
-    cents: list[list[float]] = [list(r.cv) for r in seed.collect()]
-    for _ in range(iters):
-        cdf = spark.createDataFrame(
-            list(enumerate(cents)), "cid int, cv array<double>"
+    # one persisted copy of the vectors feeds every iteration (each round
+    # is a separate eager job; without this the parquet scan + double
+    # cast re-runs 5x); hash-partitioned by vec_id so the per-round
+    # assignment->vectors join reuses the layout on both sides — the
+    # vectors are shuffled ONCE here, never per iteration
+    v = _kmeans_vecs(emb).repartition("vec_id").persist()
+    try:
+        seed = v.orderBy("vec_id").limit(k).select(
+            F.transform("x", lambda d: F.round(d, 6)).alias("cv")
         )
-        a = _assign(v, cdf)
-        upd = (
-            a.select(
-                "vec_id", "cid", F.posexplode("x").alias("pos", "val")
+        cents: list[list[float]] = [list(r.cv) for r in seed.collect()]
+        for _ in range(iters):
+            cdf = spark.createDataFrame(
+                list(enumerate(cents)), "cid int, cv array<double>"
             )
-            .groupBy("cid", "pos")
-            .agg(
-                F.round(
-                    _det.osum(F.col("vec_id"), F.col("val")) / F.count("*"),
-                    6,
-                ).alias("m")
+            upd = (
+                _assign(v, cdf)
+                .join(v, "vec_id")
+                .select("vec_id", "cid", F.posexplode("x").alias("pos", "val"))
+                .groupBy("cid", "pos")
+                .agg(
+                    F.round(
+                        _det.osum(F.col("vec_id"), F.col("val")) / F.count("*"),
+                        6,
+                    ).alias("m")
+                )
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s["m"],
+                    ).alias("cv")
+                )
             )
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv")
-            )
-        )
-        new = {r.cid: list(r.cv) for r in upd.collect()}
-        cents = [new.get(i, cents[i]) for i in range(k)]
+            new = {r.cid: list(r.cv) for r in upd.collect()}
+            cents = [new.get(i, cents[i]) for i in range(k)]
+    finally:
+        v.unpersist()
     return cents
 
 
