@@ -51,14 +51,27 @@ def words_col(text: Column = None) -> Column:
     return F.filter(F.split(t, " "), lambda x: x != "")
 
 
-def shingles_col(n: int = SHINGLE_N) -> Column:
-    """Word n-gram shingles (1-based slice, matches the DuckDB twin)."""
-    w = words_col()
+def shingles_col(n: int = SHINGLE_N, words: Column | None = None) -> Column:
+    """Word n-gram shingles (values match the DuckDB twin's 1-based
+    slice formulation).
+
+    Performance contract: Spark does NOT eliminate common subexpressions
+    across lambda boundaries, so a lambda referencing an outer
+    EXPRESSION re-evaluates it once PER ARRAY ELEMENT — with the default
+    ``words_col()`` (a regex split) that is O(words^2) splits per
+    document.  Hot paths must bind the word array as a real attribute in
+    a prior select and pass it via ``words`` (observed 6.5x on the sf1
+    corpus); the construction below uses per-position ``F.get`` instead
+    of ``F.slice`` for the same reason (one element access per gram
+    word, not a subarray copy)."""
+    w = words_col() if words is None else words
     return F.when(
         F.size(w) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            lambda i: F.concat_ws(
+                " ", *[F.get(w, i + j - 1) for j in range(n)]
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -109,11 +122,17 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     shingles with probability ~n²/2⁶⁴ (even a 10¹¹-shingle corpus expects
     only a few hundred corpus-wide) — the DuckDB twin hashes identically,
     so cross-engine exactness is by construction, not collision-luck."""
-    return spread_narrow_scan(docs).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.transform(shingles_col(), hexint))
-        ).alias("shingle"),
+    return (
+        spread_narrow_scan(docs)
+        .select("doc_id", words_col().alias("_w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(shingles_col(words=F.col("_w")), hexint)
+                )
+            ).alias("shingle"),
+        )
     )
 
 

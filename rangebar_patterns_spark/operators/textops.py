@@ -110,7 +110,8 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     the word-hash sequence (acc*31 + h mod P, sequential fold — exact in
     both engines) and the order-insensitive min-shingle-hash (winnowing's
     degenerate k=1 form)."""
-    w = words_col()
+    # bound-words two-stage (see shingles_col's performance contract)
+    w = F.col("_w")
     word_hashes = F.transform(
         w,
         lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
@@ -122,11 +123,11 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         lambda acc, h: (acc * F.lit(31) + h) % F.lit(HASH_MOD),
     )
     shingle_hashes = F.transform(
-        shingles_col(),
+        shingles_col(words=w),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
         % F.lit(HASH_MOD),
     )
-    return docs.select(
+    return docs.select("doc_id", words_col().alias("_w")).select(
         "doc_id",
         F.size(w).cast("long").alias("n_tokens"),
         rolling.alias("rolling_fp"),
@@ -235,14 +236,17 @@ def benchmark_overlap(
 
     k = n or SHINGLE_N
     bench_sh = (
-        benchmark.select(F.explode(shingles_col(k)).alias("s"))
+        benchmark.select(words_col().alias("_w"))
+        .select(F.explode(shingles_col(k, words=F.col("_w"))).alias("s"))
         .select(hexint(F.col("s")).alias("shingle"))
         .distinct()
     )
-    corpus = docs.select(
+    corpus = docs.select("doc_id", words_col().alias("_w")).select(
         "doc_id",
         F.array_distinct(
-            F.transform(shingles_col(k), lambda s: hexint(s))
+            F.transform(
+                shingles_col(k, words=F.col("_w")), lambda s: hexint(s)
+            )
         ).alias("_shs"),
     )
     hits = (
@@ -317,11 +321,17 @@ def repetition_stats(
     The DuckDB twin (textops_oracle.repetition_sql) computes the same
     counts by unnest + GROUP BY; equality of the two formulations is
     exactly the definition of multiplicity."""
-    w = words_col()
-    d = docs.select(
+    # two-stage: bind the word array as an attribute FIRST — the shingle
+    # lambdas would otherwise re-evaluate the split per element (see
+    # shingles_col's performance contract; 6.5x at sf1)
+    bound = docs.select("doc_id", words_col().alias("_w"))
+    d = bound.select(
         "doc_id",
-        w.alias("_w"),
-        *[F.array_sort(shingles_col(n)).alias(f"_s{n}") for n in ns],
+        "_w",
+        *[
+            F.array_sort(shingles_col(n, words=F.col("_w"))).alias(f"_s{n}")
+            for n in ns
+        ],
     )
     nw = F.size("_w").cast("long")
     cols = [

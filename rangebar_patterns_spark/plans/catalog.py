@@ -1815,3 +1815,18 @@ def q_kmeans_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id-ordered mean folds), so the unrolled-CTE DuckDB twin
     hash-matches the final assignment."""
     return SIM.kmeans_assign(load_table(spark, sf_dir, "embeddings"))
+
+
+from ..operators import classifier as CLF  # noqa: E402
+
+
+@register("logreg_quality_scores", TO.logreg_scores_sql())
+def q_logreg_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine quality-classifier training (fastText/CCNet's "train a
+    small scorer, score the whole corpus" step): batch-GD logistic
+    regression distilling the 5-cut repetition flag into one score from
+    four of its continuous signals.  MLlib's execution shape — each step
+    is one distributed gradient aggregate (doc_id-ordered folds); only
+    the weight vector visits the driver.  Round-6 lockstep makes the
+    trained scores hash-match the unrolled-CTE DuckDB twin."""
+    return CLF.logreg_score(load_table(spark, sf_dir, "documents"))

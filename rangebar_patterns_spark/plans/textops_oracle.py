@@ -699,3 +699,92 @@ def kmeans_assign_sql() -> str:
         f" FROM ({assign(f'c{T}')})"
     )
     return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+def logreg_scores_sql() -> str:
+    """Twin of classifier.logreg_score: the same standardization moments
+    (round-6, doc_id-ordered folds; sd against the already-rounded mean)
+    and batch-GD iterations unrolled as one-row weight CTEs — identical
+    round-6 sigmoid, gradient folds, and weight updates — so the final
+    per-document scores hash-match."""
+    from ..operators.classifier import (
+        LOGREG_FEATURES,
+        LOGREG_ITERS,
+        LOGREG_LR,
+    )
+
+    names = list(LOGREG_FEATURES)
+    nw = len(names) + 1
+
+    def z(w: str) -> str:
+        terms = [f"{w}.w0"] + [
+            f"{w}.w{j + 1} * fs.{nm}" for j, nm in enumerate(names)
+        ]
+        return " + ".join(terms)
+
+    def p(w: str) -> str:
+        return f"round(1.0 / (1.0 + exp(-({z(w)}))), 6)"
+
+    def i6(expr: str) -> str:
+        return f"CAST(round(({expr}) * 1000000.0) AS HUGEINT)"
+
+    def sum1(expr: str) -> str:
+        return f"CAST(sum({i6(expr)}) AS DOUBLE) / 1000000.0"
+
+    def sum2(a: str, b: str) -> str:
+        return (
+            f"CAST(sum({i6(a)} * {i6(b)}) AS DOUBLE) / 1000000000000.0"
+        )
+
+    mu_cols = ", ".join(
+        f"round({sum1(nm)} / count(*), 6) AS m{j}"
+        for j, nm in enumerate(names)
+    )
+    sd_cols = ", ".join(
+        f"round(sqrt({sum2(f'{nm} - mu.m{j}', f'{nm} - mu.m{j}')}"
+        f" / count(*)), 6) AS s{j}"
+        for j, nm in enumerate(names)
+    )
+    std_cols = ", ".join(
+        f"round(CASE WHEN sdv.s{j} > 0 THEN ({nm} - mu.m{j}) / sdv.s{j}"
+        f" ELSE 0.0 END, 6) AS {nm}"
+        for j, nm in enumerate(names)
+    )
+    ctes = [
+        f"""f AS MATERIALIZED (
+    SELECT doc_id, dup_word_frac, dup_2gram_frac, top_2gram_frac,
+        round(least(CAST(n_words AS DOUBLE) / 50.0, 1.0), 6) AS len_band,
+        CASE WHEN is_repetitive THEN 1.0 ELSE 0.0 END AS y
+    FROM ({repetition_sql()})
+)""",
+        f"mu AS MATERIALIZED (SELECT {mu_cols} FROM f)",
+        f"sdv AS MATERIALIZED (SELECT {sd_cols} FROM f, mu)",
+        f"fs AS MATERIALIZED (SELECT doc_id, y, {std_cols} FROM f, mu, sdv)",
+        "w0 AS MATERIALIZED (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(nw))
+        + ")",
+    ]
+    for t in range(1, LOGREG_ITERS + 1):
+        prev = f"w{t - 1}"
+        ctes.append(
+            f"p{t} AS MATERIALIZED (SELECT fs.doc_id, fs.y, "
+            + ", ".join(f"fs.{nm}" for nm in names)
+            + f", {p('w')} AS p FROM fs, {prev} w)"
+        )
+        grads = [
+            f"round({sum1('p - y')} / count(*), 6)"
+        ] + [
+            f"round({sum2('p - y', nm)} / count(*), 6)"
+            for nm in names
+        ]
+        upd = ", ".join(
+            f"round(any_value(w.w{j}) - {LOGREG_LR!r} * {g}, 6) AS w{j}"
+            for j, g in enumerate(grads)
+        )
+        ctes.append(f"w{t} AS MATERIALIZED (SELECT {upd} FROM p{t}, {prev} w)")
+    final = (
+        f"SELECT fs.doc_id, fs.y, {p('w')} AS score,"
+        f" {p('w')} >= 0.5 AS predicted_repetitive"
+        f" FROM fs, w{LOGREG_ITERS} w"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
