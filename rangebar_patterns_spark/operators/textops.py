@@ -532,3 +532,97 @@ def mixture_sample(
         )
         .select("doc_id", "source", "n_tokens", "sample_rate")
     )
+
+
+# --- BM25 retrieval scoring -------------------------------------------------
+
+#: fixed demo query for the gate entry (terms present across the
+#: synthetic corpus); callers pass their own
+BM25_QUERY = ("table", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _eq_term(t: str):
+    """Unary predicate factory: a `lambda x, t=t:` default arg would make
+    PySpark see a 2-arg lambda and bind the ELEMENT INDEX to t."""
+
+    def pred(x):
+        return x == F.lit(t)
+
+    return pred
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query: tuple[str, ...] = BM25_QUERY,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 relevance of every document to a fixed term query — the
+    classic sparse-retrieval scorer (Robertson/Okapi), the lexical
+    counterpart of the embedding ANN family.
+
+    Determinism: tf/df/doclen are exact integers; avgdl and the
+    per-term idf = ln(1 + (N - df + 0.5)/(df + 0.5)) are round-6
+    corpus constants; the final score sums |query| rounded terms in
+    fixed query order and re-rounds — hash-exact in the DuckDB twin.
+
+    Scale shape: one pass computes per-doc tf for each query term from
+    the bound word array (map-only); df is a |query|-row aggregate
+    crossJoin-broadcast back; scoring is pure projection.  Nothing
+    data-sized shuffles — corpus scoring is scan throughput, exactly
+    how a 100 TB sparse-retrieval sweep should look."""
+    w = F.col("_w")
+    base = docs.select("doc_id", words_col().alias("_w")).select(
+        "doc_id",
+        "_w",
+        F.size(w).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(w, _eq_term(t))).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(query)
+        ],
+    )
+    consts = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.round(
+            F.sum("dl").cast("double") / F.count("*").cast("double"), 6
+        ).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(query))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(consts))
+    score = F.lit(0.0)
+    for i in range(len(query)):
+        idf = F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+                / (F.col(f"df{i}") + F.lit(0.5))
+            ),
+            6,
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        term = idf * (
+            tf
+            * F.lit(k1 + 1.0)
+            / (
+                tf
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+                )
+            )
+        )
+        score = score + F.round(term, 6)
+    return scored.select(
+        "doc_id",
+        F.col("dl").alias("n_words"),
+        *[F.col(f"tf{i}").alias(f"tf_{t}") for i, t in enumerate(query)],
+        F.round(score, 6).alias("bm25"),
+    )

@@ -1830,3 +1830,13 @@ def q_logreg_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the weight vector visits the driver.  Round-6 lockstep makes the
     trained scores hash-match the unrolled-CTE DuckDB twin."""
     return CLF.logreg_score(load_table(spark, sf_dir, "documents"))
+
+
+@register("bm25_retrieval_scores", TO.bm25_scores_sql())
+def q_bm25_retrieval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document to the fixed demo query — sparse
+    retrieval (Robertson/Okapi), the lexical counterpart of the ANN
+    family.  One map-only tf pass from the bound word array, a
+    |query|-row corpus-constant aggregate broadcast back, then pure
+    projection — nothing data-sized shuffles at any corpus size."""
+    return TX.bm25_scores(load_table(spark, sf_dir, "documents"))

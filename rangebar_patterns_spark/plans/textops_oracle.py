@@ -788,3 +788,51 @@ def logreg_scores_sql() -> str:
         f" FROM fs, w{LOGREG_ITERS} w"
     )
     return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+def bm25_scores_sql() -> str:
+    """Twin of textops.bm25_scores at the default query/constants: same
+    integer tf/df/dl statistics, same round-6 avgdl and idf, identical
+    association order in the per-term expression, same fixed-order sum
+    of round-6 terms."""
+    from ..operators.textops import BM25_B, BM25_K1, BM25_QUERY
+
+    k1p1, onemb = BM25_K1 + 1.0, 1.0 - BM25_B
+    tfs = ", ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    dfs = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    terms = []
+    for i in range(len(BM25_QUERY)):
+        idf = (
+            f"round(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)), 6)"
+        )
+        denom = (
+            f"(CAST(tf{i} AS DOUBLE) + {BM25_K1!r} * ({onemb!r}"
+            f" + {BM25_B!r} * CAST(dl AS DOUBLE) / avgdl))"
+        )
+        terms.append(
+            f"round({idf} * (CAST(tf{i} AS DOUBLE) * {k1p1!r} / {denom}), 6)"
+        )
+    tf_out = ", ".join(
+        f"tf{i} AS tf_{t}" for i, t in enumerate(BM25_QUERY)
+    )
+    return f"""
+WITH wbase AS (SELECT doc_id, {WORDS} AS w FROM documents),
+base AS (
+    SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, {tfs} FROM wbase
+),
+consts AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        round(CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avgdl,
+        {dfs}
+    FROM base
+)
+SELECT doc_id, dl AS n_words, {tf_out},
+    round({" + ".join(terms)}, 6) AS bm25
+FROM base, consts
+"""
