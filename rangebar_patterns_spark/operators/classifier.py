@@ -198,12 +198,23 @@ def logreg_train(
 
 
 def logreg_score(
-    docs: DataFrame, iters: int = LOGREG_ITERS, lr: float = LOGREG_LR
+    docs: DataFrame,
+    iters: int = LOGREG_ITERS,
+    lr: float = LOGREG_LR,
+    raw: DataFrame | None = None,
 ) -> DataFrame:
     """Train, then score every document: (doc_id, y, score, predicted).
     Scoring is map-only — weights and moments are literals in the plan,
-    so corpus-wide inference is pure scan throughput."""
-    raw = logreg_features(docs).persist()
+    so corpus-wide inference is pure scan throughput.
+
+    Pass a pre-persisted ``raw`` (logreg_features frame) to share ONE
+    feature materialization between training and the returned scoring
+    plan (the catalog does this via its side-cache); without it, the
+    feature pass runs once for training here and once more when the
+    caller executes the returned plan."""
+    own = raw is None
+    if own:
+        raw = logreg_features(docs).persist()
     try:
         w, mu, sd = logreg_train(docs, iters, lr, raw=raw)
         feats = _std_feats(raw, mu, sd)
@@ -215,7 +226,8 @@ def logreg_score(
             (score >= F.lit(0.5)).alias("predicted_repetitive"),
         )
     finally:
-        # deferred blocking=False unpersist: the returned plan re-reads
-        # the cached blocks if still present, and recomputes raw (one
-        # pass) if the executor already dropped them
-        raw.unpersist()
+        if own:
+            # deferred blocking=False unpersist: the returned plan
+            # re-reads the cached blocks if still present, and
+            # recomputes raw (one pass) if already dropped
+            raw.unpersist()

@@ -75,6 +75,7 @@ def reset_plan_caches(spark: SparkSession) -> None:
         _EVAL_CACHE,
         _ARRS_CACHE,
         _MH_PAIRS_CACHE,
+        _LOGREG_RAW_CACHE,
     ):
         cache.clear()
     spark.catalog.clearCache()
@@ -1820,16 +1821,35 @@ def q_kmeans_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators import classifier as CLF  # noqa: E402
 
 
+#: persisted logreg feature frame per (session, sf_dir): the repetition
+#: HOF stack dominates the whole training run, so train + scoring share
+#: one materialization; cleared by reset_plan_caches like every side-cache
+_LOGREG_RAW_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _logreg_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _LOGREG_RAW_CACHE:
+        _LOGREG_RAW_CACHE[key] = CLF.logreg_features(
+            load_table(spark, sf_dir, "documents")
+        ).persist()
+    return _LOGREG_RAW_CACHE[key]
+
+
 @register("logreg_quality_scores", TO.logreg_scores_sql())
 def q_logreg_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine quality-classifier training (fastText/CCNet's "train a
     small scorer, score the whole corpus" step): batch-GD logistic
     regression distilling the 5-cut repetition flag into one score from
     four of its continuous signals.  MLlib's execution shape — each step
-    is one distributed gradient aggregate (doc_id-ordered folds); only
-    the weight vector visits the driver.  Round-6 lockstep makes the
-    trained scores hash-match the unrolled-CTE DuckDB twin."""
-    return CLF.logreg_score(load_table(spark, sf_dir, "documents"))
+    is one distributed gradient aggregate (exact integer-scaled
+    order-free sums); only the weight vector visits the driver.  Round-6
+    lockstep makes the trained scores hash-match the unrolled-CTE DuckDB
+    twin."""
+    return CLF.logreg_score(
+        load_table(spark, sf_dir, "documents"),
+        raw=_logreg_raw(spark, sf_dir),
+    )
 
 
 @register("bm25_retrieval_scores", TO.bm25_scores_sql())
