@@ -626,3 +626,115 @@ def bm25_scores(
         *[F.col(f"tf{i}").alias(f"tf_{t}") for i, t in enumerate(query)],
         F.round(score, 6).alias("bm25"),
     )
+
+
+#: fixed demo query batch for the top-k gate entry
+BM25_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("table", "join"),
+    1: ("window", "sort", "merge"),
+    2: ("hash", "value", "spark"),
+    3: ("batch", "stream"),
+    4: ("vector", "scan", "filter"),
+    5: ("customer", "order"),
+}
+BM25_TOPK = 5
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: dict[int, tuple[str, ...]] | None = None,
+    k: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Batch BM25 retrieval through the real inverted-index join shape:
+    the corpus explodes to (term, doc_id, tf) POSTING rows pre-filtered
+    to the query batch's vocabulary (the filter rides the scan, so the
+    posting shuffle is bounded by matched terms, never the corpus text),
+    query terms broadcast-join the postings, per-(query, doc) scores
+    aggregate, and a top-k window ranks within each query — at 100 TB
+    this is scan + one bounded keyed shuffle + a per-query-partitioned
+    window, the textbook distributed-retrieval plan.
+
+    Exactness: per-term BM25 contributions are rounded to 6 then
+    INTEGER-SCALED before the per-(query, doc) sum, so the score is an
+    order-free exact aggregate; ranking ties break (score desc, doc_id
+    asc).  Output: (query_id, rank, doc_id, score)."""
+    from pyspark.sql import Window
+
+    qmap = BM25_QUERIES if queries is None else queries
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in sorted(qmap.items()) for t in terms],
+        "query_id int, term string",
+    )
+    vocab = sorted({t for terms in qmap.values() for t in terms})
+    w = F.col("_w")
+    base = docs.select("doc_id", words_col().alias("_w")).select(
+        "doc_id",
+        F.size(w).cast("long").alias("dl"),
+        F.filter(w, lambda x: x.isin(*vocab)).alias("_hits"),
+    )
+    consts = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.round(
+            F.sum("dl").cast("double") / F.count("*").cast("double"), 6
+        ).alias("avgdl"),
+    )
+    posting = (
+        base.select("doc_id", "dl", F.explode("_hits").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_counts = posting.groupBy("term").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    tf = F.col("tf").cast("double")
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    term_score = F.round(
+        idf
+        * (
+            tf
+            * F.lit(k1 + 1.0)
+            / (
+                tf
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+                )
+            )
+        ),
+        6,
+    )
+    scored = (
+        posting.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(consts))
+        .join(F.broadcast(qdf), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(term_score * F.lit(1e6), 0).cast("long").alias("_ts"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum("_ts").cast("double") / F.lit(1e6), 6).alias(
+                "score"
+            )
+        )
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

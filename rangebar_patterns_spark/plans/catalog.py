@@ -1860,3 +1860,13 @@ def q_bm25_retrieval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     |query|-row corpus-constant aggregate broadcast back, then pure
     projection — nothing data-sized shuffles at any corpus size."""
     return TX.bm25_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register("bm25_topk_retrieval", TO.bm25_topk_sql())
+def q_bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 top-k through the inverted-index join shape: postings
+    pre-filtered to the query batch's vocabulary at the scan, broadcast
+    query join, integer-scaled exact score aggregate, per-query top-k
+    window.  At 100 TB: scan + one bounded keyed shuffle + a per-query
+    window — the textbook distributed-retrieval plan."""
+    return TX.bm25_topk(load_table(spark, sf_dir, "documents"))

@@ -836,3 +836,69 @@ SELECT doc_id, dl AS n_words, {tf_out},
     round({" + ".join(terms)}, 6) AS bm25
 FROM base, consts
 """
+
+
+def bm25_topk_sql() -> str:
+    """Twin of textops.bm25_topk at the default query batch: same
+    posting-list statistics, same round-6 idf/avgdl, per-term scores
+    integer-scaled before the per-(query, doc) sum (order-free exact),
+    same (score DESC, doc_id ASC) ranking."""
+    from ..operators.textops import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERIES,
+        BM25_TOPK,
+    )
+
+    k1p1, onemb = BM25_K1 + 1.0, 1.0 - BM25_B
+    vocab = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    vlist = ", ".join(f"'{t}'" for t in vocab)
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in sorted(BM25_QUERIES.items())
+        for t in terms
+    )
+    idf = "round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)"
+    denom = (
+        f"(CAST(tf AS DOUBLE) + {BM25_K1!r} * ({onemb!r}"
+        f" + {BM25_B!r} * CAST(dl AS DOUBLE) / avgdl))"
+    )
+    term_score = (
+        f"round({idf} * (CAST(tf AS DOUBLE) * {k1p1!r} / {denom}), 6)"
+    )
+    return f"""
+WITH wbase AS (SELECT doc_id, {WORDS} AS w FROM documents),
+base AS (
+    SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        list_filter(w, x -> list_contains([{vlist}], x)) AS hits
+    FROM wbase
+),
+consts AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        round(CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avgdl
+    FROM base
+),
+posting AS (
+    SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(hits) AS term FROM base)
+    GROUP BY doc_id, dl, term
+),
+dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM posting GROUP BY term),
+q(query_id, term) AS (VALUES {qvals}),
+scored AS (
+    SELECT q.query_id, p.doc_id,
+        round(CAST(sum(CAST(round({term_score} * 1000000.0) AS BIGINT))
+            AS DOUBLE) / 1000000.0, 6) AS score
+    FROM posting p
+    JOIN dfc ON dfc.term = p.term
+    JOIN q ON q.term = p.term
+    CROSS JOIN consts
+    GROUP BY q.query_id, p.doc_id
+)
+SELECT CAST(query_id AS INTEGER) AS query_id,
+    CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+    doc_id, score
+FROM scored
+QUALIFY rank <= {BM25_TOPK}
+"""

@@ -72,3 +72,29 @@ def test_scores_are_partition_invariant(spark):
     a = bm25_scores(docs).orderBy("doc_id").collect()
     b = bm25_scores(docs.repartition(17, "lang")).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_topk_matches_oracle(spark, duck):
+    from rangebar_patterns_spark.operators.textops import bm25_topk
+    from rangebar_patterns_spark.plans.textops_oracle import bm25_topk_sql
+
+    sp = bm25_topk(load_table(spark, SF_DIR, "documents"))
+    du = duck.execute(bm25_topk_sql()).df()
+    compare_frames(sp, du)
+
+
+def test_topk_shape_and_order(spark):
+    from rangebar_patterns_spark.operators.textops import (
+        BM25_QUERIES,
+        BM25_TOPK,
+        bm25_topk,
+    )
+
+    out = bm25_topk(load_table(spark, SF_DIR, "documents")).toPandas()
+    for qid, grp in out.groupby("query_id"):
+        assert list(grp.sort_values("rank")["rank"]) == list(
+            range(1, BM25_TOPK + 1)
+        )
+        s = grp.sort_values("rank")["score"].tolist()
+        assert s == sorted(s, reverse=True)
+    assert set(out.query_id) == set(BM25_QUERIES)
