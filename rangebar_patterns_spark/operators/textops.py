@@ -738,3 +738,76 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+# --- bigram language-model perplexity filter --------------------------------
+
+def lm_perplexity(docs: DataFrame) -> DataFrame:
+    """CCNet-style perplexity filtering with the LM trained IN the
+    engine: a Laplace-smoothed bigram model is counted from the corpus
+    (at pipeline scale it would be a held reference corpus — the join
+    shape is identical), then every document is scored by its average
+    bigram log-probability and pseudo-perplexity exp(-avg).
+
+    Scale shape: the LM is a (bigram -> logprob) relation built by two
+    keyed aggregates; scoring explodes each document's bigram
+    OCCURRENCES and equi-joins the LM — one data-sized keyed join, the
+    honest distributed shape (a 100 TB corpus against a big LM is a
+    sort-merge join; against a small LM, broadcast).
+
+    Exactness: all counts are integers; each bigram's logprob is
+    round-6 (ln of an integer ratio — same round-6-after-transcendental
+    convention as the e-value family); per-document averages sum the
+    round-6 logprobs as exact 1e6-unit integers (order-free), so the
+    DuckDB twin hash-matches."""
+    w = F.col("_w")
+    bound = docs.select("doc_id", words_col().alias("_w"))
+    grams = bound.select(
+        "doc_id", F.explode(shingles_col(2, words=w)).alias("gram")
+    )
+    c12 = grams.groupBy("gram").agg(F.count("*").cast("long").alias("c12"))
+    lm = c12.withColumn("w1", F.substring_index(F.col("gram"), " ", 1))
+    c1 = lm.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    vocab = (
+        bound.select(F.explode(w).alias("word"))
+        .agg(F.countDistinct("word").cast("double").alias("v"))
+    )
+    logp = (
+        lm.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "gram",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") + F.lit(1.0))
+                    / (F.col("c1").cast("double") + F.col("v"))
+                ),
+                6,
+            ).alias("logp"),
+        )
+    )
+    scored = (
+        grams.join(logp, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.round(F.col("logp") * F.lit(1e6), 0).cast("long")
+                ).cast("double")
+                / F.lit(1e6)
+                / F.count("*").cast("double"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+    base = bound.select("doc_id")
+    out = base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+            "n_bigrams"
+        ),
+        F.coalesce(F.col("avg_logprob"), F.lit(0.0)).alias("avg_logprob"),
+    )
+    ppl = F.round(F.exp(-F.col("avg_logprob")), 6)
+    return out.withColumn("pseudo_ppl", ppl)

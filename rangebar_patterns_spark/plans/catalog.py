@@ -1870,3 +1870,14 @@ def q_bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     window.  At 100 TB: scan + one bounded keyed shuffle + a per-query
     window — the textbook distributed-retrieval plan."""
     return TX.bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+@register("lm_perplexity_scores", TO.lm_perplexity_sql())
+def q_lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter with the Laplace bigram LM trained
+    in-engine: two keyed aggregates build the (bigram -> round-6
+    logprob) relation, each document's bigram occurrences equi-join it,
+    and per-doc averages sum integer-scaled logprobs (order-free exact).
+    One data-sized keyed join — the honest distributed LM-scoring
+    shape."""
+    return TX.lm_perplexity(load_table(spark, sf_dir, "documents"))

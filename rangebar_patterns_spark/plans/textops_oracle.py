@@ -902,3 +902,40 @@ SELECT CAST(query_id AS INTEGER) AS query_id,
 FROM scored
 QUALIFY rank <= {BM25_TOPK}
 """
+
+
+def lm_perplexity_sql() -> str:
+    """Twin of textops.lm_perplexity: same integer bigram/prefix counts
+    and vocabulary size, same round-6 ln of integer ratios, per-doc
+    averages via the same integer-scaled order-free sum."""
+    sh2 = _shingles(2)
+    return f"""
+WITH bound AS (SELECT doc_id, {WORDS} AS w FROM documents),
+g AS (SELECT doc_id, unnest({sh2}) AS gram FROM documents),
+c12 AS (SELECT gram, CAST(count(*) AS BIGINT) AS c12 FROM g GROUP BY gram),
+lm AS (SELECT gram, c12, split_part(gram, ' ', 1) AS w1 FROM c12),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY w1),
+v AS (
+    SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v
+    FROM (SELECT unnest(w) AS word FROM bound)
+),
+logp AS (
+    SELECT gram,
+        round(ln((CAST(c12 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v)), 6)
+            AS logp
+    FROM lm JOIN c1 USING (w1), v
+),
+scored AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        round(CAST(sum(CAST(round(logp * 1000000.0) AS BIGINT)) AS DOUBLE)
+            / 1000000.0 / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
+    FROM g JOIN logp USING (gram)
+    GROUP BY doc_id
+)
+SELECT b.doc_id,
+    coalesce(s.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+    coalesce(s.avg_logprob, 0.0) AS avg_logprob,
+    round(exp(-coalesce(s.avg_logprob, 0.0)), 6) AS pseudo_ppl
+FROM (SELECT doc_id FROM bound) b
+LEFT JOIN scored s ON s.doc_id = b.doc_id
+"""
