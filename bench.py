@@ -31,6 +31,12 @@ Schema history ("bench_version"):
     totals), full detail in the BENCH_DETAIL.json sidecar.  Demo grids
     and the sf1 block are now median-over-``demo_runs``/``sf1_runs``
     passes (default 2) instead of single-run.
+  4 (r8) — schema unchanged, but the catalog consolidated 59 -> 50
+    entries (same-grain unions/joins so everything fits the driver's
+    50-entry correctness window): per-query keys changed — merged
+    entries' medians are NOT comparable to their r7 parts' sums (the
+    shared scan/side-cache cost attributes differently), while untouched
+    entries compare 1:1.
 """
 
 from __future__ import annotations

@@ -15,8 +15,7 @@ ARROW_SANCTIONED = {
     "formation_counts",
     "temporal_yearly",
     "triple_barrier_trades",
-    "short_barrier_trades",
-    "trailing_stop_trades",
+    "barrier_mode_trades",
     "combined_barrier_metrics",
     "barrier_profile_metrics",
     "gen720_wl1d_metrics",
@@ -24,20 +23,19 @@ ARROW_SANCTIONED = {
     "sweep_gen500_1008cfg",
     "sweep_gen600_fullgrid",
     "sweep_nfeature_metrics",
-    "hmm_regime_labels",
-    "laguerre_regimes",
+    "regime_labels",
     "multimodal_byte_features",
     "streaming_hourly_counts",
     # downstream consumers of the champion-trades chain (the trades
     # relation is built from the streaming-quantile featurization)
-    "eval_moments_dsr", "eval_tail_tamrs", "eval_evalues_ebh",
-    "eval_ou_calibration", "eval_ranking", "cutoff_grid_search",
-    "eval_bootstrap_synthesis", "eval_signal_regularity",
+    "eval_moments_dsr", "eval_tail_tamrs",
+    "eval_ou_calibration", "cutoff_grid_search",
+    "eval_bootstrap_synthesis",
     "eval_knee_points", "eval_spearman", "wf_fold_metrics", "wf_topk",
     "cpcv_pbo", "gt_composite_mbb", "wf_fold_objectives",
     "tail_scan", "asof_probe_lookup", "config_skip_done",
-    "gen800_rolling_rdd", "crossasset_validation",
-    "crossasset_confluence", "bars_adapter", "genx_hypotheses",
+    "gen800_rolling_rdd", "crossasset_panel",
+    "bars_adapter", "genx_hypotheses",
 }
 
 
@@ -98,7 +96,7 @@ def test_join_strategies_across_catalog(spark):
     from rangebar_patterns_spark.plans.catalog import QUERIES
 
     jac = (
-        QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+        QUERIES["dedup_neardup_pairs"](spark, SF_DIR)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in jac, "jaccard verify should broadcast arrs"
@@ -122,8 +120,8 @@ def test_join_strategies_across_catalog(spark):
 #: ZERO global windows, and growth within a sanctioned entry must fail
 #: too).  All are config-grain relations (~symbols x grid rows).
 GLOBAL_WINDOW_SANCTIONED = {
-    "eval_evalues_ebh": 3,  # e-BH rank + GROW ordering + fold ranks
-    "eval_ranking": 2,  # TOPSIS ideal-point scalars
+    "eval_moments_dsr": 3,  # e-BH rank + GROW ordering + fold ranks (merged e-values side)
+    "eval_tail_tamrs": 2,  # TOPSIS ideal-point scalars (merged ranking side)
     "cutoff_grid_search": 2,  # per-candidate ranking over the metric grid
     "eval_bootstrap_synthesis": 2,  # RW config-id axis + critical value
     "eval_spearman": 6,  # 2 rank windows x 3 metric pairs

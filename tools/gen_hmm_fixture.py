@@ -46,8 +46,10 @@ def main() -> None:
 
     out: dict[str, list[list]] = {}
     for sf_dir in SF_DIRS:
+        from rangebar_patterns_spark.plans.catalog import _hmm_regimes_df
+
         df = (
-            QUERIES["hmm_regime_labels"](spark, sf_dir)
+            _hmm_regimes_df(spark, sf_dir)
             .toPandas()
             .sort_values(["symbol", "rn"])
         )
