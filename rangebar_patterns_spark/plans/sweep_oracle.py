@@ -247,25 +247,15 @@ sigs AS (
 FEAT_CTE_SWEEP = frag.feat_cte  # rolling feat twin builder
 
 
-def sweep_funnel_oracle_bulk(
+def _funnel_bulk_ctes(
     grid: list[SweepConfig],
     warmup: int,
     features: list[str],
     feat_relation: str = "feat",
 ) -> str:
-    """Grid-scale funnel oracle (the gen500 1,008-config workload).
-
-    The per-config template expansion above is the faithful reference
-    shape but O(configs) window passes — DuckDB needs >10 min at 1,008
-    configs.  This variant keeps the arithmetic identical while exploiting
-    the same structural fact the engine's threshold dedup uses: configs
-    sharing (formation, ordered feature pair) share a candidate sequence,
-    so each rolling threshold series is computed ONCE per
-    (formation, feature, partner, symbol) and every requested quantile is
-    a projection over the same window list.  Still an independent DuckDB
-    implementation (window lists + CASE feature map vs Spark's Arrow
-    stream kernel + map lookup); values are bit-identical.
-    """
+    """CTE chain of the grid-scale funnel oracle, ending at ``candp``
+    (per-(config, candidate) pass flags) — shared by the bulk funnel
+    select and the bulk panel (funnel + barrier metrics) twin."""
     formations = sorted({c.formation for c in grid})
     qs = sorted({q for c in grid for q in (c.q1, c.q2)})
     win = (
@@ -343,8 +333,11 @@ candp AS (
         AND t1.partner = c.feature2 AND t1.symbol = c.symbol AND t1.rn = c.rn
     JOIN thr t2 ON t2.formation = c.formation AND t2.feature = c.feature2
         AND t2.partner = c.feature1 AND t2.symbol = c.symbol AND t2.rn = c.rn
-)
-SELECT config_id, symbol,
+)"""
+
+
+#: final select of the bulk funnel twin, grouped over ``candp``
+_FUNNEL_BULK_SELECT = """SELECT config_id, symbol,
     count(*) AS n_candidates,
     CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_signals,
     CAST(sum(CASE WHEN passed AND next_dir = (CASE WHEN side = 'short' THEN 0 ELSE 1 END) THEN 1 ELSE 0 END) AS BIGINT) AS hits,
@@ -357,6 +350,70 @@ SELECT config_id, symbol,
         / sqrt(0.25 / nullif(CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS DOUBLE), 0.0)) AS z_score
 FROM candp
 GROUP BY config_id, symbol"""
+
+
+def sweep_funnel_oracle_bulk(
+    grid: list[SweepConfig],
+    warmup: int,
+    features: list[str],
+    feat_relation: str = "feat",
+) -> str:
+    """Grid-scale funnel oracle (the gen500 1,008-config workload).
+
+    The per-config template expansion above is the faithful reference
+    shape but O(configs) window passes — DuckDB needs >10 min at 1,008
+    configs.  This variant keeps the arithmetic identical while exploiting
+    the same structural fact the engine's threshold dedup uses: configs
+    sharing (formation, ordered feature pair) share a candidate sequence,
+    so each rolling threshold series is computed ONCE per
+    (formation, feature, partner, symbol) and every requested quantile is
+    a projection over the same window list.  Still an independent DuckDB
+    implementation (window lists + CASE feature map vs Spark's Arrow
+    stream kernel + map lookup); values are bit-identical.
+    """
+    return (
+        _funnel_bulk_ctes(grid, warmup, features, feat_relation)
+        + "\n"
+        + _FUNNEL_BULK_SELECT
+    )
+
+
+def sweep_panel_oracle_bulk(
+    grid: list[SweepConfig],
+    profiles: list[BarrierConfig],
+    warmup: int,
+    features: list[str],
+    feat_relation: str = "feat",
+) -> str:
+    """Grid-scale PANEL twin: the bulk funnel LEFT JOINed to the barrier
+    metrics over every surviving signal — the oracle of the full-width
+    ``sweep_gen600_fullgrid_panel`` demo (funnel shape identical to
+    ``sweep_funnel_oracle_bulk``; the trades chain and metrics aggregate
+    are byte-identical to the faithful ``sweep_panel_oracle``'s, fed from
+    the bulk ``candp`` survivors instead of per-config CTEs)."""
+    mcols = ",\n    ".join(f"m.{c}" for c in _PANEL_METRIC_COLS)
+    return f"""{_funnel_bulk_ctes(grid, warmup, features, feat_relation)},
+funnel AS (
+{_FUNNEL_BULK_SELECT}
+),
+{grid_to_duckdb_values(profiles)},
+{fwd_cte(max_bars_cap(profiles), feat_relation=feat_relation, name="fwdarr")},
+surv AS (
+    SELECT config_id, symbol, rn, close_time_ms, threshold_decimal_bps,
+        entry_price, side
+    FROM candp WHERE passed
+),
+sigs AS (
+    SELECT s.*, f.fwd_highs, f.fwd_lows, f.fwd_opens, f.fwd_closes
+    FROM surv s JOIN fwdarr f USING (symbol, rn)
+),
+{trades_chain_ctes(("config_id", "symbol"), side_expr="s.side")},
+metrics AS (
+{barrier_metrics_select(("config_id", "symbol", "barrier_id"))}
+)
+SELECT f.*,
+    {mcols}
+FROM funnel f LEFT JOIN metrics m USING (config_id, symbol)"""
 
 
 def nfeature_metrics_oracle_bulk(

@@ -15,7 +15,12 @@ SF_DIR = "/root/testdata/sf0.01"
 
 def main() -> int:
     sys.path.insert(0, "/root/repo")
-    from rangebar_patterns_spark.plans.catalog import ORACLES, QUERIES
+    from rangebar_patterns_spark.plans.catalog import (
+        BENCH_ORACLES,
+        BENCH_QUERIES,
+        ORACLES,
+        QUERIES,
+    )
     from rangebar_patterns_spark.session import get_spark
     from rangebar_patterns_spark.sources.tables import TABLES
 
@@ -25,14 +30,19 @@ def main() -> int:
     for name in TABLES:
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'")
 
+    # bench-tier workloads with oracle twins (e.g. the full-width gen600
+    # panel) are addressable by name for one-shot certifications, but
+    # only gate entries run by default
+    qs = {**QUERIES, **BENCH_QUERIES}
+    oracles = {**ORACLES, **BENCH_ORACLES}
     names = sys.argv[1:] or [n for n in sorted(QUERIES) if n in ORACLES]
     bad = 0
     for name in names:
-        sp = QUERIES[name](spark, SF_DIR).toPandas()
-        if name not in ORACLES:
+        sp = qs[name](spark, SF_DIR).toPandas()
+        if name not in oracles:
             print(f"{name}: rows={len(sp)} (no_oracle)")
             continue
-        du = con.execute(ORACLES[name]).df()
+        du = con.execute(oracles[name]).df()
         cols = sorted(sp.columns)
         ok_schema = cols == sorted(du.columns)
         ok_rows = len(sp) == len(du)
