@@ -363,8 +363,118 @@ def _assign(v: DataFrame, cdf: DataFrame) -> DataFrame:
     )
 
 
+#: k-means‖ defaults (Bahmani et al., VLDB 2012): l = OVERSAMPLE*k
+#: candidates expected per round, ROUNDS rounds — O(log n) rounds in the
+#: paper; a small constant suffices in practice (their Thm 2 needs ~5)
+KMEANSPP_OVERSAMPLE = 2
+KMEANSPP_ROUNDS = 3
+
+
+def _u01(col, salt: str):
+    """Deterministic uniform [0, 1) from (salt, key) — the cross-engine
+    md5 convention (15 hex chars -> 60-bit int / 2^60), same shape as
+    textops' sampling membership hash."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15), 16, 10)
+    return h.cast("double") / F.lit(float(1 << 60))
+
+
+def kmeans_parallel_seed(
+    v: DataFrame,
+    k: int = KMEANS_K,
+    rounds: int = KMEANSPP_ROUNDS,
+    oversample: int = KMEANSPP_OVERSAMPLE,
+) -> list[list[float]]:
+    """k-means‖ seeding (scalable k-means++, Bahmani et al. 2012) for
+    large k, where first-k-ids seeding can start Lloyd's from one dense
+    corner of the space.  Execution shape is the paper's: each round is
+    one distributed assignment pass (cost = 1 - best cosine, the
+    spherical surrogate) + one scalar aggregate, sampling each point with
+    probability min(1, l * cost / total_cost); only the O(l * rounds)
+    candidate vectors ever visit the driver, then the final reduction to
+    k runs driver-side on the weighted candidates.
+
+    Deterministic end to end — no RNG state: the per-point coin is the
+    cross-engine md5 hash of (round salt, vec_id), and the final
+    reduction is greedy weighted farthest-point (argmax weight * d² to
+    the chosen set, index tie-break) instead of sampled k-means++.
+    Candidate weights are the sizes of their assignment cells, as in the
+    paper.  NOT the oracle path: ``kmeans_train``'s default first-k
+    seeding stays the hash-certified configuration
+    (``kmeans_ivf_assign``); this seeder is the opt-in quality path for
+    production-scale k (flagged via ``kmeans_train(seeding=
+    'parallel')``; recall comparison pinned in tests/test_kmeans.py)."""
+    import numpy as np
+
+    spark = v.sparkSession
+    first = v.orderBy("vec_id").limit(1).select(
+        F.transform("x", lambda d: F.round(d, 6)).alias("cv")
+    )
+    cand: list[list[float]] = [list(r.cv) for r in first.collect()]
+    l = oversample * k
+    for rnd in range(rounds):
+        cdf = spark.createDataFrame(
+            list(enumerate(cand)), "cid int, cv array<double>"
+        )
+        cost = _assign(v, cdf).select(
+            "vec_id", (F.lit(1.0) - F.col("cos")).alias("c")
+        )
+        tot = cost.agg(F.sum("c").alias("t")).collect()[0].t
+        if not tot or tot <= 0.0:  # every point sits on a candidate
+            break
+        picked = cost.filter(
+            _u01(F.col("vec_id"), f"kmeanspp|{rnd}|")
+            < F.least(F.lit(1.0), F.lit(float(l)) * F.col("c") / F.lit(float(tot)))
+        ).select("vec_id")
+        new = (
+            v.join(picked, "vec_id")
+            .orderBy("vec_id")
+            .select(F.transform("x", lambda d: F.round(d, 6)).alias("cv"))
+        )
+        cand.extend([list(r.cv) for r in new.collect()])
+        # dedup exact repeats (a re-picked point adds no information)
+        cand = [list(t) for t in dict.fromkeys(tuple(c) for c in cand)]
+    if len(cand) <= k:
+        # degenerate corpus (fewer distinct candidates than k): fall back
+        # to first-k seeding for the remainder
+        extra = (
+            v.orderBy("vec_id").limit(k + len(cand))
+            .select(F.transform("x", lambda d: F.round(d, 6)).alias("cv"))
+        )
+        for r in extra.collect():
+            cv = list(r.cv)
+            if cv not in cand:
+                cand.append(cv)
+            if len(cand) >= k:
+                break
+        return cand[:k]
+    # weight candidates by their assignment-cell sizes (one aggregate)
+    cdf = spark.createDataFrame(
+        list(enumerate(cand)), "cid int, cv array<double>"
+    )
+    wrows = _assign(v, cdf).groupBy("cid").count().collect()
+    weights = np.zeros(len(cand))
+    for r in wrows:
+        weights[r.cid] = float(r["count"])
+    c = np.array(cand)
+    norms = np.sqrt((c * c).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    cn = c / norms[:, None]
+    cos = np.clip(cn @ cn.T, -1.0, 1.0)
+    d2 = (1.0 - cos) ** 2
+    chosen = [int(weights.argmax())]  # ties: argmax takes the first index
+    while len(chosen) < k:
+        mind2 = d2[:, chosen].min(axis=1)
+        score = weights * mind2
+        score[chosen] = -1.0
+        chosen.append(int(score.argmax()))
+    return [cand[i] for i in chosen]
+
+
 def kmeans_train(
-    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    seeding: str = "first_k",
 ) -> list[list[float]]:
     """Distributed spherical k-means (Lloyd's iterations) training the IVF
     coarse quantizer IN the engine — MLlib's execution shape: the data
@@ -377,7 +487,12 @@ def kmeans_train(
     tie-break, and the per-dimension means are vec_id-ordered folds
     (functions/detsum.osum) rounded to 6 — so both engines stay in exact
     lockstep across iterations (the DuckDB twin unrolls the same
-    iterations as CTEs).  Empty clusters keep their previous centroid."""
+    iterations as CTEs).  Empty clusters keep their previous centroid.
+
+    ``seeding``: ``"first_k"`` (default — the deterministic oracle path)
+    or ``"parallel"`` (k-means‖, :func:`kmeans_parallel_seed` — the
+    opt-in quality path for production-scale k; also deterministic, but
+    its DuckDB twin is not maintained, so it stays off the gate)."""
     from ..functions import detsum as _det
 
     spark = emb.sparkSession
@@ -388,10 +503,15 @@ def kmeans_train(
     # vectors are shuffled ONCE here, never per iteration
     v = _kmeans_vecs(emb).repartition("vec_id").persist()
     try:
-        seed = v.orderBy("vec_id").limit(k).select(
-            F.transform("x", lambda d: F.round(d, 6)).alias("cv")
-        )
-        cents: list[list[float]] = [list(r.cv) for r in seed.collect()]
+        if seeding == "parallel":
+            cents: list[list[float]] = kmeans_parallel_seed(v, k)
+        elif seeding == "first_k":
+            seed = v.orderBy("vec_id").limit(k).select(
+                F.transform("x", lambda d: F.round(d, 6)).alias("cv")
+            )
+            cents = [list(r.cv) for r in seed.collect()]
+        else:
+            raise ValueError(f"unknown seeding: {seeding!r}")
         for _ in range(iters):
             cdf = spark.createDataFrame(
                 list(enumerate(cents)), "cid int, cv array<double>"

@@ -57,3 +57,28 @@ def test_all_clusters_populated_and_stable(spark):
     a = out.sort_values("vec_id").reset_index(drop=True)
     b = out2.sort_values("vec_id").reset_index(drop=True)
     assert a.equals(b[a.columns])
+
+
+def test_parallel_seeding_deterministic_and_competitive(spark):
+    """k-means‖ seeding (opt-in `seeding="parallel"`): exactly k distinct
+    seeds, bit-identical across invocations (no RNG state — md5 coins +
+    greedy weighted farthest-point reduction), and the trained fit is
+    not worse than the default first-k seeding beyond noise (on this
+    fixture the first-k seeds all come from one corner of the id space,
+    so k-means‖ should match or beat them)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    c1 = kmeans_train(emb, seeding="parallel")
+    c2 = kmeans_train(emb, seeding="parallel")
+    assert c1 == c2
+    assert len(c1) == KMEANS_K
+    assert len({tuple(c) for c in c1}) == KMEANS_K
+    fit_par = _mean_cos(spark, c1)
+    fit_first = _mean_cos(spark, kmeans_train(emb))
+    assert fit_par >= fit_first - 0.01, (fit_par, fit_first)
+
+
+def test_parallel_seeding_leaves_oracle_path_untouched(spark):
+    """The gate entry trains with the DEFAULT seeding — flagging must not
+    change the certified configuration."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert kmeans_train(emb) == kmeans_train(emb, seeding="first_k")
