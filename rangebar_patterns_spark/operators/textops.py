@@ -811,3 +811,107 @@ def lm_perplexity(docs: DataFrame) -> DataFrame:
     )
     ppl = F.round(F.exp(-F.col("avg_logprob")), 6)
     return out.withColumn("pseudo_ppl", ppl)
+
+
+# --- cross-document exact-substring duplication (Lee et al. 2021) ----------
+
+#: word-gram width for cross-document exact-substring detection.  Lee et
+#: al. (ACL 2022, "Deduplicating Training Data Makes Language Models
+#: Better") use 50-token spans over a suffix array; the distributed
+#: equivalent detects spans as runs of duplicated k-word grams — any
+#: duplicated span of >= k words contains a duplicated k-gram, so k is
+#: the minimum span the scan can see.  5 keeps the synthetic fixture
+#: populated; a production corpus would raise it toward the paper's 50.
+CROSS_DUP_K = 5
+
+
+def cross_doc_duplication(docs: DataFrame, k: int = CROSS_DUP_K) -> DataFrame:
+    """Per-document CROSS-corpus exact-substring duplication stats — the
+    distributed shape of Lee et al.'s suffix-array ExactSubstr dedup:
+
+      * ``n_grams_cross``     — total k-word grams in the document;
+      * ``n_dup_grams_cross`` — grams whose hash occurs in >= 2 DISTINCT
+        documents (within-doc repeats alone don't count — that signal is
+        ``repetition_stats``);
+      * ``dup_gram_frac_cross`` — their fraction (round-6);
+      * ``dup_token_coverage`` — fraction of the document's words covered
+        by at least one duplicated gram (merged-interval union length);
+      * ``n_dup_spans``       — number of maximal duplicated spans after
+        merging overlapping/adjacent gram intervals.
+
+    Scale shape (the honest inverted-index plan, same discipline as
+    ``bm25_topk``): one posexplode to (doc_id, pos, gram-hash) rows —
+    bounded by corpus token count, the same cardinality any suffix/index
+    construction touches; one keyed aggregate over gram hashes where the
+    duplicate test is min(doc_id) <> max(doc_id) (never a countDistinct);
+    one keyed equi-join back; one per-doc aggregate whose collect_list is
+    bounded by document length.  Nothing all-pairs, nothing driver-side.
+    Hash = the shared cross-engine md5 63-bit prefix, so the DuckDB twin
+    (textops_oracle.cross_dup_sql) is hash-exact."""
+    from .dedup import hexint, shingles_col, words_col
+
+    bound = docs.select("doc_id", words_col().alias("_w"))
+    base = bound.select(
+        "doc_id",
+        F.size("_w").cast("long").alias("n_words"),
+        shingles_col(k, words=F.col("_w")).alias("_g"),
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode("_g").alias("_p", "_gram"),
+    ).select("doc_id", (F.col("_p") + 1).alias("pos"), hexint(F.col("_gram")).alias("gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("gh")
+    )
+    hits = (
+        grams.join(dup, "gh")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("_ps"))
+    )
+    # merged-interval union over sorted gram starts: each gram covers
+    # [pos, pos+k); a new span opens when the gap since the previous
+    # start is >= k.  One fold, no Python.
+    fold = F.aggregate(
+        F.col("_ps"),
+        F.struct(
+            F.lit(-(10**9)).cast("long").alias("prev"),
+            F.lit(0).cast("long").alias("cov"),
+            F.lit(0).cast("long").alias("spans"),
+        ),
+        lambda acc, p: F.struct(
+            p.cast("long").alias("prev"),
+            (acc["cov"] + F.least(F.lit(k).cast("long"), p.cast("long") - acc["prev"])).alias("cov"),
+            (acc["spans"] + F.when(p.cast("long") - acc["prev"] >= k, 1).otherwise(0).cast("long")).alias("spans"),
+        ),
+    )
+    # size(NULL) is -1 on this build (legacy sizeOfNull) — branch explicitly
+    n_hits = F.when(F.col("_ps").isNull(), F.lit(0)).otherwise(
+        F.size("_ps")
+    ).cast("long")
+    out = (
+        base.select("doc_id", "n_words", F.size("_g").cast("long").alias("n_grams_cross"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams_cross",
+            n_hits.alias("n_dup_grams_cross"),
+            F.round(
+                n_hits / F.nullif(F.col("n_grams_cross").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("dup_gram_frac_cross"),
+            F.when(F.col("_ps").isNull(), F.lit(0.0))
+            .otherwise(
+                F.round(
+                    fold["cov"].cast("double")
+                    / F.nullif(F.col("n_words").cast("double"), F.lit(0.0)),
+                    6,
+                )
+            )
+            .alias("dup_token_coverage"),
+            F.coalesce(fold["spans"], F.lit(0).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    return out

@@ -1967,14 +1967,30 @@ def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.benchmark_overlap(docs.filter(~is_bench), docs.filter(is_bench))
 
 
-@register("text_repetition", TO.repetition_sql())
+@register(
+    "text_repetition",
+    f"SELECT a.*, b.* EXCLUDE (doc_id)\n"
+    f"FROM ({TO.repetition_sql()}) a\n"
+    f"JOIN ({TO.cross_dup_sql()}) b ON a.doc_id = b.doc_id",
+)
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Within-document repetition signals (Gopher/MassiveText repetition
-    quality filter, Rae et al. 2021 Table A1 adapted to word grain):
-    duplicate-word fraction, duplicate/top n-gram occurrence fractions,
-    policy flag.  MAP-ONLY — sorted-array HOFs inside one projection, no
-    explode, no shuffle, no Python: scan-bound at any corpus size."""
-    return TX.repetition_stats(load_table(spark, sf_dir, "documents"))
+    """Document duplication-signal panel, one row per document:
+
+      * WITHIN-document repetition (Gopher/MassiveText repetition quality
+        filter, Rae et al. 2021 Table A1 adapted to word grain):
+        duplicate-word fraction, duplicate/top n-gram occurrence
+        fractions, policy flag.  MAP-ONLY — sorted-array HOFs inside one
+        projection, no explode, no shuffle, no Python: scan-bound at any
+        corpus size.
+      * CROSS-document exact-substring duplication (the distributed
+        shape of Lee et al.'s suffix-array ExactSubstr dedup): duplicated
+        k-gram fraction, merged-span token coverage, span count — one
+        bounded keyed gram shuffle, duplicate test min<>max doc_id
+        (operators/textops.cross_doc_duplication)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.repetition_stats(docs).join(
+        TX.cross_doc_duplication(docs), "doc_id"
+    )
 
 
 @register("mixture_sample", TO.mixture_sample_sql())

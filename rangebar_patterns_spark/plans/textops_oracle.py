@@ -939,3 +939,65 @@ SELECT b.doc_id,
 FROM (SELECT doc_id FROM bound) b
 LEFT JOIN scored s ON s.doc_id = b.doc_id
 """
+
+
+def cross_dup_sql(k: int | None = None) -> str:
+    """Twin of textops.cross_doc_duplication: same 1-based gram slices,
+    same md5 63-bit gram hash, duplicate test min(doc_id) <> max(doc_id),
+    and the same merged-interval fold over sorted gram starts (DuckDB
+    list_reduce carrying (prev, covered, spans))."""
+    from ..operators.textops import CROSS_DUP_K
+
+    kk = CROSS_DUP_K if k is None else k
+    grams = f"""wbase AS (SELECT doc_id, {WORDS} AS w FROM documents),
+base AS (
+    SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        CASE WHEN len(w) >= {kk} THEN
+            list_transform(generate_series(1, len(w) - {kk - 1}),
+                i -> array_to_string(w[i:i+{kk - 1}], ' '))
+        ELSE [] END AS g
+    FROM wbase
+),
+grams AS (
+    SELECT doc_id, p.i AS pos, {_hexint("g[p.i]")} AS gh
+    FROM base, LATERAL (SELECT unnest(generate_series(1, len(g))) AS i) p
+),
+dup AS (
+    SELECT gh FROM grams GROUP BY gh HAVING min(doc_id) <> max(doc_id)
+),
+hits AS (
+    SELECT doc_id, list_sort(list(pos)) AS ps
+    FROM grams JOIN dup USING (gh)
+    GROUP BY doc_id
+),
+folded AS (
+    SELECT doc_id, ps,
+        list_reduce(
+            list_prepend({{'prev': CAST(-1000000000 AS BIGINT),
+                           'cov': CAST(0 AS BIGINT),
+                           'spans': CAST(0 AS BIGINT)}},
+                list_transform(ps, x -> {{'prev': CAST(x AS BIGINT),
+                                          'cov': CAST(0 AS BIGINT),
+                                          'spans': CAST(0 AS BIGINT)}})),
+            (acc, e) -> {{'prev': e.prev,
+                'cov': acc.cov + least(CAST({kk} AS BIGINT), e.prev - acc.prev),
+                'spans': acc.spans + CASE WHEN e.prev - acc.prev >= {kk}
+                                          THEN 1 ELSE 0 END}}) AS f
+    FROM hits
+)"""
+    return f"""
+WITH {grams}
+SELECT b.doc_id,
+    CAST(len(b.g) AS BIGINT) AS n_grams_cross,
+    CAST(coalesce(len(h.ps), 0) AS BIGINT) AS n_dup_grams_cross,
+    round(CAST(coalesce(len(h.ps), 0) AS DOUBLE)
+        / nullif(CAST(len(b.g) AS DOUBLE), 0.0), 6) AS dup_gram_frac_cross,
+    CASE WHEN h.ps IS NULL THEN 0.0
+         ELSE round(CAST(f.f.cov AS DOUBLE)
+             / nullif(CAST(b.n_words AS DOUBLE), 0.0), 6)
+    END AS dup_token_coverage,
+    CAST(coalesce(f.f.spans, 0) AS BIGINT) AS n_dup_spans
+FROM base b
+LEFT JOIN hits h USING (doc_id)
+LEFT JOIN folded f USING (doc_id)
+"""

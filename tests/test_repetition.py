@@ -68,3 +68,49 @@ def test_duplicate_occurrences_count_every_copy(spark):
     out = repetition_stats(_docs(spark, ["x y x y x y"])).collect()[0]
     assert out.dup_2gram_frac == 1.0
     assert out.top_2gram_frac == 0.6  # xy appears 3/5
+
+
+def test_cross_doc_duplication_scenarios(spark):
+    """Crafted corpus pins the cross-document exact-substring semantics
+    (Lee et al. ExactSubstr, k-gram formulation):
+
+      * doc 0 and doc 1 share one 6-word span -> two 5-grams each, ONE
+        merged span, coverage 6/n_words;
+      * doc 2 repeats a phrase WITHIN itself only -> no cross-doc signal;
+      * doc 3 shares nothing;
+      * doc 4 is a full copy of doc 0 -> coverage 1.0, one span.
+    """
+    from rangebar_patterns_spark.operators.textops import (
+        cross_doc_duplication,
+    )
+
+    shared = "the quick brown fox jumps high"  # 6 words -> 2 dup 5-grams
+    docs = spark.createDataFrame(
+        [
+            (0, f"{shared} alpha beta gamma delta"),
+            (1, f"zero one two {shared} nine ten"),
+            (2, "rep rep rep rep rep rep rep rep unique tail words here"),
+            (3, "completely different content with no overlap at all ok"),
+            (4, f"{shared} alpha beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in cross_doc_duplication(docs).collect()}
+
+    # doc 0 == doc 4 (full copies): every gram duplicated, one span
+    for d in (0, 4):
+        r = out[d]
+        assert r.n_grams_cross == 6  # 10 words -> 6 5-grams
+        assert r.n_dup_grams_cross == 6
+        assert r.dup_token_coverage == 1.0
+        assert r.n_dup_spans == 1
+    # doc 1 shares exactly the 6-word phrase: 2 dup grams, 6 of 11 words
+    r1 = out[1]
+    assert r1.n_dup_grams_cross == 2
+    assert r1.n_dup_spans == 1
+    assert r1.dup_token_coverage == round(6 / 11, 6)
+    # within-doc repetition alone is NOT cross-doc duplication
+    assert out[2].n_dup_grams_cross == 0
+    assert out[2].dup_token_coverage == 0.0
+    assert out[3].n_dup_grams_cross == 0
+    assert out[3].n_dup_spans == 0
