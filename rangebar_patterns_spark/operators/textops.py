@@ -840,26 +840,28 @@ def cross_doc_duplication(docs: DataFrame, k: int = CROSS_DUP_K) -> DataFrame:
         merging overlapping/adjacent gram intervals.
 
     Scale shape (the honest inverted-index plan, same discipline as
-    ``bm25_topk``): one posexplode to (doc_id, pos, gram-hash) rows —
-    bounded by corpus token count, the same cardinality any suffix/index
-    construction touches; one keyed aggregate over gram hashes where the
-    duplicate test is min(doc_id) <> max(doc_id) (never a countDistinct);
-    one keyed equi-join back; one per-doc aggregate whose collect_list is
-    bounded by document length.  Nothing all-pairs, nothing driver-side.
-    Hash = the shared cross-engine md5 63-bit prefix, so the DuckDB twin
+    ``bm25_topk``): the TEXT column is read exactly once — one posexplode
+    to (doc_id, pos, gram-hash) rows, bounded by corpus token count, the
+    same cardinality any suffix/index construction touches; every
+    downstream statistic derives from that relation (per-doc totals are a
+    second keyed aggregate over it, and the coverage denominator is
+    n_grams + k - 1, exact for any doc that has grams) plus one doc_id-only
+    scan for the output universe.  The duplicate test is min(doc_id) <>
+    max(doc_id) over a keyed aggregate (never a countDistinct); the span
+    merge is one per-doc fold whose collect_list is bounded by document
+    length.  Nothing all-pairs, nothing driver-side.  Hash = the shared
+    cross-engine md5 63-bit prefix, so the DuckDB twin
     (textops_oracle.cross_dup_sql) is hash-exact."""
     from .dedup import hexint, shingles_col, words_col
 
     bound = docs.select("doc_id", words_col().alias("_w"))
-    base = bound.select(
+    grams = bound.select(
         "doc_id",
-        F.size("_w").cast("long").alias("n_words"),
-        shingles_col(k, words=F.col("_w")).alias("_g"),
-    )
-    grams = base.select(
-        "doc_id",
-        F.posexplode("_g").alias("_p", "_gram"),
+        F.posexplode(shingles_col(k, words=F.col("_w"))).alias("_p", "_gram"),
     ).select("doc_id", (F.col("_p") + 1).alias("pos"), hexint(F.col("_gram")).alias("gh"))
+    totals = grams.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("_ng")
+    )
     dup = (
         grams.groupBy("gh")
         .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
@@ -891,22 +893,26 @@ def cross_doc_duplication(docs: DataFrame, k: int = CROSS_DUP_K) -> DataFrame:
     n_hits = F.when(F.col("_ps").isNull(), F.lit(0)).otherwise(
         F.size("_ps")
     ).cast("long")
+    n_grams = F.coalesce(F.col("_ng"), F.lit(0).cast("long"))
+    # any doc with >= 1 gram has exactly n_grams + k - 1 words; docs
+    # without grams (< k words) can't have hits, so the coverage branch
+    # never reads a wrong denominator
+    n_words = (n_grams + F.lit(k - 1)).cast("double")
     out = (
-        base.select("doc_id", "n_words", F.size("_g").cast("long").alias("n_grams_cross"))
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",
-            "n_grams_cross",
+            n_grams.alias("n_grams_cross"),
             n_hits.alias("n_dup_grams_cross"),
             F.round(
-                n_hits / F.nullif(F.col("n_grams_cross").cast("double"), F.lit(0.0)),
-                6,
+                n_hits / F.nullif(n_grams.cast("double"), F.lit(0.0)), 6
             ).alias("dup_gram_frac_cross"),
             F.when(F.col("_ps").isNull(), F.lit(0.0))
             .otherwise(
                 F.round(
-                    fold["cov"].cast("double")
-                    / F.nullif(F.col("n_words").cast("double"), F.lit(0.0)),
+                    fold["cov"].cast("double") / F.nullif(n_words, F.lit(0.0)),
                     6,
                 )
             )
