@@ -769,3 +769,51 @@ def duplicate_clusters_star(
         "doc_id", F.coalesce("cluster_rep", "doc_id").alias("cluster_rep")
     )
     return _cluster_output(labels)
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found
+    by exact cosine WITHIN learned k-means cells — the paper's recipe for
+    making embedding dedup tractable at corpus scale (all-pairs work is
+    bounded per cell instead of global; cells come from the same trained
+    IVF coarse quantizer the similarity layer serves from).
+
+    Contrast with :func:`embedding_near_dup_pairs`, whose candidate cells
+    are RANDOM sign-hash buckets: learned cells put semantically close
+    vectors together, so recall at a given candidate budget is higher —
+    exactly the learned-vs-random bucketing trade the SemDeDup paper
+    measures.  Deterministic end to end: cluster assignment is the
+    hash-certified ``kmeans_assign`` (first-k seeds, round-6 lockstep)
+    and the verify is the shared round-6 exact cosine.
+
+    Output: (vec_a, vec_b, cluster, cosine) for pairs with cosine >=
+    ``threshold``; scale = one assignment pass + per-cell bounded
+    self-join + exact verify, never global all-pairs."""
+    from .similarity import kmeans_assign  # function-level: avoids cycle
+
+    v = (
+        spread_narrow_scan(emb, key="vec_id")
+        .select("vec_id", vec_double(F.col("embedding")).alias("v"))
+        .join(
+            kmeans_assign(emb).select("vec_id", "cluster"),
+            "vec_id",
+        )
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cluster").cast("long").alias("cluster"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

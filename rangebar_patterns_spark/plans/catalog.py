@@ -1395,6 +1395,10 @@ UNION ALL
 SELECT 'embedding_cosine', vec_a, vec_b,
     NULL, NULL, NULL, NULL, NULL, NULL, bucket, cosine
 FROM ({TO.EMB_NEAR_DUP_SQL})
+UNION ALL
+SELECT 'semdedup', vec_a, vec_b,
+    NULL, NULL, NULL, NULL, NULL, NULL, cluster, cosine
+FROM ({TO.semdedup_pairs_sql()})
 """
 
 
@@ -1411,20 +1415,28 @@ def q_dedup_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       * ``ngram_jaccard`` — PPJoin prefix-filtered shingle Jaccard;
       * ``minhash_lsh`` — banded MinHash equi-join + exact verify;
       * ``simhash`` — pigeonhole chunk join + popcount verify;
-      * ``embedding_cosine`` — sign-bucket LSH + exact cosine verify."""
+      * ``embedding_cosine`` — sign-bucket LSH + exact cosine verify;
+      * ``semdedup`` — SemDeDup (Abbas et al. 2023): exact cosine within
+        LEARNED k-means cells (the trained IVF quantizer), the
+        learned-vs-random bucketing contrast to ``embedding_cosine`` —
+        same verify and threshold, 21 vs 3 pairs on the sf0.001 fixture
+        (its ``bucket`` column carries the cluster id)."""
     docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = DD.semantic_dedup_pairs(emb).withColumnRenamed("cluster", "bucket")
     return (
         _neardup_norm(_jaccard_pairs(spark, sf_dir), "ngram_jaccard")
         .unionByName(_neardup_norm(_minhash_pairs(spark, sf_dir), "minhash_lsh"))
         .unionByName(_neardup_norm(DD.simhash_near_pairs(docs), "simhash"))
         .unionByName(
             _neardup_norm(
-                DD.embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings")),
+                DD.embedding_near_dup_pairs(emb),
                 "embedding_cosine",
                 a="vec_a",
                 b="vec_b",
             )
         )
+        .unionByName(_neardup_norm(sem, "semdedup", a="vec_a", b="vec_b"))
     )
 
 

@@ -1001,3 +1001,24 @@ FROM base b
 LEFT JOIN hits h USING (doc_id)
 LEFT JOIN folded f USING (doc_id)
 """
+
+
+def semdedup_pairs_sql() -> str:
+    """Twin of dedup.semantic_dedup_pairs: cluster labels from the
+    UNROLLED spherical-k-means chain (kmeans_assign_sql, materialized
+    once), within-cell self-join, the same round-6 exact cosine verify
+    and threshold as the sign-bucket variant."""
+    from ..operators.dedup import COSINE_DUP_THRESHOLD
+
+    return f"""
+WITH ev AS (SELECT vec_id, {_VD} AS v FROM embeddings),
+km AS MATERIALIZED ({kmeans_assign_sql()})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    CAST(a.cluster AS BIGINT) AS cluster,
+    round({_cos("ea.v", "eb.v")}, 6) AS cosine
+FROM km a
+JOIN km b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+JOIN ev ea ON ea.vec_id = a.vec_id
+JOIN ev eb ON eb.vec_id = b.vec_id
+WHERE round({_cos("ea.v", "eb.v")}, 6) >= {COSINE_DUP_THRESHOLD!r}
+"""
