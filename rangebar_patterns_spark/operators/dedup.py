@@ -772,7 +772,9 @@ def duplicate_clusters_star(
 
 
 def semantic_dedup_pairs(
-    emb: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
+    emb: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found
     by exact cosine WITHIN learned k-means cells — the paper's recipe for
@@ -797,7 +799,7 @@ def semantic_dedup_pairs(
         spread_narrow_scan(emb, key="vec_id")
         .select("vec_id", vec_double(F.col("embedding")).alias("v"))
         .join(
-            kmeans_assign(emb).select("vec_id", "cluster"),
+            kmeans_assign(emb, cents=cents).select("vec_id", "cluster"),
             "vec_id",
         )
     )

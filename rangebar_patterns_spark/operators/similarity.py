@@ -543,13 +543,19 @@ def kmeans_train(
 
 
 def kmeans_assign(
-    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """Final cluster assignment after :func:`kmeans_train` — the trained
     coarse-quantizer cells an IVF index would bucket the corpus by.
-    Output: (vec_id, cluster, centroid_cos)."""
+    Output: (vec_id, cluster, centroid_cos).  ``cents`` injects an
+    already-trained centroid matrix (several catalog entries consume the
+    same quantizer — train once, assign many)."""
     spark = emb.sparkSession
-    cents = kmeans_train(emb, k, iters)
+    if cents is None:
+        cents = kmeans_train(emb, k, iters)
     cdf = spark.createDataFrame(
         list(enumerate(cents)), "cid int, cv array<double>"
     )

@@ -76,6 +76,7 @@ def reset_plan_caches(spark: SparkSession) -> None:
         _ARRS_CACHE,
         _MH_PAIRS_CACHE,
         _LOGREG_RAW_CACHE,
+        _KMEANS_CENTS_CACHE,
     ):
         cache.clear()
     spark.catalog.clearCache()
@@ -1423,7 +1424,9 @@ def q_dedup_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (its ``bucket`` column carries the cluster id)."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    sem = DD.semantic_dedup_pairs(emb).withColumnRenamed("cluster", "bucket")
+    sem = DD.semantic_dedup_pairs(
+        emb, cents=_kmeans_cents(spark, sf_dir)
+    ).withColumnRenamed("cluster", "bucket")
     return (
         _neardup_norm(_jaccard_pairs(spark, sf_dir), "ngram_jaccard")
         .unionByName(_neardup_norm(_minhash_pairs(spark, sf_dir), "minhash_lsh"))
@@ -2016,6 +2019,22 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.mixture_sample(load_table(spark, sf_dir, "documents"))
 
 
+#: trained IVF centroid matrix per (session, sf_dir) — kmeans_ivf_assign
+#: and the semdedup branch of dedup_neardup_pairs consume the SAME
+#: quantizer, so Lloyd's runs once per session, not per entry (k x dim
+#: doubles; cleared by reset_plan_caches like every side-cache)
+_KMEANS_CENTS_CACHE: dict[tuple[int, str], list] = {}
+
+
+def _kmeans_cents(spark: SparkSession, sf_dir: str) -> list:
+    key = (id(spark), sf_dir)
+    if key not in _KMEANS_CENTS_CACHE:
+        _KMEANS_CENTS_CACHE[key] = SIM.kmeans_train(
+            load_table(spark, sf_dir, "embeddings")
+        )
+    return _KMEANS_CENTS_CACHE[key]
+
+
 @register("kmeans_ivf_assign", TO.kmeans_assign_sql())
 def q_kmeans_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means (Lloyd's) training the IVF coarse
@@ -2025,7 +2044,10 @@ def q_kmeans_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     in corpus size.  Deterministic end to end (round-6 cosine ranking,
     vec_id-ordered mean folds), so the unrolled-CTE DuckDB twin
     hash-matches the final assignment."""
-    return SIM.kmeans_assign(load_table(spark, sf_dir, "embeddings"))
+    return SIM.kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"),
+        cents=_kmeans_cents(spark, sf_dir),
+    )
 
 
 from ..operators import classifier as CLF  # noqa: E402
