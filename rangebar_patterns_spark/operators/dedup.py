@@ -792,19 +792,48 @@ def semantic_dedup_pairs(
 
     Output: (vec_a, vec_b, cluster, cosine) for pairs with cosine >=
     ``threshold``; scale = one assignment pass + per-cell bounded
-    self-join + exact verify, never global all-pairs."""
-    from .similarity import kmeans_assign  # function-level: avoids cycle
+    self-join + exact verify, never global all-pairs.  Like
+    :func:`embedding_near_dup_pairs`, self-norms are computed once per
+    VECTOR, not per candidate pair (dup-heavy cells would otherwise
+    re-fold dot(a,a)/dot(b,b) for every pair a vector lands in — ~2/3 of
+    the verify arithmetic); same IEEE ops in the same order (sqrt per
+    side, then multiply), so the result is bit-identical to cosine_col
+    and the oracle twin.
 
+    The CELL COUNT is SemDeDup's scale lever (the paper sizes k to the
+    corpus — 50k clusters for 100M+ points): per-cell candidate work is
+    ~n²/2k while training costs ~iters·n·k, so k* = sqrt(n / (2·iters))
+    balances them.  k = max(KMEANS_K, isqrt(n/8)) — at the correctness
+    fixtures (n = 500) that IS the certified k=8 quantizer, so the
+    static DuckDB twin stays exact; bigger corpora train a
+    proportionally finer quantizer (deterministic: k is a pure function
+    of n).  ``cents`` injects an already-trained k=KMEANS_K matrix and
+    is used only when the derived k equals KMEANS_K."""
+    from math import isqrt
+
+    from .similarity import KMEANS_K, kmeans_assign, kmeans_train
+
+    n = emb.count()  # driver-held sizing scalar (cf. sweep.py's sizing aggregate)
+    k = max(KMEANS_K, isqrt(max(n, 1) // 8))
+    if k != KMEANS_K:
+        cents = None
+    if cents is None:
+        cents = kmeans_train(emb, k=k)
     v = (
         spread_narrow_scan(emb, key="vec_id")
         .select("vec_id", vec_double(F.col("embedding")).alias("v"))
+        .withColumn("norm", F.sqrt(dot_col(F.col("v"), F.col("v"))))
         .join(
-            kmeans_assign(emb, cents=cents).select("vec_id", "cluster"),
+            kmeans_assign(emb, k=k, cents=cents).select("vec_id", "cluster"),
             "vec_id",
         )
     )
     a, b = v.alias("a"), v.alias("b")
-    cos = F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6)
+    cos = F.round(
+        dot_col(F.col("a.v"), F.col("b.v"))
+        / F.nullif(F.col("a.norm") * F.col("b.norm"), F.lit(0.0)),
+        6,
+    )
     return (
         a.join(
             b,
