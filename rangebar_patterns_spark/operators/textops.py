@@ -874,8 +874,10 @@ def cross_doc_duplication(docs: DataFrame, k: int = CROSS_DUP_K) -> DataFrame:
         .agg(F.array_sort(F.collect_list("pos")).alias("_ps"))
     )
     # merged-interval union over sorted gram starts: each gram covers
-    # [pos, pos+k); a new span opens when the gap since the previous
-    # start is >= k.  One fold, no Python.
+    # [pos, pos+k); a new MAXIMAL span opens only when the covered text
+    # breaks — gap since the previous start STRICTLY > k (a gram starting
+    # exactly at prev+k continues the contiguous duplicated run, so it
+    # merges).  One fold, no Python.
     fold = F.aggregate(
         F.col("_ps"),
         F.struct(
@@ -886,7 +888,7 @@ def cross_doc_duplication(docs: DataFrame, k: int = CROSS_DUP_K) -> DataFrame:
         lambda acc, p: F.struct(
             p.cast("long").alias("prev"),
             (acc["cov"] + F.least(F.lit(k).cast("long"), p.cast("long") - acc["prev"])).alias("cov"),
-            (acc["spans"] + F.when(p.cast("long") - acc["prev"] >= k, 1).otherwise(0).cast("long")).alias("spans"),
+            (acc["spans"] + F.when(p.cast("long") - acc["prev"] > k, 1).otherwise(0).cast("long")).alias("spans"),
         ),
     )
     # size(NULL) is -1 on this build (legacy sizeOfNull) — branch explicitly

@@ -981,7 +981,7 @@ folded AS (
                                           'spans': CAST(0 AS BIGINT)}})),
             (acc, e) -> {{'prev': e.prev,
                 'cov': acc.cov + least(CAST({kk} AS BIGINT), e.prev - acc.prev),
-                'spans': acc.spans + CASE WHEN e.prev - acc.prev >= {kk}
+                'spans': acc.spans + CASE WHEN e.prev - acc.prev > {kk}
                                           THEN 1 ELSE 0 END}}) AS f
     FROM hits
 )"""

@@ -114,3 +114,94 @@ def test_cross_doc_duplication_scenarios(spark):
     assert out[2].dup_token_coverage == 0.0
     assert out[3].n_dup_grams_cross == 0
     assert out[3].n_dup_spans == 0
+
+
+def test_cross_doc_duplication_property(spark):
+    """Property test: the distributed k-gram formulation must equal a
+    brute-force python spec (gram -> doc-set index, interval union) on
+    random corpora over a tiny vocabulary (forcing heavy cross-doc
+    collisions), including empty docs and docs shorter than k."""
+    import random
+
+    from rangebar_patterns_spark.operators.textops import (
+        CROSS_DUP_K,
+        cross_doc_duplication,
+    )
+
+    k = CROSS_DUP_K
+    rng = random.Random(8)
+    vocab = ["a", "b", "c"]
+    for trial in range(3):
+        texts = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+            for d in range(12)
+        ]
+
+        # --- brute-force spec -------------------------------------------
+        gram_docs: dict[tuple, set] = {}
+        doc_grams: dict[int, list] = {}
+        for d, t in texts:
+            ws = [w for w in t.split(" ") if w]
+            gs = [tuple(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+            doc_grams[d] = gs
+            for g in gs:
+                gram_docs.setdefault(g, set()).add(d)
+        dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+        expect = {}
+        for d, t in texts:
+            ws = [w for w in t.split(" ") if w]
+            gs = doc_grams[d]
+            ps = [i + 1 for i, g in enumerate(gs) if g in dup]
+            covered, spans, prev_end = set(), 0, None
+            for p in ps:
+                covered.update(range(p, p + k))
+                if prev_end is None or p > prev_end:
+                    spans += 1
+                prev_end = p + k  # next gram adjacent-or-overlapping joins
+            expect[d] = (
+                len(gs),
+                len(ps),
+                round(len(ps) / len(gs), 6) if gs else None,
+                round(len(covered) / len(ws), 6) if ps else 0.0,
+                spans,
+            )
+
+        got = {
+            r.doc_id: (
+                r.n_grams_cross,
+                r.n_dup_grams_cross,
+                r.dup_gram_frac_cross,
+                r.dup_token_coverage,
+                r.n_dup_spans,
+            )
+            for r in cross_doc_duplication(
+                spark.createDataFrame(texts, "doc_id long, text string")
+            ).collect()
+        }
+        assert got == expect, f"trial {trial}: {got} != {expect}"
+
+
+def test_cross_doc_adjacent_spans_merge(spark):
+    """Two duplicated grams whose starts are exactly k apart cover
+    contiguous text (positions [p, p+k-1] and [p+k, p+2k-1]) — that is
+    ONE maximal duplicated span, not two.  Doc 0 = S1+S2 back to back;
+    S1 is shared with doc 1, S2 with doc 2, and the straddling grams are
+    unique, so doc 0's dup gram starts are exactly {1, 6} with k=5."""
+    from rangebar_patterns_spark.operators.textops import (
+        cross_doc_duplication,
+    )
+
+    s1 = "alpha beta gamma delta epsilon"
+    s2 = "zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{s1} {s2}"),
+            (1, f"{s1} filler1 filler2 filler3 filler4 filler5"),
+            (2, f"filler6 filler7 filler8 filler9 filler10 {s2}"),
+        ],
+        "doc_id long, text string",
+    )
+    r0 = {r.doc_id: r for r in cross_doc_duplication(docs).collect()}[0]
+    assert r0.n_dup_grams_cross == 2
+    assert r0.dup_token_coverage == 1.0  # contiguous: all 10 words
+    assert r0.n_dup_spans == 1  # adjacency merges
