@@ -16,6 +16,15 @@ spread, demo-grid medians + spread, the sf1 scale block, raw samples —
 goes to the ``BENCH_DETAIL.json`` sidecar next to this file.
 tests/test_bench_output.py pins the budget against the live catalog.
 
+Last-line guarantee (round 8's record loss): the local-mode JVM shares the
+process stdout fd, and its StateStore maintenance thread can log AFTER
+Python exits — no in-process ordering can beat a co-writer.  So the
+normal entrypoint self-wraps (``run_wrapped``): the Spark-owning child
+runs with stdout piped to the wrapper's stderr, and the wrapper prints
+the single JSON line only after the pipe drains (all writers, JVM
+included, are gone).  The regression test runs a stateful-streaming
+entry end-to-end and asserts stdout is exactly the one line.
+
 Timing convention: each query is planned AND fully executed (count() of
 the result — forces the whole DAG, no collect of wide rows to the
 driver).  The session is built once; a tiny pre-warm query pays
@@ -46,13 +55,69 @@ import os
 import statistics
 import subprocess
 import sys
+import threading
 import time
 
 BENCH_VERSION = 4
 #: driver stdout-tail capture is ~2000 chars; stay safely under it
 LINE_BUDGET = 1900
-DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json")
+DETAIL_PATH = os.environ.get(
+    "SPARK_GRAFT_BENCH_DETAIL_PATH",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+)
+#: inner→wrapper handoff file for the final driver line (see run_wrapped)
+_INNER_ENV = "SPARK_GRAFT_BENCH_INNER"
+
+
+def run_wrapped() -> int:
+    """Round 8 lost its bench record (BENCH_r08.json ``parsed: null``)
+    because the local-mode JVM — a *child process sharing our stdout fd* —
+    printed a StateStore-maintenance WARN after Python exited, pushing the
+    head of the final JSON line out of the driver's end-anchored stdout
+    tail.  No amount of "print last" inside the Spark-owning process can
+    guarantee last-ness against a co-writer JVM, so the guarantee is moved
+    up a process: re-exec ourselves with stdout PIPED, forward every byte
+    the child (and its JVM) writes to *stderr*, and only after the pipe
+    drains print the one driver-facing line from this wrapper — a process
+    the JVM has no fd into."""
+    line_path = DETAIL_PATH + ".line"
+    try:
+        os.unlink(line_path)
+    except FileNotFoundError:
+        pass
+    env = dict(os.environ, **{_INNER_ENV: line_path})
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        stdout=subprocess.PIPE,
+        env=env,
+    )
+
+    def _drain() -> None:
+        # reads until EOF — i.e. until every holder of the write end
+        # (inner Python AND the JVM it spawned) has exited or closed it
+        assert proc.stdout is not None
+        for chunk in iter(lambda: proc.stdout.read(8192), b""):
+            sys.stderr.buffer.write(chunk)
+            sys.stderr.buffer.flush()
+
+    drainer = threading.Thread(target=_drain, daemon=True)
+    drainer.start()
+    rc = proc.wait()
+    # grace period for a lingering JVM still holding the pipe; if it hangs,
+    # the daemon drainer keeps routing its output to stderr and we move on
+    drainer.join(timeout=60)
+
+    if rc == 0 and os.path.exists(line_path):
+        with open(line_path) as fh:
+            line = fh.read().strip()
+        os.unlink(line_path)
+        sys.stderr.flush()
+        print(line, flush=True)
+    else:
+        print(f"bench: inner run failed (rc={rc}, line file "
+              f"{'present' if os.path.exists(line_path) else 'missing'})",
+              file=sys.stderr)
+    return rc
 
 
 def time_queries(spark, qs, sf_dir, timings):
@@ -134,11 +199,28 @@ def main() -> None:
 
     from rangebar_patterns_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # state-store maintenance (spawned by the streaming entry's state
+    # store) must never fire around shutdown: its thread logs to stdout
+    # after SparkEnv tears down (the r8 record-loss trigger).  One bench
+    # process lives well under this interval, so the thread never ticks.
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.sql.streaming.stateStore.maintenanceInterval": "86400s",
+        },
+    )
 
     import __spark_entry__ as entrymod
 
     qs = dict(entrymod.queries())
+    # regression-test hook: run a named subset of the catalog only
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = keep - set(qs)
+        if unknown:
+            raise SystemExit(f"bench: unknown SPARK_GRAFT_BENCH_ONLY {unknown}")
+        qs = {n: f for n, f in qs.items() if n in keep}
     # demonstration-scale bench-only workloads (full-width gen600 grids):
     # timed here, correctness-pinned in the pytest oracle suite
     from rangebar_patterns_spark.plans.catalog import (
@@ -148,6 +230,22 @@ def main() -> None:
 
     # pre-warm: JVM classloading + codegen on a trivial plan
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # full warm-up pass, EXCLUDED from medians: first catalog samples
+    # carry 2-3x JVM/classloader/page-cache cold-start inflation
+    # (r8: bars_adapter 5.5 s cold vs 1.7/1.7 s warm), which pollutes
+    # medians-of-3 and makes cross-round deltas noisier than the code.
+    # Skipped for tiny budgets (regression tests) or via env.
+    warmed = False
+    if (os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+            and budget_s >= 600):
+        print("bench: === warm-up pass (untimed) ===", file=sys.stderr)
+        t0 = time.monotonic()
+        time_queries(spark, qs, sf_dir, {})
+        reset_plan_caches(spark)
+        warmed = True
+        print(f"bench: warm-up took {time.monotonic() - t0:.1f}s",
+              file=sys.stderr)
 
     # single-run wall-clock swings 2-4x on this host from co-tenant CPU
     # steal: run the gate catalog n_runs times cold (plan caches dropped
@@ -184,6 +282,7 @@ def main() -> None:
 
     detail = {
         "bench_version": BENCH_VERSION,
+        "warmup": warmed,
         "runs": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "queries": queries,
@@ -257,9 +356,27 @@ def main() -> None:
     if "sf1" in detail:
         out["sf1_total"] = detail["sf1"]["total"]
 
-    # the ONE driver-facing line, printed LAST (tail capture keeps the end)
-    print(driver_line(out))
+    line = driver_line(out)
+
+    # stop Spark BEFORE emitting the line so the JVM's shutdown logging
+    # (if any) lands while our co-writer defense below is still in place
+    spark.stop()
+
+    line_path = os.environ.get(_INNER_ENV)
+    if line_path:
+        # wrapped mode (the normal path): hand the line to the wrapper,
+        # which prints it to the REAL stdout after the pipe drains; our
+        # own stdout is the wrapper's pipe→stderr relay, so the echo
+        # below is informational only
+        tmp = line_path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(line + "\n")
+        os.replace(tmp, line_path)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if _INNER_ENV in os.environ:
+        main()
+    else:
+        sys.exit(run_wrapped())

@@ -9,6 +9,9 @@ parseable too."""
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 
 import bench
 from rangebar_patterns_spark.plans.catalog import QUERIES
@@ -50,6 +53,42 @@ def test_driver_line_degrades_not_truncates():
     parsed = json.loads(line)  # still one valid JSON object
     assert parsed["value"] == 99999.999
     assert "queries" not in parsed and parsed["queries_in"] == "BENCH_DETAIL.json"
+
+
+def test_stdout_is_exactly_one_json_line_after_stateful_streaming(tmp_path):
+    """Round 8's record loss: the JVM's StateStore maintenance thread —
+    spawned by the streaming entry's state store, sharing our stdout fd —
+    logged AFTER Python exited and displaced the head of the final JSON
+    line out of the driver's end-anchored ~2000-char tail
+    (BENCH_r08.json ``parsed: null``).  Run the real bench entrypoint
+    end-to-end over the stateful-streaming entry and assert the process
+    stdout is EXACTLY the one driver line — nothing before, nothing
+    after, even from the JVM."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_ONLY="streaming_hourly_counts",
+        SPARK_GRAFT_BENCH_RUNS="1",
+        SPARK_GRAFT_BENCH_DEMO_RUNS="0",
+        SPARK_GRAFT_BENCH_SF1="0",
+        SPARK_GRAFT_BENCH_WARMUP="0",
+        SPARK_GRAFT_BENCH_DETAIL_PATH=str(tmp_path / "detail.json"),
+    )
+    env.pop("SPARK_GRAFT_BENCH_INNER", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(bench.__file__), "bench.py")],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        timeout=600,
+    )
+    assert proc.returncode == 0
+    lines = proc.stdout.decode().splitlines()
+    assert len(lines) == 1, f"stdout must be ONE line, got {len(lines)}: {lines[:3]}"
+    parsed = json.loads(lines[0])
+    assert parsed["metric"] == "catalog_total_wall"
+    assert set(parsed["queries"]) == {"streaming_hourly_counts"}
+    assert (tmp_path / "detail.json").exists()
 
 
 def test_medians_and_spreads_skip_nan():
