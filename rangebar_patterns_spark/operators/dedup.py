@@ -771,10 +771,33 @@ def duplicate_clusters_star(
     return _cluster_output(labels)
 
 
+#: SemDeDup quantizer sizing: target ~200 vectors per learned cell, so the
+#: per-cell exact verify is bounded (~n·cell/2 total candidate pairs —
+#: LINEAR in the corpus for a fixed cell size) and the cell count scales
+#: ∝ n the way the paper sizes it (Abbas et al. 2023 §3: 50K clusters for
+#: 100M+ points ≈ 2K/cell; we run finer because local corpora are small).
+#: KMAX caps the broadcast centroid matrix (65536 × dim doubles ≈ 32 MB
+#: at dim 64 — inside the session's 64 MB broadcast ceiling).
+SEMDEDUP_CELL = 200
+SEMDEDUP_KMAX = 65536
+
+
+def semdedup_cell_count(n: int) -> int:
+    """Cell count for a corpus of ``n`` embeddings: n/SEMDEDUP_CELL,
+    clamped to [KMEANS_K, SEMDEDUP_KMAX].  Pure function of n, so both
+    engines (and successive runs) derive the same quantizer; at the
+    500-vector correctness fixtures this IS the certified k=8."""
+    from .similarity import KMEANS_K
+
+    return max(KMEANS_K, min(max(n, 1) // SEMDEDUP_CELL, SEMDEDUP_KMAX))
+
+
 def semantic_dedup_pairs(
     emb: DataFrame,
     threshold: float = COSINE_DUP_THRESHOLD,
     cents: list[list[float]] | None = None,
+    k: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found
     by exact cosine WITHIN learned k-means cells — the paper's recipe for
@@ -801,24 +824,44 @@ def semantic_dedup_pairs(
     and the oracle twin.
 
     The CELL COUNT is SemDeDup's scale lever (the paper sizes k to the
-    corpus — 50k clusters for 100M+ points): per-cell candidate work is
-    ~n²/2k while training costs ~iters·n·k, so k* = sqrt(n / (2·iters))
-    balances them.  k = max(KMEANS_K, isqrt(n/8)) — at the correctness
-    fixtures (n = 500) that IS the certified k=8 quantizer, so the
-    static DuckDB twin stays exact; bigger corpora train a
-    proportionally finer quantizer (deterministic: k is a pure function
-    of n).  ``cents`` injects an already-trained k=KMEANS_K matrix and
-    is used only when the derived k equals KMEANS_K."""
-    from math import isqrt
+    corpus — 50k clusters for 100M+ points, i.e. k ∝ n at a fixed target
+    cell size): :func:`semdedup_cell_count` derives k = n/SEMDEDUP_CELL
+    (clamped), which bounds the per-cell verify at ~n·cell/2 candidate
+    pairs — LINEAR in the corpus — while training decouples from n via
+    :func:`kmeans_train`'s bounded deterministic sample (the paper's own
+    recipe; engaged only above the certified k=KMEANS_K, so every
+    oracle-paired fixture path trains full-corpus, byte-identically).
 
-    from .similarity import KMEANS_K, kmeans_assign, kmeans_train
+    ``cents`` injects an already-trained quantizer (the catalog shares
+    one per (session, sf_dir)) and DEFINES k = len(cents) — injected
+    cells are never silently discarded; passing both ``cents`` and a
+    conflicting ``k`` raises.  ``n`` supplies a known corpus size so no
+    sizing count job runs; without it (and without cents/k) one count
+    sizes the quantizer."""
+    from .similarity import (
+        KMEANS_K,
+        KMEANS_TRAIN_FACTOR,
+        kmeans_assign,
+        kmeans_train,
+    )
 
-    n = emb.count()  # driver-held sizing scalar (cf. sweep.py's sizing aggregate)
-    k = max(KMEANS_K, isqrt(max(n, 1) // 8))
-    if k != KMEANS_K:
-        cents = None
-    if cents is None:
-        cents = kmeans_train(emb, k=k)
+    if cents is not None:
+        if k is not None and k != len(cents):
+            raise ValueError(
+                f"injected cents define k={len(cents)}, caller asked k={k}"
+            )
+        k = len(cents)
+    else:
+        if k is None:
+            # driver-held sizing scalar (cf. sweep.py's sizing aggregate)
+            n = n if n is not None else emb.count()
+            k = semdedup_cell_count(n)
+        cents = kmeans_train(
+            emb,
+            k=k,
+            train_sample=KMEANS_TRAIN_FACTOR * k if k > KMEANS_K else None,
+            n=n,
+        )
     v = (
         spread_narrow_scan(emb, key="vec_id")
         .select("vec_id", vec_double(F.col("embedding")).alias("v"))

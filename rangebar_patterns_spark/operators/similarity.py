@@ -435,18 +435,27 @@ def kmeans_parallel_seed(
         cand = [list(t) for t in dict.fromkeys(tuple(c) for c in cand)]
     if len(cand) <= k:
         # degenerate corpus (fewer distinct candidates than k): fall back
-        # to first-k seeding for the remainder
-        extra = (
-            v.orderBy("vec_id").limit(k + len(cand))
-            .select(F.transform("x", lambda d: F.round(d, 6)).alias("cv"))
-        )
-        for r in extra.collect():
-            cv = list(r.cv)
-            if cv not in cand:
-                cand.append(cv)
-            if len(cand) >= k:
-                break
-        return cand[:k]
+        # to first-k seeding for the remainder, growing the scan until k
+        # DISTINCT vectors are found or the corpus is exhausted (a fixed
+        # k+len(cand) prefix can be all-duplicates and silently under-seed)
+        limit = k + len(cand)
+        while True:
+            rows = (
+                v.orderBy("vec_id").limit(limit)
+                .select(F.transform("x", lambda d: F.round(d, 6)).alias("cv"))
+            ).collect()
+            for r in rows:
+                cv = list(r.cv)
+                if cv not in cand:
+                    cand.append(cv)
+                if len(cand) >= k:
+                    return cand[:k]
+            if len(rows) < limit:  # corpus exhausted before k distinct seeds
+                raise ValueError(
+                    f"k-means seeding needs {k} distinct vectors; the corpus "
+                    f"holds only {len(cand)} — lower k"
+                )
+            limit *= 2
     # weight candidates by their assignment-cell sizes (one aggregate)
     cdf = spark.createDataFrame(
         list(enumerate(cand)), "cid int, cv array<double>"
@@ -470,11 +479,21 @@ def kmeans_parallel_seed(
     return [cand[i] for i in chosen]
 
 
+#: sample-trained Lloyd's (SemDeDup's production recipe — Abbas et al.
+#: 2023 §3 train their 50K-cell quantizer on a corpus sample): m = 32·k
+#: training vectors estimate k means with ~32 points per cell, so
+#: training cost is iters·m·k = O(k²) — independent of corpus size —
+#: while assignment stays one full-corpus broadcast pass
+KMEANS_TRAIN_FACTOR = 32
+
+
 def kmeans_train(
     emb: DataFrame,
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     seeding: str = "first_k",
+    train_sample: int | None = None,
+    n: int | None = None,
 ) -> list[list[float]]:
     """Distributed spherical k-means (Lloyd's iterations) training the IVF
     coarse quantizer IN the engine — MLlib's execution shape: the data
@@ -492,7 +511,16 @@ def kmeans_train(
     ``seeding``: ``"first_k"`` (default — the deterministic oracle path)
     or ``"parallel"`` (k-means‖, :func:`kmeans_parallel_seed` — the
     opt-in quality path for production-scale k; also deterministic, but
-    its DuckDB twin is not maintained, so it stays off the gate)."""
+    its DuckDB twin is not maintained, so it stays off the gate).
+
+    ``train_sample``: when set and the corpus is larger, Lloyd's runs on
+    a bounded DETERMINISTIC sample (md5-membership on vec_id, the same
+    cross-engine coin every sampler here uses) of ≈``train_sample``
+    vectors — the SemDeDup paper's recipe for decoupling the cell count
+    from training cost (k can scale ∝ corpus/target_cell_size while
+    training stays O(iters·train_sample·k)).  ``None`` (default — every
+    oracle-certified path) trains on the full corpus.  ``n`` optionally
+    supplies the known corpus size so no extra count job runs."""
     from ..functions import detsum as _det
 
     spark = emb.sparkSession
@@ -501,7 +529,15 @@ def kmeans_train(
     # cast re-runs 5x); hash-partitioned by vec_id so the per-round
     # assignment->vectors join reuses the layout on both sides — the
     # vectors are shuffled ONCE here, never per iteration
-    v = _kmeans_vecs(emb).repartition("vec_id").persist()
+    v = _kmeans_vecs(emb)
+    if train_sample is not None:
+        size = n if n is not None else v.count()
+        if size > train_sample:
+            v = v.filter(
+                _u01(F.col("vec_id"), "kmeanstrain|")
+                < F.lit(train_sample / size)
+            )
+    v = v.repartition("vec_id").persist()
     try:
         if seeding == "parallel":
             cents: list[list[float]] = kmeans_parallel_seed(v, k)

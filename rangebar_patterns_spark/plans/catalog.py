@@ -2019,20 +2019,39 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.mixture_sample(load_table(spark, sf_dir, "documents"))
 
 
-#: trained IVF centroid matrix per (session, sf_dir) — kmeans_ivf_assign
-#: and the semdedup branch of dedup_neardup_pairs consume the SAME
-#: quantizer, so Lloyd's runs once per session, not per entry (k x dim
-#: doubles; cleared by reset_plan_caches like every side-cache)
-_KMEANS_CENTS_CACHE: dict[tuple[int, str], list] = {}
+#: trained IVF centroid matrix per (session, sf_dir) — kmeans_ivf_assign,
+#: sim_ivf_cell_search, and the semdedup branch of dedup_neardup_pairs
+#: consume the SAME quantizer, so Lloyd's runs once per session, not per
+#: entry (k x dim doubles; cleared by reset_plan_caches like every
+#: side-cache).  The cell count is CORPUS-SIZED (semdedup_cell_count —
+#: k=8 at the 500-vector correctness fixtures, where it is byte-identical
+#: to the static k=8 DuckDB twins; finer, sample-trained above that), and
+#: the corpus count is cached alongside so sizing never re-scans.
+_KMEANS_CENTS_CACHE: dict[tuple[int, str], tuple[int, list]] = {}
+
+
+def _kmeans_cents_n(spark: SparkSession, sf_dir: str) -> tuple[int, list]:
+    key = (id(spark), sf_dir)
+    if key not in _KMEANS_CENTS_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        k = DD.semdedup_cell_count(n)
+        _KMEANS_CENTS_CACHE[key] = (
+            n,
+            SIM.kmeans_train(
+                emb,
+                k=k,
+                train_sample=(
+                    SIM.KMEANS_TRAIN_FACTOR * k if k > SIM.KMEANS_K else None
+                ),
+                n=n,
+            ),
+        )
+    return _KMEANS_CENTS_CACHE[key]
 
 
 def _kmeans_cents(spark: SparkSession, sf_dir: str) -> list:
-    key = (id(spark), sf_dir)
-    if key not in _KMEANS_CENTS_CACHE:
-        _KMEANS_CENTS_CACHE[key] = SIM.kmeans_train(
-            load_table(spark, sf_dir, "embeddings")
-        )
-    return _KMEANS_CENTS_CACHE[key]
+    return _kmeans_cents_n(spark, sf_dir)[1]
 
 
 @register("kmeans_ivf_assign", TO.kmeans_assign_sql())
@@ -2188,10 +2207,17 @@ _GATE_ORDER = [
     "config_skip_done",
 ]
 
-assert len(_GATE_ORDER) == GATE_WINDOW, len(_GATE_ORDER)
-assert set(_GATE_ORDER) == set(QUERIES), sorted(
-    set(_GATE_ORDER) ^ set(QUERIES)
-)
+# hard RuntimeErrors, not asserts: these import-time consistency guards
+# must survive ``python -O`` (stripped asserts would let a stale
+# _GATE_ORDER silently reorder/drop entries via the dict rebuild below)
+if len(_GATE_ORDER) != GATE_WINDOW:
+    raise RuntimeError(
+        f"_GATE_ORDER has {len(_GATE_ORDER)} entries, window is {GATE_WINDOW}"
+    )
+if set(_GATE_ORDER) != set(QUERIES):
+    raise RuntimeError(
+        f"_GATE_ORDER vs QUERIES drift: {sorted(set(_GATE_ORDER) ^ set(QUERIES))}"
+    )
 # reorder IN PLACE so every module holding a reference sees the pinned order
 _snapshot = {n: QUERIES[n] for n in _GATE_ORDER}
 QUERIES.clear()

@@ -82,3 +82,70 @@ def test_parallel_seeding_leaves_oracle_path_untouched(spark):
     change the certified configuration."""
     emb = load_table(spark, SF_DIR, "embeddings")
     assert kmeans_train(emb) == kmeans_train(emb, seeding="first_k")
+
+
+def test_sample_training_deterministic_and_fixture_safe(spark):
+    """Sample-trained Lloyd's (the SemDeDup production recipe): an
+    over-sized cap is a no-op (byte-identical to full training — the
+    certified-path guarantee), an engaged cap is deterministic across
+    invocations and partition layouts, and the sampled fit stays within
+    noise of the full-corpus fit at the same k."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    full = kmeans_train(emb, k=12)
+    assert kmeans_train(emb, k=12, train_sample=10_000) == full
+    assert kmeans_train(emb, k=12, train_sample=10_000, n=500) == full
+    s1 = kmeans_train(emb, k=12, train_sample=200)
+    s2 = kmeans_train(emb.repartition(13, "label"), k=12, train_sample=200)
+    assert s1 == s2
+    assert len(s1) == 12
+    assert _mean_cos(spark, s1) >= _mean_cos(spark, full) - 0.05
+
+
+def test_semdedup_cell_count_formula():
+    """k is a pure, clamped function of corpus size: the 500-vector
+    correctness fixtures land exactly on the certified k=8 quantizer;
+    bigger corpora scale k ∝ n at ~SEMDEDUP_CELL vectors per cell; the
+    cap bounds the broadcast centroid matrix."""
+    from rangebar_patterns_spark.operators.dedup import (
+        SEMDEDUP_CELL,
+        SEMDEDUP_KMAX,
+        semdedup_cell_count,
+    )
+
+    assert semdedup_cell_count(500) == KMEANS_K
+    assert semdedup_cell_count(0) == KMEANS_K
+    assert semdedup_cell_count(2000) == 2000 // SEMDEDUP_CELL
+    assert semdedup_cell_count(10**9) == SEMDEDUP_KMAX
+
+
+def test_semdedup_injected_cents_define_k(spark):
+    """ADVICE r8 (medium): injected shared centroids must never be
+    silently discarded — they DEFINE the cell count, and a conflicting
+    explicit k raises instead of diverging from the paired oracle."""
+    import pytest
+
+    from rangebar_patterns_spark.operators.dedup import semantic_dedup_pairs
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = kmeans_train(emb, k=3)
+    out = semantic_dedup_pairs(emb, cents=cents).toPandas()
+    assert set(out.cluster.unique()) <= {0, 1, 2}
+    with pytest.raises(ValueError, match="k=3"):
+        semantic_dedup_pairs(emb, cents=cents, k=8)
+
+
+def test_parallel_seed_degenerate_corpus_raises(spark):
+    """ADVICE r8 (low): a corpus with fewer distinct vectors than k must
+    raise loudly, not silently train fewer clusters."""
+    import pytest
+
+    from rangebar_patterns_spark.operators.similarity import (
+        kmeans_parallel_seed,
+    )
+
+    dup = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(20)] + [(99, [0.0, 1.0])],
+        "vec_id long, x array<double>",
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        kmeans_parallel_seed(dup, k=4)
