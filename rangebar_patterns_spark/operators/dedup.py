@@ -136,7 +136,11 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_arrays(docs: DataFrame, max_df: int | None = None) -> DataFrame:
+def _shingle_arrays(
+    docs: DataFrame,
+    max_df: int | None = None,
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, sh_arr, n_sh): distinct shingles per doc, ordered
     rarest-first (global posting-list frequency asc, shingle asc) — the
     PPJoin canonical order that makes prefix filtering maximally selective.
@@ -160,7 +164,11 @@ def _shingle_arrays(docs: DataFrame, max_df: int | None = None) -> DataFrame:
     # broadcast when the vocabulary fits, which AQE picks on its own.
     # Cost: the shingling expression evaluates twice (agg input + join
     # left side) — per-row string work, cheap next to a skewed sort.
-    sh = _doc_shingles(docs)
+    # Callers holding the posting relation materialized (the catalog
+    # persists it while building its arrs side-cache) pass it via ``sh``
+    # so the raw-text scan runs ONCE.
+    if sh is None:
+        sh = _doc_shingles(docs)
     freq = sh.groupBy("shingle").agg(F.count("*").alias("_f"))
     sh = sh.join(freq, "shingle")
     if max_df is not None:

@@ -1313,9 +1313,18 @@ _ARRS_CACHE: dict[tuple[int, str], DataFrame] = {}
 def _doc_arrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _ARRS_CACHE:
-        _ARRS_CACHE[key] = DD._shingle_arrays(
-            load_table(spark, sf_dir, "documents")
-        ).persist()
+        # materialize the (doc_id, shingle) posting relation once while
+        # the arrs side-cache is built: _shingle_arrays otherwise scans
+        # the raw text twice (frequency-aggregate input + join-back left
+        # side), and that double text-grain pass showed up in the plan
+        # audit of the near-dup union job.  The posting cache lives only
+        # for the eager arrs build, then drops.
+        docs = load_table(spark, sf_dir, "documents")
+        sh = DD._doc_shingles(docs).persist()
+        arrs = DD._shingle_arrays(docs, sh=sh).persist()
+        arrs.count()  # eager: fold the postings into arrs NOW
+        sh.unpersist()
+        _ARRS_CACHE[key] = arrs
     return _ARRS_CACHE[key]
 
 
