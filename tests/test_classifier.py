@@ -29,6 +29,37 @@ def test_training_beats_majority_class(spark):
     assert ((out.score >= 0) & (out.score <= 1)).all()
 
 
+def test_exact_fixed_point_early_stop(spark):
+    """When a step leaves every round-6 weight unchanged the loop exits:
+    remaining iterations are provably no-ops, so the returned weights are
+    identical to the full-budget run (the only early-stop form that
+    cannot perturb certified output).  A label-balanced, sign-symmetric
+    design has zero gradient at w=0, so the very first step is already
+    the fixed point."""
+    rows = [
+        (i, float(s), float(s), float(s), float(s), float(y))
+        for i, (s, y) in enumerate([(1, 1), (1, 0), (-1, 1), (-1, 0)] * 3)
+    ]
+    raw = spark.createDataFrame(
+        rows, f"doc_id long, {', '.join(f'{c} double' for c in LOGREG_FEATURES)}, y double"
+    )
+    stats: dict = {}
+    w_short, mu, sd = logreg_train(raw, iters=50, raw=raw, stats_out=stats)
+    assert stats["iters_run"] == 1
+    w_full, mu2, sd2 = logreg_train(raw, iters=3, raw=raw)
+    assert (w_short, mu, sd) == (w_full, mu2, sd2)
+    assert w_short == [0.0] * (len(LOGREG_FEATURES) + 1)
+
+
+def test_fixture_path_runs_full_budget(spark):
+    """The gate fixture is deliberately non-converged (lr=4, 12 steps):
+    the fixed-point break must never fire there, keeping the engine in
+    lockstep with the unrolled 12-step DuckDB twin."""
+    stats: dict = {}
+    logreg_train(load_table(spark, SF_DIR, "documents"), stats_out=stats)
+    assert stats["iters_run"] == 12
+
+
 def test_training_is_partition_invariant(spark):
     docs = load_table(spark, SF_DIR, "documents")
     w1, mu1, sd1 = logreg_train(docs)
