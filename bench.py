@@ -46,6 +46,12 @@ Schema history ("bench_version"):
     entries' medians are NOT comparable to their r7 parts' sums (the
     shared scan/side-cache cost attributes differently), while untouched
     entries compare 1:1.
+  4 (r9) — schema unchanged; an untimed warm-up catalog pass now runs
+    before the timed passes (detail "warmup": true) so cold-start
+    inflation stays out of the medians — r9 medians are expected a bit
+    LOWER than r8 on unchanged entries.  Key changes:
+    bm25_retrieval_scores + bm25_topk_retrieval merged into
+    "bm25_retrieval"; new "dsir_selection" entry.
 """
 
 from __future__ import annotations

@@ -923,3 +923,175 @@ def cross_doc_duplication(docs: DataFrame, k: int = CROSS_DUP_K) -> DataFrame:
         )
     )
     return out
+
+
+# --- DSIR: data selection via importance resampling --------------------------
+
+#: hashed n-gram feature space (Xie et al. 2023 use 10^4; the synthetic
+#: vocabulary is ~40 words so 1024 buckets already give near-collision-free
+#: features), Laplace smoothing, target corpus fraction to keep, and the
+#: Bernoulli-membership salt (same cross-engine md5 convention as mixture)
+DSIR_BUCKETS = 1024
+DSIR_ALPHA = 0.5
+DSIR_KEEP_RATE = 0.25
+DSIR_SALT = "dsir-v1"
+#: demo target distribution: documents from this source play the role of
+#: the curated high-quality target set (the paper's Wikipedia/books);
+#: real pipelines pass their own target predicate
+DSIR_TARGET_SOURCE = "src7"
+#: log-weight clamp before exponentiation (standard log-space guard: a
+#: 10^13x importance ratio is already "always keep / never keep" — the
+#: clamp only prevents float overflow, it cannot reorder decisions)
+DSIR_LOGW_CLAMP = 30.0
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_source: str = DSIR_TARGET_SOURCE,
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+    keep_rate: float = DSIR_KEEP_RATE,
+    salt: str = DSIR_SALT,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    score every document by the log importance weight of its hashed
+    n-gram bag between a TARGET distribution (here: docs from one
+    designated source, standing in for the paper's curated
+    Wikipedia/books set) and the RAW corpus distribution, then keep
+    documents with probability proportional to the importance weight.
+
+    Pipeline (all exact, oracle-certifiable):
+      1. explode each doc to hashed unigram+bigram bucket ids
+         (md5-prefix ints mod ``buckets`` — the shared cross-engine hash);
+      2. one bucket-grain aggregate counts raw and target occurrences
+         (vocab-sized output, map-side combined);
+      3. per-bucket round-6 log-ratio
+         λ_b = ln((tgt_b+α)/(tgt_tot+αB)) − ln((raw_b+α)/(raw_tot+αB));
+      4. per-doc logw = integer-scaled exact sum of its grams' λ —
+         broadcast the ≤``buckets``-row λ relation onto the gram
+         explode, one doc-grain keyed aggregate;
+      5. Bernoulli importance resampling: keep doc i with probability
+         min(1, rate·N·w_i / Σw) where w_i = round-6 exp(clamped logw) —
+         the Poisson-sampling variant of the paper's multinomial resample
+         (expected kept = rate·N, inclusion probability ∝ importance
+         weight, but needs only TWO global scalars (N, Σw) instead of a
+         global sort — the scale-honest form; membership is the
+         deterministic (salt, doc_id) md5 coin, partition-invariant).
+
+    Scale shape: one gram explode (map-only), one bucket-grain aggregate,
+    one broadcast join back, one doc-grain aggregate, one scalar
+    aggregate — no data-sized shuffle beyond the doc-grain combine, no
+    global window.  Documents with zero words carry no grams and are
+    excluded (a doc with no features has no importance weight).
+
+    Two decision columns come out: ``selected`` (the Bernoulli resample
+    above — on corpora with heavy-tailed weights it keeps FEWER than
+    rate·N docs, concentrating on the most target-like ones, which is
+    the variant's documented behavior) and ``target_like`` (logw > 0 —
+    the deterministic threshold rule, the shape GPT-3's quality
+    classifier used: keep what looks more target than raw).
+
+    Output: (doc_id, source, n_grams, logw, sel_prob, selected,
+    target_like)."""
+    from .dedup import hexint, spread_narrow_scan
+
+    w = words_col()
+    base = spread_narrow_scan(docs).select(
+        "doc_id", "source", w.alias("_w")
+    )
+    grams = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.concat(F.col("_w"), shingles_col(2, words=F.col("_w")))
+        ).alias("_g"),
+    ).select(
+        "doc_id",
+        "source",
+        F.pmod(hexint(F.col("_g")), F.lit(buckets)).alias("bucket"),
+    )
+    bstats = grams.groupBy("bucket").agg(
+        F.count("*").cast("double").alias("raw_cnt"),
+        F.sum(
+            F.when(F.col("source") == target_source, 1).otherwise(0)
+        ).cast("double").alias("tgt_cnt"),
+    )
+    tots = bstats.agg(
+        F.sum("raw_cnt").alias("raw_tot"), F.sum("tgt_cnt").alias("tgt_tot")
+    )
+    ab = float(alpha) * float(buckets)
+    lam = F.round(
+        F.log(
+            (F.col("tgt_cnt") + F.lit(float(alpha)))
+            / (F.col("tgt_tot") + F.lit(ab))
+        )
+        - F.log(
+            (F.col("raw_cnt") + F.lit(float(alpha)))
+            / (F.col("raw_tot") + F.lit(ab))
+        ),
+        6,
+    )
+    lamrel = bstats.crossJoin(F.broadcast(tots)).select(
+        "bucket", lam.alias("lam")
+    )
+    docw = (
+        grams.join(F.broadcast(lamrel), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.min("source").alias("source"),
+            F.count("*").cast("long").alias("n_grams"),
+            F.round(
+                F.sum(
+                    F.round(F.col("lam") * F.lit(1e6), 0).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("logw"),
+        )
+    )
+    clamp = F.lit(float(DSIR_LOGW_CLAMP))
+    docw = docw.withColumn(
+        "_expw",
+        F.round(F.exp(F.least(F.greatest(F.col("logw"), -clamp), clamp)), 6),
+    )
+    zrel = docw.agg(
+        F.count("*").cast("double").alias("_n"),
+        (
+            F.sum(
+                F.round(F.col("_expw") * F.lit(1e6), 0).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("_z"),
+    )
+    sel_prob = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(float(keep_rate))
+            * F.col("_n")
+            * F.col("_expw")
+            / F.col("_z"),
+        ),
+        6,
+    )
+    coin = F.pmod(
+        hexint(F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string"))),
+        F.lit(SAMPLE_MOD),
+    )
+    return (
+        docw.crossJoin(F.broadcast(zrel))
+        .withColumn("sel_prob", sel_prob)
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            "logw",
+            "sel_prob",
+            (
+                coin
+                < F.floor(F.col("sel_prob") * F.lit(float(SAMPLE_MOD))).cast(
+                    "long"
+                )
+            ).alias("selected"),
+            (F.col("logw") > F.lit(0.0)).alias("target_like"),
+        )
+    )

@@ -2112,24 +2112,63 @@ def q_logreg_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bm25_retrieval_scores", TO.bm25_scores_sql())
-def q_bm25_retrieval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 relevance of every document to the fixed demo query — sparse
-    retrieval (Robertson/Okapi), the lexical counterpart of the ANN
-    family.  One map-only tf pass from the bound word array, a
-    |query|-row corpus-constant aggregate broadcast back, then pure
-    projection — nothing data-sized shuffles at any corpus size."""
-    return TX.bm25_scores(load_table(spark, sf_dir, "documents"))
+@register("bm25_retrieval", TO.bm25_union_sql())
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 sparse retrieval, both stages in one long-format panel with a
+    ``stage`` discriminator (was bm25_retrieval_scores +
+    bm25_topk_retrieval — merged round 9 to free one gate slot for
+    ``dsir_selection``; every method-specific column is preserved,
+    NULL-padded where a stage doesn't produce it, so both former
+    entries' certified values keep flowing through the hash compare):
+
+      * ``scores`` — corpus-wide relevance to the fixed demo query: one
+        map-only tf pass from the bound word array, a |query|-row
+        corpus-constant aggregate broadcast back, pure projection —
+        nothing data-sized shuffles at any corpus size;
+      * ``topk`` — batch top-k through the inverted-index join shape:
+        postings pre-filtered to the query batch's vocabulary at the
+        scan, broadcast query join, integer-scaled exact score
+        aggregate, per-query top-k window — scan + one bounded keyed
+        shuffle at 100 TB."""
+    from ..operators.textops import BM25_QUERY
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf_names = [f"tf_{t}" for t in BM25_QUERY]
+    scores = TX.bm25_scores(docs).select(
+        F.lit("scores").alias("stage"),
+        "doc_id",
+        "n_words",
+        *tf_names,
+        "bm25",
+        F.lit(None).cast("long").alias("query_id"),
+        F.lit(None).cast("long").alias("rank"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    topk = TX.bm25_topk(docs).select(
+        F.lit("topk").alias("stage"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_words"),
+        *[F.lit(None).cast("long").alias(n) for n in tf_names],
+        F.lit(None).cast("double").alias("bm25"),
+        F.col("query_id").cast("long").alias("query_id"),
+        "rank",
+        "score",
+    )
+    return scores.unionByName(topk)
 
 
-@register("bm25_topk_retrieval", TO.bm25_topk_sql())
-def q_bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch BM25 top-k through the inverted-index join shape: postings
-    pre-filtered to the query batch's vocabulary at the scan, broadcast
-    query join, integer-scaled exact score aggregate, per-query top-k
-    window.  At 100 TB: scan + one bounded keyed shuffle + a per-query
-    window — the textbook distributed-retrieval plan."""
-    return TX.bm25_topk(load_table(spark, sf_dir, "documents"))
+@register("dsir_selection", TO.dsir_sql())
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) — data selection via importance
+    resampling: hashed unigram+bigram bucket log-ratios between the
+    designated target source and the raw corpus, exact integer-scaled
+    per-doc log importance weights, then two decision columns — the
+    Poisson-variant Bernoulli resample (inclusion probability ∝
+    importance weight from two global scalars, never a global sort) and
+    the deterministic logw>0 threshold rule.  Scale shape: gram explode
+    (map-only) + one vocab-sized bucket aggregate + broadcast λ join +
+    one doc-grain combine — no data-sized shuffle, no global window."""
+    return TX.dsir_weights(load_table(spark, sf_dir, "documents"))
 
 
 @register("lm_perplexity_scores", TO.lm_perplexity_sql())
@@ -2175,8 +2214,8 @@ _GATE_ORDER = [
     "mixture_sample",
     "kmeans_ivf_assign",
     "logreg_quality_scores",
-    "bm25_retrieval_scores",
-    "bm25_topk_retrieval",
+    "bm25_retrieval",
+    "dsir_selection",
     "lm_perplexity_scores",
     "dedup_exact",
     "dedup_neardup_pairs",

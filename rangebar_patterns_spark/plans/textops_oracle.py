@@ -1022,3 +1022,110 @@ JOIN ev ea ON ea.vec_id = a.vec_id
 JOIN ev eb ON eb.vec_id = b.vec_id
 WHERE round({_cos("ea.v", "eb.v")}, 6) >= {COSINE_DUP_THRESHOLD!r}
 """
+
+
+def bm25_union_sql() -> str:
+    """Long-format union twin of the merged ``bm25_retrieval`` gate
+    entry: the corpus-scoring panel ('scores' rows) and the batch top-k
+    retrieval ('topk' rows), columns NULL-padded where a stage doesn't
+    produce them — every value certified by the two former entries keeps
+    flowing through the hash compare."""
+    from ..operators.textops import BM25_QUERY
+
+    tf_cols = ", ".join(f"tf_{t}" for t in BM25_QUERY)
+    tf_nulls = ", ".join(
+        f"CAST(NULL AS BIGINT) AS tf_{t}" for t in BM25_QUERY
+    )
+    return f"""
+SELECT 'scores' AS stage, doc_id, n_words, {tf_cols}, bm25,
+    CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS rank,
+    CAST(NULL AS DOUBLE) AS score
+FROM ({bm25_scores_sql()})
+UNION ALL
+SELECT 'topk' AS stage, doc_id, CAST(NULL AS BIGINT) AS n_words,
+    {tf_nulls}, CAST(NULL AS DOUBLE) AS bm25,
+    CAST(query_id AS BIGINT) AS query_id, rank, score
+FROM ({bm25_topk_sql()})
+"""
+
+
+def dsir_sql() -> str:
+    """Twin of textops.dsir_weights at the default configuration: same
+    hashed unigram+bigram buckets (md5-prefix ints mod B), same round-6
+    Laplace log-ratios in identical association order, integer-scaled
+    exact per-doc sums, same clamped round-6 exp, same two global
+    scalars (N, Σw), same (salt, doc_id) md5 membership coin."""
+    from ..operators.textops import (
+        DSIR_ALPHA,
+        DSIR_BUCKETS,
+        DSIR_KEEP_RATE,
+        DSIR_LOGW_CLAMP,
+        DSIR_SALT,
+        DSIR_TARGET_SOURCE,
+        SAMPLE_MOD,
+    )
+
+    b = DSIR_BUCKETS
+    ab = float(DSIR_ALPHA) * float(b)
+    bigrams = (
+        "CASE WHEN len(w) >= 2 THEN "
+        "list_transform(generate_series(1, len(w) - 1), "
+        "i -> array_to_string(w[i:i+1], ' ')) "
+        "ELSE [] END"
+    )
+    coin = _hexint(f"'{DSIR_SALT}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH base AS (SELECT doc_id, source, {WORDS} AS w FROM documents),
+grams AS (
+    SELECT doc_id, source, {_hexint('g')} % {b} AS bucket
+    FROM (
+        SELECT doc_id, source, unnest(list_concat(w, {bigrams})) AS g
+        FROM base
+    )
+),
+bstats AS (
+    SELECT bucket, CAST(count(*) AS DOUBLE) AS raw_cnt,
+        CAST(sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END)
+            AS DOUBLE) AS tgt_cnt
+    FROM grams GROUP BY bucket
+),
+tots AS (
+    SELECT sum(raw_cnt) AS raw_tot, sum(tgt_cnt) AS tgt_tot FROM bstats
+),
+lamrel AS (
+    SELECT bucket,
+        round(ln((tgt_cnt + {DSIR_ALPHA!r}) / (tgt_tot + {ab!r}))
+            - ln((raw_cnt + {DSIR_ALPHA!r}) / (raw_tot + {ab!r})), 6) AS lam
+    FROM bstats, tots
+),
+docw AS (
+    SELECT doc_id, min(source) AS source,
+        CAST(count(*) AS BIGINT) AS n_grams,
+        round(CAST(sum(CAST(round(lam * 1000000.0, 0) AS HUGEINT))
+            AS DOUBLE) / 1000000.0, 6) AS logw
+    FROM grams JOIN lamrel USING (bucket)
+    GROUP BY doc_id
+),
+doce AS (
+    SELECT *,
+        round(exp(least(greatest(logw, -{DSIR_LOGW_CLAMP!r}),
+            {DSIR_LOGW_CLAMP!r})), 6) AS expw
+    FROM docw
+),
+zrel AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(CAST(round(expw * 1000000.0, 0) AS HUGEINT)) AS DOUBLE)
+            / 1000000.0 AS z
+    FROM doce
+),
+final AS (
+    SELECT doc_id, source, n_grams, logw,
+        round(least(1.0, {DSIR_KEEP_RATE!r} * n * expw / z), 6) AS sel_prob
+    FROM doce, zrel
+)
+SELECT doc_id, source, n_grams, logw, sel_prob,
+    ({coin} % {SAMPLE_MOD})
+        < CAST(floor(sel_prob * {SAMPLE_MOD}.0) AS BIGINT) AS selected,
+    logw > 0.0 AS target_like
+FROM final
+"""

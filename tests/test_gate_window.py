@@ -22,8 +22,8 @@ LLM_PIPELINE_ENTRIES = [
     "mixture_sample",
     "kmeans_ivf_assign",
     "logreg_quality_scores",
-    "bm25_retrieval_scores",
-    "bm25_topk_retrieval",
+    "bm25_retrieval",  # round 9: scores + topk merged, freeing one slot
+    "dsir_selection",  # round 9: new entry in the freed slot
     "lm_perplexity_scores",
 ]
 
