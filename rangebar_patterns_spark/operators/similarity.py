@@ -14,7 +14,7 @@ All arithmetic is sequential-fold double math — exact vs the DuckDB twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import cosine_col, sign_bucket_col, vec_double
@@ -97,6 +97,28 @@ def lsh_topk(
 IVF_NPROBE = 2
 
 
+def _label_centroids(v: DataFrame) -> DataFrame:
+    """(label, cv): per-label mean vectors — the coarse IVF quantizer the
+    probe stages rank cells by.  Deterministic: per-dimension fold in
+    vec_id order (the DuckDB twin folds the same sequence) — plain
+    avg() is association-order-dependent."""
+    from ..functions.detsum import osum
+
+    cent = (
+        v.select("label", "vec_id", F.posexplode(F.col("v")).alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            (osum(F.col("vec_id"), F.col("x")) / F.count("*").cast("double")).alias("cx")
+        )
+    )
+    return cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("cx")))),
+            lambda s: s.getItem("cx"),
+        ).alias("cv")
+    )
+
+
 def label_centroid_search(
     emb: DataFrame, n_queries: int = N_QUERIES, nprobe: int = IVF_NPROBE
 ) -> DataFrame:
@@ -106,28 +128,8 @@ def label_centroid_search(
     neighbor across the probed cells, with the winning neighbor's cell and
     that cell's centroid cosine.  ``tests/test_similarity.py`` pins
     recall@1 vs the brute-force baseline as non-decreasing in nprobe."""
-    from ..functions.detsum import osum
-
     v = _vecs(emb)
-    cent = (
-        v.select("label", "vec_id", F.posexplode(F.col("v")).alias("i", "x"))
-        .groupBy("label", "i")
-        # deterministic centroid: per-dimension fold in vec_id order (the
-        # DuckDB twin folds the same sequence) — plain avg() is
-        # association-order-dependent
-        .agg((osum(F.col("vec_id"), F.col("x")) / F.count("*").cast("double")).alias("cx"))
-    )
-    centroids = (
-        cent.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("i"), F.col("cx")))
-                ),
-                lambda s: s.getItem("cx"),
-            ).alias("cv")
-        )
-    )
+    centroids = _label_centroids(v)
     q = v.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -245,8 +247,6 @@ def ivf_quantized_search(
     cosine with float precision); tests/test_similarity.py pins recall
     vs the brute-force baseline and that re-ranked precision is at least
     the quantized-only variant's."""
-    from ..functions.detsum import osum
-
     v = _vecs(emb)
     q8 = quantize_embeddings(emb)
     vq = q8.select(
@@ -254,19 +254,7 @@ def ivf_quantized_search(
         "vec_id",
         F.transform(F.col("qv"), lambda x: x.cast("double")).alias("v8"),
     )
-    cent = (
-        v.select("label", "vec_id", F.posexplode(F.col("v")).alias("i", "x"))
-        .groupBy("label", "i")
-        .agg(
-            (osum(F.col("vec_id"), F.col("x")) / F.count("*").cast("double")).alias("cx")
-        )
-    )
-    centroids = cent.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("cx")))),
-            lambda s: s.getItem("cx"),
-        ).alias("cv")
-    )
+    centroids = _label_centroids(v)
     q = v.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv_f")
     )
@@ -307,6 +295,261 @@ def ivf_quantized_search(
         .select("query_id", "neighbor_id")
     )
     # float re-rank: only (queries × rerank_depth) float rows touched
+    nbr = v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    rerank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.join(nbr, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qv_f"), F.col("nv")), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(rerank_w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+# --- product quantization (IVF-PQ serving shape) ---------------------------
+
+#: PQ geometry (Jégou, Douze, Schmid 2011; the FAISS IVF-PQ layout):
+#: PQ_M subspaces of dim/PQ_M dims each, PQ_KSUB codes per subspace.
+#: At dim 64 the stored row is 4 code bytes per vector — 16× smaller
+#: than the int8 row and 64× smaller than float32, the standard
+#: billion-scale ANN memory point.  PQ_KSUB = 16 / PQ_ITERS = 2 keep
+#: the unrolled DuckDB twin tractable; the Spark side takes any
+#: (m, ksub, iters).
+PQ_M = 4
+PQ_KSUB = 16
+PQ_ITERS = 2
+
+
+def l2sq_col(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance — same index-ordered IEEE ops
+    as the DuckDB twin, so round-6 ranking ties out exactly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subvectors(emb: DataFrame, m: int = PQ_M) -> DataFrame:
+    """(vec_id, m, sx): each vector split into ``m`` equal contiguous
+    subvectors.  ONE relation carries all subspaces, so PQ training is a
+    single grouped k-means job — Lloyd's keyed by (m, code) — with the
+    same pass count as one flat k-means, instead of m sequential
+    trainings."""
+    v = _vecs(emb)
+    ds = (F.size("v") / F.lit(m)).cast("int")
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("m"),
+                F.slice("v", F.lit(j) * ds + 1, ds).alias("sx"),
+            )
+            for j in range(m)
+        ]
+    )
+    return v.select("vec_id", F.inline(subs))
+
+
+def _pq_assign(sv: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Nearest-code assignment per (vec_id, subspace): min round-6
+    squared L2, code-ascending tie-break (identical in the SQL twin).
+    The codebook is broadcast (m·ksub·dsub doubles — KBs), so the scan
+    is one map-side pass over the subvector relation."""
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    return (
+        sv.join(F.broadcast(cdf), "m")
+        .select(
+            "vec_id",
+            "m",
+            "code",
+            F.round(l2sq_col(F.col("sx"), F.col("cv")), 6).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+
+
+def pq_train(
+    emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS
+) -> list[tuple[int, int, list[float]]]:
+    """Train the PQ codebook: per-subspace L2 k-means over the exploded
+    (subspace, subvector) relation — all ``m`` codebooks advance in each
+    distributed pass.  Deterministic end to end (the same lockstep
+    discipline as :func:`kmeans_train`): seeds are the ``ksub`` smallest
+    vec_ids' subvectors (round-6), assignment is min round-6 squared L2
+    with code tie-break, means are vec_id-ordered folds (round-6).
+
+    Returns driver-held rows (m, code, centroid) — m·ksub·dsub doubles
+    (4 KB at the default geometry), the only thing that ever visits the
+    driver; the subvector relation is persisted once and shuffled once."""
+    sv = _subvectors(emb, m).repartition("vec_id").persist()
+    try:
+        seed_w = Window.partitionBy("m").orderBy("vec_id")
+        seeds = (
+            sv.withColumn("rn", F.row_number().over(seed_w))
+            .filter(F.col("rn") <= ksub)
+            .select(
+                "m",
+                (F.col("rn") - 1).cast("int").alias("code"),
+                F.transform("sx", lambda d: F.round(d, 6)).alias("cv"),
+            )
+        )
+        book = [(r.m, r.code, list(r.cv)) for r in seeds.collect()]
+        from ..functions.detsum import osum
+
+        spark = emb.sparkSession
+        for _ in range(iters):
+            cdf = spark.createDataFrame(book, "m int, code int, cv array<double>")
+            upd = (
+                _pq_assign(sv, cdf)
+                .join(sv, ["vec_id", "m"])
+                .select("m", "code", "vec_id", F.posexplode("sx").alias("pos", "val"))
+                .groupBy("m", "code", "pos")
+                .agg(
+                    F.round(
+                        osum(F.col("vec_id"), F.col("val")) / F.count("*"), 6
+                    ).alias("mv")
+                )
+                .groupBy("m", "code")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                        lambda s: s.getItem("mv"),
+                    ).alias("cv")
+                )
+            )
+            new = {(r.m, r.code): list(r.cv) for r in upd.collect()}
+            # empty cells keep their previous centroid (same coalesce as
+            # kmeans_train and the SQL twin)
+            book = [(mm, cc, new.get((mm, cc), cv)) for mm, cc, cv in book]
+        return book
+    finally:
+        sv.unpersist()
+
+
+def pq_codes(
+    emb: DataFrame,
+    book: list[tuple[int, int, list[float]]],
+    m: int = PQ_M,
+) -> DataFrame:
+    """(vec_id, codes array<smallint>): the stored PQ row — ``m`` codes
+    per vector (4 bytes at the default geometry vs 64 int8 / 256 float32
+    bytes).  This relation plus the broadcast codebook IS the ANN index
+    a 100 TB corpus keeps hot; floats are only touched at re-rank."""
+    cdf = emb.sparkSession.createDataFrame(book, "m int, code int, cv array<double>")
+    return (
+        _pq_assign(_subvectors(emb, m), cdf)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))),
+                lambda s: s.getItem("code").cast("smallint"),
+            ).alias("codes")
+        )
+    )
+
+
+def pq_decode(
+    codes: DataFrame, book: list[tuple[int, int, list[float]]]
+) -> DataFrame:
+    """(vec_id, dv): reconstructed vectors — each code's centroid
+    concatenated in subspace order.  cosine(query_float, dv) is exactly
+    the asymmetric-distance (ADC) score: the query stays full precision,
+    the database side is its quantized reconstruction.  (Production ADC
+    uses per-subspace lookup tables instead of materializing dv; the
+    scores are identical — the LUT is just dot(q_m, centroid) factored
+    out — so the oracle-checked semantics are the real thing.)"""
+    cdf = codes.sparkSession.createDataFrame(
+        book, "m int, code int, cv array<double>"
+    )
+    return (
+        codes.select(
+            "vec_id", F.posexplode("codes").alias("m", "code")
+        )
+        .select("vec_id", "m", F.col("code").cast("int").alias("code"))
+        .join(F.broadcast(cdf), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "cv"))),
+                    lambda s: s.getItem("cv"),
+                )
+            ).alias("dv")
+        )
+    )
+
+
+def ivf_pq_search(
+    emb: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    nprobe: int = IVF_NPROBE,
+    rerank_depth: int = IVF_RERANK_DEPTH,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> DataFrame:
+    """IVF-PQ: coarse probe over label cells, ADC candidate scan over the
+    PQ-coded corpus, float re-rank — the billion-scale FAISS serving
+    composition.  vs :func:`ivf_quantized_search` (int8 SQ) the scanned
+    bytes drop another 16×: the scan side holds m code bytes per vector
+    plus one broadcast codebook.
+
+    Output matches :func:`cosine_topk` (query_id, rank, neighbor_id,
+    cosine — float precision from the re-rank); deterministic end to
+    end, so the DuckDB twin ties out hash-exactly."""
+    v = _vecs(emb)
+    book = pq_train(emb, m=m, ksub=ksub)
+    # decode once per vector (one linear pass; at serving scale this is
+    # the per-cell LUT scan — see pq_decode) and keep the cell label
+    vd = pq_decode(pq_codes(emb, book, m=m), book).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    centroids = _label_centroids(v)
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv_f")
+    )
+    assign_w = Window.partitionBy("query_id").orderBy(
+        F.col("centroid_cos").desc(), F.col("label").asc()
+    )
+    assigned = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "centroid_cos", F.round(cosine_col(F.col("qv_f"), F.col("cv")), 6)
+        )
+        .withColumn("crank", F.row_number().over(assign_w))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "qv_f", F.col("label").alias("cell"))
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("q_cos").desc(), F.col("neighbor_id").asc()
+    )
+    candidates = (
+        F.broadcast(assigned)
+        .join(
+            vd,
+            (F.col("cell") == vd.label) & (F.col("query_id") != vd.vec_id),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_col(F.col("qv_f"), F.col("dv")), 6).alias("q_cos"),
+        )
+        .withColumn("qrank", F.row_number().over(cand_w))
+        .filter(F.col("qrank") <= rerank_depth)
+        .select("query_id", "neighbor_id")
+    )
     nbr = v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
     rerank_w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -1456,10 +1456,13 @@ def q_dedup_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k similarity search, exact + approximate in one long-format
     panel: brute-force cosine (the baseline), sign-bucket LSH (the
-    partition-local scale path), and int8-quantized IVF with float
-    re-rank (the memory-scaled serving shape — the cell scan reads only
-    the 4×-smaller quantized corpus, floats are touched for
-    queries × rerank_depth rows) with a ``method`` discriminator."""
+    partition-local scale path), int8-quantized IVF with float re-rank
+    (the memory-scaled serving shape — the cell scan reads only the
+    4×-smaller quantized corpus, floats are touched for
+    queries × rerank_depth rows), and IVF-PQ (Jégou et al. 2011: learned
+    per-subspace codebooks, ADC scan over 4-byte code rows — another 16×
+    off the scanned bytes, the billion-scale FAISS layout) with a
+    ``method`` discriminator."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         SIM.cosine_topk(emb)
@@ -1468,6 +1471,7 @@ def q_sim_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             SIM.ivf_quantized_search(emb).withColumn("method", F.lit("ivf_int8"))
         )
+        .unionByName(SIM.ivf_pq_search(emb).withColumn("method", F.lit("ivf_pq")))
     )
 
 

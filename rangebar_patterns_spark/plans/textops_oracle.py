@@ -23,6 +23,9 @@ from ..operators.similarity import (
     IVF_NPROBE,
     IVF_RERANK_DEPTH,
     N_QUERIES,
+    PQ_ITERS,
+    PQ_KSUB,
+    PQ_M,
     TOP_K,
 )
 from ..operators.textops import BPE_REGEX, LANG_PRIORITY, STOPWORDS
@@ -439,12 +442,115 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine FROM (
 ) WHERE rank <= {TOP_K}
 """
 
+def _l2(a: str, b: str) -> str:
+    """Twin of similarity.l2sq_col: index-ordered squared-L2 fold."""
+    diffs = (
+        f"list_transform(generate_series(1, len({a})),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))"
+    )
+    return f"list_reduce(list_prepend(0.0, {diffs}), (acc, x) -> acc + x)"
+
+
+def ivf_pq_topk_sql() -> str:
+    """Twin of similarity.ivf_pq_search: the grouped per-subspace L2
+    k-means UNROLLED as CTEs — identical first-ksub round-6 seeds,
+    round-6 squared-L2 ranking with code tie-break, vec_id-ordered
+    per-dimension mean folds — then ADC candidate scan over the decoded
+    vectors and the same float re-rank, so the top-k matches
+    hash-exactly."""
+    from ..functions.detsum import duck_fold
+
+    m, ksub, T = PQ_M, PQ_KSUB, PQ_ITERS
+
+    def assign(prev: str) -> str:
+        return (
+            f"SELECT vec_id, m, code FROM ("
+            f"SELECT s.vec_id, s.m, c.code,"
+            f" row_number() OVER (PARTITION BY s.vec_id, s.m"
+            f" ORDER BY round({_l2('s.sx', 'c.cv')}, 6) ASC, c.code ASC) AS rn"
+            f" FROM sv s JOIN {prev} c ON s.m = c.m) WHERE rn = 1"
+        )
+
+    ctes = [
+        f"ev AS (SELECT vec_id, {_VD} AS v, label FROM embeddings)",
+        f"sv AS (SELECT vec_id, ms.m,"
+        f" v[ms.m * (len(v) // {m}) + 1 : (ms.m + 1) * (len(v) // {m})] AS sx"
+        f" FROM ev CROSS JOIN (SELECT unnest(generate_series(0, {m - 1}))"
+        f" AS m) ms)",
+        f"pc0 AS (SELECT m, CAST(rn - 1 AS INTEGER) AS code,"
+        f" list_transform(sx, d -> round(d, 6)) AS cv FROM ("
+        f"SELECT m, sx, row_number() OVER (PARTITION BY m ORDER BY vec_id)"
+        f" AS rn FROM sv) WHERE rn <= {ksub})",
+        "svu AS (SELECT vec_id, m, unnest(sx) AS val,"
+        " generate_subscripts(sx, 1) AS pos FROM sv)",
+    ]
+    for t in range(1, T + 1):
+        ctes.append(f"pa{t} AS ({assign(f'pc{t - 1}')})")
+        ctes.append(
+            f"pm{t} AS (SELECT m, code, pos,"
+            f" round({duck_fold('val', 'vec_id')} / count(*), 6) AS mv"
+            f" FROM (SELECT a.m, a.code, u.vec_id, u.pos, u.val"
+            f" FROM pa{t} a JOIN svu u ON u.vec_id = a.vec_id AND u.m = a.m)"
+            f" GROUP BY m, code, pos)"
+        )
+        ctes.append(
+            f"pc{t} AS (SELECT p.m, p.code, coalesce(n.cv, p.cv) AS cv"
+            f" FROM pc{t - 1} p LEFT JOIN"
+            f" (SELECT m, code, list_transform(list_sort(list({{'o': pos,"
+            f" 'v': mv}})), s -> s.v) AS cv FROM pm{t} GROUP BY m, code) n"
+            f" USING (m, code))"
+        )
+    ctes.extend(
+        [
+            f"pcode AS ({assign(f'pc{T}')})",
+            f"pdec AS (SELECT a.vec_id, flatten(list_transform(list_sort("
+            f"list({{'o': a.m, 'v': c.cv}})), s -> s.v)) AS dv"
+            f" FROM pcode a JOIN pc{T} c ON a.m = c.m AND a.code = c.code"
+            f" GROUP BY a.vec_id)",
+            "vd AS (SELECT d.vec_id, d.dv, e.label FROM pdec d"
+            " JOIN ev e USING (vec_id))",
+            "cellvecs AS (SELECT label, list(v ORDER BY vec_id) AS vs,"
+            " CAST(count(*) AS DOUBLE) AS n FROM ev GROUP BY label)",
+            "cent AS (SELECT label,"
+            " [list_reduce(list_prepend(0.0, list_transform(vs, vv -> vv[j])),"
+            " (acc, x) -> acc + x) / n"
+            " FOR j IN generate_series(1, len(vs[1]))] AS cv FROM cellvecs)",
+            f"q AS (SELECT vec_id AS query_id, v AS qv FROM ev"
+            f" WHERE vec_id < {N_QUERIES})",
+            f"assigned AS (SELECT query_id, cell FROM ("
+            f"SELECT q.query_id, c.label AS cell,"
+            f" row_number() OVER (PARTITION BY q.query_id"
+            f" ORDER BY round({_cos('q.qv', 'c.cv')}, 6) DESC, c.label ASC)"
+            f" AS crank FROM q, cent c) WHERE crank <= {IVF_NPROBE})",
+            f"cand AS (SELECT query_id, neighbor_id FROM ("
+            f"SELECT a.query_id, e.vec_id AS neighbor_id,"
+            f" row_number() OVER (PARTITION BY a.query_id"
+            f" ORDER BY round({_cos('q.qv', 'e.dv')}, 6) DESC, e.vec_id ASC)"
+            f" AS qrank FROM assigned a JOIN q ON a.query_id = q.query_id"
+            f" JOIN vd e ON a.cell = e.label AND a.query_id != e.vec_id)"
+            f" WHERE qrank <= {IVF_RERANK_DEPTH})",
+        ]
+    )
+    final = (
+        f"SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine"
+        f" FROM (SELECT c.query_id, c.neighbor_id,"
+        f" round({_cos('q.qv', 'e.v')}, 6) AS cosine,"
+        f" row_number() OVER (PARTITION BY c.query_id"
+        f" ORDER BY round({_cos('q.qv', 'e.v')}, 6) DESC, c.neighbor_id ASC)"
+        f" AS rank FROM cand c JOIN ev e ON c.neighbor_id = e.vec_id"
+        f" JOIN q ON c.query_id = q.query_id) WHERE rank <= {TOP_K}"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
 SIM_TOPK_METHODS_SQL = f"""
 SELECT 'brute' AS method, * FROM ({COSINE_TOPK_SQL})
 UNION ALL
 SELECT 'lsh' AS method, * FROM ({LSH_TOPK_SQL})
 UNION ALL
 SELECT 'ivf_int8' AS method, * FROM ({IVF_INT8_TOPK_SQL})
+UNION ALL
+SELECT 'ivf_pq' AS method, * FROM ({ivf_pq_topk_sql()})
 """
 
 # connected components over the MinHash-LSH near-dup pairs: transitive

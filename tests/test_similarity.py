@@ -145,3 +145,79 @@ def test_semdedup_learned_cells_beat_random_buckets(spark):
     assert all(cells[r.vec_a] == cells[r.vec_b] == r.cluster for r in sem)
     n_random = embedding_near_dup_pairs(emb).count()
     assert len(sem) > n_random, (len(sem), n_random)
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    """PQ encoding: every vector gets exactly PQ_M codes in [0, PQ_KSUB);
+    training is deterministic (two runs, identical codebook); decoded
+    vectors have the original dimension."""
+    from pyspark.sql import functions as F
+
+    from rangebar_patterns_spark.operators.similarity import (
+        PQ_KSUB,
+        PQ_M,
+        pq_codes,
+        pq_decode,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    book = pq_train(emb)
+    assert book == pq_train(emb)
+    assert len(book) == PQ_M * PQ_KSUB
+    dsub = len(book[0][2])
+    assert all(len(cv) == dsub for _, _, cv in book)
+
+    codes = pq_codes(emb, book)
+    stats = codes.select(
+        F.size("codes").alias("n"),
+        F.array_min("codes").alias("lo"),
+        F.array_max("codes").alias("hi"),
+    ).agg(
+        F.min("n"), F.max("n"), F.min("lo"), F.max("hi")
+    ).collect()[0]
+    assert stats[0] == stats[1] == PQ_M
+    assert stats[2] >= 0 and stats[3] < PQ_KSUB
+    assert codes.count() == emb.count()
+
+    dims = pq_decode(codes, book).select(F.size("dv").alias("d")).distinct()
+    assert [r.d for r in dims.collect()] == [PQ_M * dsub]
+
+
+def test_ivf_pq_rerank_recall(spark):
+    """IVF-PQ: ADC scan + float re-rank.  The PQ-specific contract is
+    that the ADC approximation is RECOVERABLE: recall lost to the coarse
+    4x16 codes (this fixture is near-random, the hardest case for PQ)
+    comes back as rerank_depth grows, and at full depth the recall
+    equals the float cell scan's — probe-bound, exactly the int8
+    variant's number.  Reported cosines are always the float baseline's
+    on shared pairs (ADC never leaks into output scores)."""
+    from rangebar_patterns_spark.operators.similarity import (
+        TOP_K,
+        cosine_topk,
+        ivf_pq_search,
+        ivf_quantized_search,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    brute = cosine_topk(emb).toPandas()
+    pq = ivf_pq_search(emb).toPandas()
+    assert set(pq.query_id) == set(brute.query_id)
+    assert (pq.groupby("query_id")["rank"].max() <= TOP_K).all()
+
+    def _recall(df):
+        r = 0.0
+        for qid, grp in brute.groupby("query_id"):
+            truth = set(grp.neighbor_id)
+            r += len(truth & set(df[df.query_id == qid].neighbor_id)) / len(truth)
+        return r / brute.query_id.nunique()
+
+    shallow = _recall(ivf_pq_search(emb, nprobe=6).toPandas())
+    deep = _recall(ivf_pq_search(emb, nprobe=6, rerank_depth=500).toPandas())
+    assert deep >= shallow, (shallow, deep)
+    # full-depth re-rank = float cell scan: probe coverage is the only
+    # recall bound left, so PQ must tie the int8 variant exactly
+    assert deep == _recall(ivf_quantized_search(emb, nprobe=6).toPandas())
+    assert deep >= 0.6, deep
+    merged = pq.merge(brute, on=["query_id", "neighbor_id"], suffixes=("_q", "_b"))
+    assert (merged.cosine_q == merged.cosine_b).all()
