@@ -200,6 +200,57 @@ def pack_documents(
     )
 
 
+#: gate-entry packing configuration: small budget so sf0.001's ~100-word
+#: docs actually split across packs; 16 shards bounds the window width;
+#: the sample column demonstrates reproducible held-out splitting at the
+#: same grain.  Salts are the cross-engine md5 coin convention.
+PACK_BUDGET_TOKENS = 256
+PACK_SHARDS = 16
+PACK_SAMPLE_RATE = 0.25
+PACK_SALT = "pack-v1"
+PACK_SAMPLE_SALT = "packsample-v1"
+
+
+def packing_panel(
+    docs: DataFrame,
+    token_budget: int = PACK_BUDGET_TOKENS,
+    n_shards: int = PACK_SHARDS,
+    sample_rate: float = PACK_SAMPLE_RATE,
+) -> DataFrame:
+    """Oracle-certifiable sampling + packing panel: the two deterministic
+    batching primitives a pre-training pipeline runs last, on one
+    doc-grain row — :func:`pack_documents` block packing (here sharded by
+    the cross-engine md5 coin instead of the production xxhash64 default,
+    so the DuckDB twin hash-matches) plus a reproducible ``sample_keep``
+    split (same membership contract as :func:`deterministic_sample`:
+    a pure function of (salt, doc_id) — partition-layout-invariant,
+    append-stable).
+
+    Scale shape: one hash per row, one token count per row, one window
+    per shard — no data-sized shuffle beyond the shard exchange; shard
+    count scales the window parallelism the way (symbol,) scales the bar
+    windows.  Output: (doc_id, shard, n_tokens, pack_id, pack_pos,
+    sample_keep)."""
+    from .dedup import hexint
+
+    shard = F.pmod(
+        hexint(F.concat_ws(":", F.lit(PACK_SALT), F.col("doc_id").cast("string"))),
+        F.lit(n_shards),
+    )
+    keep = F.pmod(
+        hexint(
+            F.concat_ws(":", F.lit(PACK_SAMPLE_SALT), F.col("doc_id").cast("string"))
+        ),
+        F.lit(SAMPLE_MOD),
+    ) < F.floor(F.lit(sample_rate) * F.lit(float(SAMPLE_MOD))).cast("long")
+    packed = pack_documents(
+        docs.withColumn("_shard", shard), token_budget, shard_col="_shard"
+    )
+    return packed.select(
+        "doc_id", "shard", "n_tokens", "pack_id", "pack_pos"
+    ).withColumn("sample_keep", keep)
+
+
 # --- benchmark decontamination -------------------------------------------
 
 #: deterministic stand-in eval set: documents with doc_id % MOD == RESIDUE

@@ -1265,27 +1265,70 @@ _KNEE_ORACLE = (
     )
 )
 
+# booleans cross the union as VARCHAR ('true'/'false' in both engines):
+# a NULL-padded BOOLEAN column materializes as None in Spark's toPandas
+# but NaN in DuckDB's df(), which would break the driver's value hash —
+# NULL VARCHARs agree (None on both sides)
+_SPEARMAN_KNEE_ORACLE = f"""
+SELECT 'spearman' AS panel, metric_a, metric_b, n_configs, spearman_rho,
+    NULL AS symbol, NULL AS barrier_id, CAST(NULL AS VARCHAR) AS on_front,
+    NULL AS tradeoff_mu, CAST(NULL AS VARCHAR) AS is_knee
+FROM ({_SPEARMAN_ORACLE})
+UNION ALL
+SELECT 'knee', NULL, NULL, NULL, NULL,
+    symbol, barrier_id, CAST(on_front AS VARCHAR), tradeoff_mu,
+    CAST(is_knee AS VARCHAR)
+FROM ({_KNEE_ORACLE})
+"""
 
-@register("eval_knee_points", _KNEE_ORACLE)
-def q_eval_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tail = _eval_layer(spark, sf_dir, "tail")
-    m = (
-        tail.withColumn("omega", F.col("_omega_raw"))
-        .withColumn("rachev", F.col("_rachev_raw"))
-        .withColumn("cdar_inv", -F.col("_cdar_raw"))
-    )
-    return SY.knee_points(m, ["omega", "rachev", "cdar_inv"])
 
-
-@register("eval_spearman", _SPEARMAN_ORACLE)
+@register("eval_spearman", _SPEARMAN_KNEE_ORACLE)
 def q_eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 + E17 synthesis panels as one long-format union with a
+    ``panel`` discriminator (was eval_spearman + eval_knee_points —
+    merged round 9 to free one gate slot for ``corpus_packing``;
+    column-preserving, NULL-padded, so both former entries' certified
+    values keep flowing through the hash compare):
+
+      * ``spearman`` — pairwise Spearman rho between metric rankings;
+      * ``knee`` — Pareto-front knee detection (Deb & Gupta 2010) over
+        (omega, rachev, -cdar)."""
     tail = _eval_layer(spark, sf_dir, "tail")
-    m = (
+    sp = SY.spearman_matrix(
         tail.withColumn("omega", F.col("_omega_raw"))
         .withColumn("rachev", F.col("_rachev_raw"))
-        .withColumn("cdar", F.col("_cdar_raw"))
+        .withColumn("cdar", F.col("_cdar_raw")),
+        ["omega", "rachev", "cdar"],
+    ).select(
+        F.lit("spearman").alias("panel"),
+        "metric_a",
+        "metric_b",
+        "n_configs",
+        "spearman_rho",
+        F.lit(None).cast("string").alias("symbol"),
+        F.lit(None).cast("string").alias("barrier_id"),
+        F.lit(None).cast("string").alias("on_front"),
+        F.lit(None).cast("double").alias("tradeoff_mu"),
+        F.lit(None).cast("string").alias("is_knee"),
     )
-    return SY.spearman_matrix(m, ["omega", "rachev", "cdar"])
+    kn = SY.knee_points(
+        tail.withColumn("omega", F.col("_omega_raw"))
+        .withColumn("rachev", F.col("_rachev_raw"))
+        .withColumn("cdar_inv", -F.col("_cdar_raw")),
+        ["omega", "rachev", "cdar_inv"],
+    ).select(
+        F.lit("knee").alias("panel"),
+        F.lit(None).cast("string").alias("metric_a"),
+        F.lit(None).cast("string").alias("metric_b"),
+        F.lit(None).cast("bigint").alias("n_configs"),
+        F.lit(None).cast("double").alias("spearman_rho"),
+        "symbol",
+        "barrier_id",
+        F.col("on_front").cast("string").alias("on_front"),
+        "tradeoff_mu",
+        F.col("is_knee").cast("string").alias("is_knee"),
+    )
+    return sp.unionByName(kn)
 
 
 # ---------------------------------------------------------------------------
@@ -1473,6 +1516,17 @@ def q_sim_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(SIM.ivf_pq_search(emb).withColumn("method", F.lit("ivf_pq")))
     )
+
+
+@register("corpus_packing", TO.packing_sql())
+def q_corpus_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling + sequence packing panel (the last two
+    batching steps of a pre-training data pipeline), promoted from
+    unit-only coverage to an oracle-certified gate entry in round 9:
+    md5-coin sharded block packing (pack_id from a per-shard token
+    cumsum — one window per shard, no global sort) plus a reproducible
+    partition-layout-invariant ``sample_keep`` split."""
+    return TX.packing_panel(load_table(spark, sf_dir, "documents"))
 
 
 @register("dedup_clusters", TO.DEDUP_CLUSTERS_SQL)
@@ -2227,6 +2281,7 @@ _GATE_ORDER = [
     "sim_topk_methods",
     "sim_ivf_cell_search",
     "text_metrics",
+    "corpus_packing",
     # sweep engine (gen500/gen600 config grids)
     "sweep_panel",
     "sweep_gen500_1008cfg",
@@ -2238,7 +2293,6 @@ _GATE_ORDER = [
     "eval_tail_tamrs",
     "cutoff_grid_search",
     "eval_bootstrap_synthesis",
-    "eval_knee_points",
     "eval_spearman",
     "regime_labels",
     # WFO layer (E18-E25) + gen800

@@ -756,6 +756,46 @@ WHERE {_hexint(f"'{MIXTURE_SALT}:' || t.source || ':' || CAST(t.doc_id AS VARCHA
 """
 
 
+def packing_sql() -> str:
+    """Twin of textops.packing_panel: same md5-coin shard and sample
+    membership, same per-shard doc_id-ordered token cumsum and
+    floor((cum - tokens)/budget) pack assignment, so the panel
+    hash-matches."""
+    from ..operators.textops import (
+        PACK_BUDGET_TOKENS,
+        PACK_SALT,
+        PACK_SAMPLE_RATE,
+        PACK_SAMPLE_SALT,
+        PACK_SHARDS,
+        SAMPLE_MOD,
+    )
+
+    coin = _hexint(f"'{PACK_SALT}:' || CAST(doc_id AS VARCHAR)")
+    keep = _hexint(f"'{PACK_SAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+        {coin} % {PACK_SHARDS} AS shard,
+        CAST(len({WORDS}) AS BIGINT) AS n_tokens,
+        ({keep} % {SAMPLE_MOD})
+            < CAST(floor({PACK_SAMPLE_RATE!r} * {SAMPLE_MOD}.0) AS BIGINT)
+            AS sample_keep
+    FROM documents
+),
+p AS (
+    SELECT doc_id, shard, n_tokens, sample_keep,
+        CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+            - n_tokens) / {PACK_BUDGET_TOKENS}.0) AS BIGINT) AS pack_id
+    FROM d
+)
+SELECT doc_id, shard, n_tokens, pack_id,
+    CAST(row_number() OVER (PARTITION BY shard, pack_id ORDER BY doc_id)
+        AS BIGINT) AS pack_pos,
+    sample_keep
+FROM p
+"""
+
+
 def kmeans_assign_sql() -> str:
     """Twin of similarity.kmeans_assign: the same spherical-k-means
     iterations UNROLLED as CTEs — identical seeds (k smallest vec_ids,

@@ -31,7 +31,7 @@ ARROW_SANCTIONED = {
     "eval_moments_dsr", "eval_tail_tamrs",
     "eval_ou_calibration", "cutoff_grid_search",
     "eval_bootstrap_synthesis",
-    "eval_knee_points", "eval_spearman", "wf_fold_metrics", "wf_topk",
+    "eval_spearman", "wf_fold_metrics", "wf_topk",
     "cpcv_pbo", "gt_composite_mbb", "wf_fold_objectives",
     "tail_scan", "asof_probe_lookup", "config_skip_done",
     "gen800_rolling_rdd", "crossasset_panel",
