@@ -394,17 +394,21 @@ def pq_train(
     driver; the subvector relation is persisted once and shuffled once."""
     sv = _subvectors(emb, m).repartition("vec_id").persist()
     try:
-        seed_w = Window.partitionBy("m").orderBy("vec_id")
-        seeds = (
-            sv.withColumn("rn", F.row_number().over(seed_w))
-            .filter(F.col("rn") <= ksub)
-            .select(
-                "m",
-                (F.col("rn") - 1).cast("int").alias("code"),
-                F.transform("sx", lambda d: F.round(d, 6)).alias("cv"),
-            )
+        # seeds: the ksub smallest vec_ids' subvectors — since every
+        # vec_id yields exactly one subvector per subspace, this equals
+        # the twin's per-m "first ksub by vec_id" and needs only a
+        # limit-ksub collect + driver-side slicing, not a window job
+        # over the whole subvector relation
+        first = _vecs(emb).orderBy("vec_id").limit(ksub).select(
+            F.transform("v", lambda d: F.round(d, 6)).alias("cv")
         )
-        book = [(r.m, r.code, list(r.cv)) for r in seeds.collect()]
+        rows = [list(r.cv) for r in first.collect()]
+        dsub = len(rows[0]) // m
+        book = [
+            (mm, code, cv[mm * dsub : (mm + 1) * dsub])
+            for mm in range(m)
+            for code, cv in enumerate(rows)
+        ]
         from ..functions.detsum import osum
 
         spark = emb.sparkSession

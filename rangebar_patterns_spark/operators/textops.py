@@ -105,11 +105,26 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+#: winnowing guarantee window (Schleimer et al. 2003 §4): every run of
+#: WINNOW_WINDOW consecutive k-grams contributes at least one selected
+#: fingerprint, so any match of length >= k + WINNOW_WINDOW - 1 words is
+#: detected — the MOSS local-fingerprinting contract
+WINNOW_WINDOW = 4
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprints: order-sensitive polynomial rolling hash over
     the word-hash sequence (acc*31 + h mod P, sequential fold — exact in
-    both engines) and the order-insensitive min-shingle-hash (winnowing's
-    degenerate k=1 form)."""
+    both engines), the order-insensitive min-shingle-hash (winnowing's
+    degenerate whole-document window), and full WINNOWING (Schleimer et
+    al. 2003, the MOSS algorithm): the min k-gram hash of every
+    WINNOW_WINDOW-wide sliding window, deduplicated — the locality
+    guarantee min-hash lacks (any sufficiently long shared run selects a
+    common fingerprint regardless of where it sits).  ``n_winnow_fp`` is
+    the selected-set size, ``winnow_fp`` folds the SORTED set through the
+    same polynomial (set-valued document sketch).  All integer math —
+    map-only, exact in both engines.  Ties keep the min VALUE (we sketch
+    the hash set, not MOSS's positional rightmost-min variant)."""
     # bound-words two-stage (see shingles_col's performance contract)
     w = F.col("_w")
     word_hashes = F.transform(
@@ -127,11 +142,36 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
         % F.lit(HASH_MOD),
     )
-    return docs.select("doc_id", words_col().alias("_w")).select(
-        "doc_id",
-        F.size(w).cast("long").alias("n_tokens"),
-        rolling.alias("rolling_fp"),
-        F.array_min(shingle_hashes).alias("min_shingle_fp"),
+    sh = F.col("_sh")
+    # one window per position; a doc shorter than the window yields ONE
+    # fingerprint (min of all its grams); the empty-gram doc yields []
+    # (the slice-min is NULL only there, stripped by the filter)
+    wins = F.filter(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.lit(1), F.size(sh) - F.lit(WINNOW_WINDOW - 1)),
+            ),
+            lambda i: F.array_min(F.slice(sh, i, WINNOW_WINDOW)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    winnow_set = F.array_sort(F.array_distinct(wins))
+    return (
+        docs.select("doc_id", words_col().alias("_w"))
+        .select("doc_id", "_w", shingle_hashes.alias("_sh"))
+        .select(
+            "doc_id",
+            F.size(w).cast("long").alias("n_tokens"),
+            rolling.alias("rolling_fp"),
+            F.array_min(sh).alias("min_shingle_fp"),
+            F.size(winnow_set).cast("long").alias("n_winnow_fp"),
+            F.aggregate(
+                winnow_set,
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * F.lit(31) + h) % F.lit(HASH_MOD),
+            ).alias("winnow_fp"),
+        )
     )
 
 

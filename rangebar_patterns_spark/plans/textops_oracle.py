@@ -331,15 +331,38 @@ SELECT doc_id,
 FROM derived
 """
 
-FINGERPRINT_SQL = f"""
+def _fingerprint_sql() -> str:
+    """Twin of textops.fingerprints incl. winnowing: same per-position
+    window mins over the gram-hash sequence, same sorted-distinct
+    polynomial fold."""
+    from ..operators.textops import WINNOW_WINDOW as W
+
+    poly = f"(acc, h) -> (acc * 31 + h) % {HASH_MOD}"
+    return f"""
 SELECT doc_id,
-    CAST(len({WORDS}) AS BIGINT) AS n_tokens,
+    CAST(len(w_) AS BIGINT) AS n_tokens,
     list_reduce(list_prepend(CAST(0 AS BIGINT),
-        list_transform({WORDS}, w -> {_hexint("w")} % {HASH_MOD})),
-        (acc, h) -> (acc * 31 + h) % {HASH_MOD}) AS rolling_fp,
-    list_min(list_transform({_shingles()}, s -> {_hexint("s")} % {HASH_MOD})) AS min_shingle_fp
-FROM documents
+        list_transform(w_, w -> {_hexint("w")} % {HASH_MOD})),
+        {poly}) AS rolling_fp,
+    list_min(sh_) AS min_shingle_fp,
+    CAST(len(list_sort(list_distinct(ws_))) AS BIGINT) AS n_winnow_fp,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_sort(list_distinct(ws_))),
+        {poly}) AS winnow_fp
+FROM (
+    SELECT doc_id, w_, sh_,
+        list_filter(list_transform(
+            generate_series(1, greatest(1, len(sh_) - {W - 1})),
+            i -> list_min(sh_[i:i + {W - 1}])), x -> x IS NOT NULL) AS ws_
+    FROM (
+        SELECT doc_id, {WORDS} AS w_,
+            list_transform({_shingles()}, s -> {_hexint("s")} % {HASH_MOD}) AS sh_
+        FROM documents
+    )
+)
 """
+
+
+FINGERPRINT_SQL = _fingerprint_sql()
 
 
 IVF_CELL_SQL = f"""
