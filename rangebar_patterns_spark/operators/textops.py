@@ -68,10 +68,26 @@ def language_id(docs: DataFrame) -> DataFrame:
     return out.withColumn("matches_label", F.col("predicted_lang") == F.col("lang"))
 
 
+#: Gopher rule thresholds (Rae et al. 2021, Appendix A1.1) — the
+#: word-based subset applicable to single-line documents; the line-based
+#: rules (bullet starts, ellipsis line ends) are degenerate on a corpus
+#: without newlines and deliberately omitted.  Shared with the oracle.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WORD_LEN = 3.0
+GOPHER_MAX_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORDS = 2
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality features + composite score: length band, alpha /
-    punctuation ratios, stopword presence, token-length sanity (the usual
-    pretraining-filter family, e.g. Gopher rules)."""
+    punctuation ratios, stopword presence, token-length sanity — plus the
+    Gopher rule flags (Rae et al. 2021 A1.1, word-based subset): word
+    count band, mean word length band, alphabetic-word fraction,
+    distinct-stopword floor, symbol ('#'/'...') ratio, and the combined
+    ``gopher_pass``.  All map-only built-in expressions."""
     w = words_col()
     n_tok = F.size(w).cast("double")
     n_chars = F.col("n_chars").cast("double")
@@ -95,6 +111,33 @@ def quality_score(docs: DataFrame) -> DataFrame:
         + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0)))
         + F.lit(0.1) * word_sanity
     )
+    # Gopher flags — every fraction is ROUNDED before the threshold
+    # compare so both engines cut on the identical value
+    alpha_word_frac = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("double")
+        / F.nullif(n_tok, F.lit(0.0)),
+        6,
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(w), F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+        )
+    )
+    hash_cnt = F.length("text") - F.length(F.replace("text", F.lit("#"), F.lit("")))
+    ell_cnt = (
+        (F.length("text") - F.length(F.replace("text", F.lit("..."), F.lit(""))))
+        / F.lit(3)
+    ).cast("long")
+    symbol_ratio = F.round(
+        (hash_cnt + ell_cnt).cast("double") / F.nullif(n_tok, F.lit(0.0)), 6
+    )
+    r_words = (n_tok >= GOPHER_MIN_WORDS) & (n_tok <= GOPHER_MAX_WORDS)
+    r_wlen = (F.round(avg_len, 6) >= GOPHER_MIN_WORD_LEN) & (
+        F.round(avg_len, 6) <= GOPHER_MAX_WORD_LEN
+    )
+    r_alpha = alpha_word_frac > F.lit(GOPHER_MIN_ALPHA_FRAC)
+    r_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    r_sym = symbol_ratio < F.lit(GOPHER_MAX_SYMBOL_RATIO)
     return docs.select(
         "doc_id",
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
@@ -102,6 +145,14 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(avg_len, 6).alias("avg_word_len"),
         F.round(score, 6).alias("quality_score"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        r_words.alias("rule_word_count"),
+        r_wlen.alias("rule_mean_word_len"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        r_sym.alias("rule_symbol_ratio"),
+        (r_words & r_wlen & r_alpha & r_stop & r_sym).alias("gopher_pass"),
     )
 
 

@@ -297,6 +297,38 @@ FROM scored
 
 LANGUAGE_ID_SQL = _language_id_sql()
 
+def _gopher_cols() -> str:
+    """Twin of the Gopher rule flags in textops.quality_score: rounded
+    fractions, identical threshold compares."""
+    from ..operators.textops import (
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+    return f"""
+        round(CAST(len(list_filter({WORDS}, x -> regexp_matches(x, '[a-z]')))
+            AS DOUBLE) / nullif(CAST(len({WORDS}) AS DOUBLE), 0.0), 6)
+            AS alpha_word_frac,
+        round(CAST((length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '...', ''))) // 3
+            AS DOUBLE) / nullif(CAST(len({WORDS}) AS DOUBLE), 0.0), 6)
+            AS symbol_ratio,
+        len(list_intersect(list_distinct({WORDS}), [{stops}]))
+            AS n_stop_distinct,
+        CAST(len({WORDS}) AS DOUBLE) AS n_tok_,
+        {GOPHER_MIN_WORDS} AS g_minw, {GOPHER_MAX_WORDS} AS g_maxw,
+        {GOPHER_MIN_WORD_LEN!r} AS g_minl, {GOPHER_MAX_WORD_LEN!r} AS g_maxl,
+        {GOPHER_MIN_ALPHA_FRAC!r} AS g_alpha,
+        {GOPHER_MAX_SYMBOL_RATIO!r} AS g_sym,
+        {GOPHER_MIN_STOPWORDS} AS g_stop"""
+
+
 QUALITY_SQL = f"""
 WITH feats AS (
     SELECT doc_id,
@@ -305,7 +337,8 @@ WITH feats AS (
         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS alpha,
         CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
         {_stop_ratio_sql("en")} AS stop_ratio,
-        CAST(length(replace(text, ' ', '')) AS DOUBLE) AS nonspace
+        CAST(length(replace(text, ' ', '')) AS DOUBLE) AS nonspace,
+        {_gopher_cols()}
     FROM documents
 ),
 derived AS (
@@ -316,7 +349,15 @@ derived AS (
         nonspace / nullif(n_tok, 0.0) AS avg_word_len,
         least(n_tok / 50.0, 1.0) AS len_band,
         CASE WHEN nonspace / nullif(n_tok, 0.0) >= 2.0
-              AND nonspace / nullif(n_tok, 0.0) <= 12.0 THEN 1.0 ELSE 0.0 END AS word_sanity
+              AND nonspace / nullif(n_tok, 0.0) <= 12.0 THEN 1.0 ELSE 0.0 END AS word_sanity,
+        alpha_word_frac, symbol_ratio, n_stop_distinct, n_tok_,
+        (n_tok_ >= g_minw AND n_tok_ <= g_maxw) AS rule_word_count,
+        (round(nonspace / nullif(n_tok, 0.0), 6) >= g_minl
+            AND round(nonspace / nullif(n_tok, 0.0), 6) <= g_maxl)
+            AS rule_mean_word_len,
+        (alpha_word_frac > g_alpha) AS rule_alpha_words,
+        (n_stop_distinct >= g_stop) AS rule_stopwords,
+        (symbol_ratio < g_sym) AS rule_symbol_ratio
     FROM feats
 )
 SELECT doc_id,
@@ -327,7 +368,12 @@ SELECT doc_id,
     round(0.3 * len_band + 0.3 * alpha_ratio
         + 0.2 * least(stop_ratio * 10.0, 1.0)
         + 0.1 * (1.0 - least(punct_ratio * 5.0, 1.0))
-        + 0.1 * word_sanity, 6) AS quality_score
+        + 0.1 * word_sanity, 6) AS quality_score,
+    alpha_word_frac, symbol_ratio,
+    rule_word_count, rule_mean_word_len, rule_alpha_words,
+    rule_stopwords, rule_symbol_ratio,
+    (rule_word_count AND rule_mean_word_len AND rule_alpha_words
+        AND rule_stopwords AND rule_symbol_ratio) AS gopher_pass
 FROM derived
 """
 

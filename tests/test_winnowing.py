@@ -83,3 +83,27 @@ def test_winnow_edge_shapes(spark):
     assert s[0] == (0, 0)
     assert s[1][0] == 1
     assert s[2] == s[3]
+
+
+def test_gopher_rule_flags(spark):
+    """Gopher A1.1 word-based rules on constructed documents: each rule
+    fails exactly where the paper's threshold says it should."""
+    from rangebar_patterns_spark.operators.textops import (
+        GOPHER_MIN_WORDS,
+        quality_score,
+    )
+
+    good = ("the quick brown fox jumps over a lazy dog and keeps running "
+            "to the distant hills in steady rhythm ") * 5
+    short = "the quick brown fox is in a tree"
+    symbols = " ".join(["###"] * GOPHER_MIN_WORDS) + " the a of and is to in"
+    nostop = " ".join(f"zzz{i}" for i in range(GOPHER_MIN_WORDS))
+    docs = spark.createDataFrame(
+        [(0, good), (1, short), (2, symbols), (3, nostop)],
+        "doc_id long, text string",
+    ).selectExpr("doc_id", "text", "CAST(length(text) AS LONG) AS n_chars")
+    r = {x.doc_id: x for x in quality_score(docs).collect()}
+    assert r[0].gopher_pass
+    assert not r[1].rule_word_count and not r[1].gopher_pass
+    assert not r[2].rule_symbol_ratio and not r[2].gopher_pass
+    assert not r[3].rule_stopwords and not r[3].gopher_pass
