@@ -156,6 +156,161 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- BPE tokenizer training (in-engine) -------------------------------------
+
+#: learned merge budget for the certified panel: 8 rounds keeps the
+#: unrolled DuckDB twin tractable; the Spark trainer takes any n
+BPE_MERGES = 8
+
+
+def _char_seq(word: Column) -> Column:
+    """Initial BPE symbol sequence: the word's characters (1-based
+    substring — identical to the twin's w[i] indexing on ASCII)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: F.substring(word, i, 1)
+    )
+
+
+def _apply_merge(seq: Column, a: str, b: str) -> Column:
+    """Left-to-right greedy application of one learned merge (a, b) ->
+    a||b — the standard BPE apply fold, exact in both engines."""
+    return F.aggregate(
+        seq,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _bpe_seq(merges: list[tuple[str, str]]) -> Column:
+    seq = _char_seq(F.col("word"))
+    for a, b in merges:
+        seq = _apply_merge(seq, a, b)
+    return seq
+
+
+def bpe_vocab(docs: DataFrame) -> DataFrame:
+    """(word, freq): the word-type table BPE trains on — the one
+    corpus-sized aggregation; every training round after it runs on the
+    (small) vocabulary, exactly how production BPE trainers decompose
+    the work (count words once, learn merges on types weighted by
+    frequency)."""
+    return (
+        docs.select(F.explode(words_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = BPE_MERGES
+) -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016) in-engine:
+    each round is one distributed pass over the vocabulary — explode
+    adjacent symbol pairs weighted by word frequency, integer-sum per
+    pair (exact, order-free), and collect the argmax — then the winning
+    pair becomes a literal in the next round's apply fold.  Only the
+    merge list (n strings) ever visits the driver; ties break
+    deterministically by (count desc, left asc, right asc), so the
+    unrolled DuckDB twin learns the identical table."""
+    # incremental rounds: the CURRENT symbol sequences stay persisted and
+    # each round applies only the newest merge (one fold) — identical by
+    # construction to re-deriving from raw chars (sequential application
+    # IS the definition), but the per-round plan holds ONE fold instead
+    # of r nested ones, so codegen compile cost stays flat across rounds
+    cur = (
+        bpe_vocab(docs)
+        .select("word", "freq", _char_seq(F.col("word")).alias("s"))
+        .persist()
+    )
+    try:
+        merges: list[tuple[str, str]] = []
+        for _ in range(n_merges):
+            pairs = (
+                cur.select(
+                    "freq",
+                    F.explode(
+                        F.when(
+                            F.size("s") >= 2,
+                            F.transform(
+                                F.sequence(F.lit(1), F.size("s") - 1),
+                                lambda i: F.struct(
+                                    F.element_at(F.col("s"), i).alias("a"),
+                                    F.element_at(F.col("s"), i + 1).alias("b"),
+                                ),
+                            ),
+                        ).otherwise(F.expr(
+                            "CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)"
+                        ))
+                    ).alias("p"),
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("cnt"))
+            )
+            top = pairs.orderBy(
+                F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+            ).limit(1).collect()
+            if not top:
+                break
+            a, b = top[0].a, top[0].b
+            merges.append((a, b))
+            nxt = cur.select(
+                "word", "freq", _apply_merge(F.col("s"), a, b).alias("s")
+            ).persist()
+            cur.unpersist()
+            cur = nxt
+        return merges
+    finally:
+        cur.unpersist()
+
+
+def bpe_token_counts(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(doc_id, bpe_vocab_tokens, bpe_chars_per_token): tokenize with the
+    learned merges — applied once per word TYPE (the vocabulary), then
+    broadcast-joined back to the doc-word relation and integer-summed,
+    so the fold never runs per occurrence.  Docs with no words keep a
+    zero count (left join)."""
+    wt = (
+        docs.select(F.explode(words_col()).alias("word"))
+        .distinct()
+        .select(
+            "word",
+            F.size(_bpe_seq(merges)).cast("long").alias("w_tok"),
+            F.length("word").cast("long").alias("w_chars"),
+        )
+    )
+    dw = docs.select("doc_id", F.explode(words_col()).alias("word"))
+    agg = (
+        dw.join(wt, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w_tok").alias("bpe_vocab_tokens"),
+            F.round(
+                F.sum("w_chars").cast("double")
+                / F.sum("w_tok").cast("double"),
+                6,
+            ).alias("bpe_chars_per_token"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("bpe_vocab_tokens", F.lit(0).cast("long")).alias(
+                "bpe_vocab_tokens"
+            ),
+            "bpe_chars_per_token",
+        )
+    )
+
+
 #: winnowing guarantee window (Schleimer et al. 2003 §4): every run of
 #: WINNOW_WINDOW consecutive k-grams contributes at least one selected
 #: fingerprint, so any match of length >= k + WINNOW_WINDOW - 1 words is

@@ -77,6 +77,7 @@ def reset_plan_caches(spark: SparkSession) -> None:
         _MH_PAIRS_CACHE,
         _LOGREG_RAW_CACHE,
         _KMEANS_CENTS_CACHE,
+        _BPE_MERGES_CACHE,
     ):
         cache.clear()
     spark.catalog.clearCache()
@@ -1544,28 +1545,48 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.label_centroid_search(load_table(spark, sf_dir, "embeddings"))
 
 
+#: learned BPE merge table per (session, sf_dir): training is 8
+#: sequential distributed rounds (inherently serial — each argmax feeds
+#: the next round's apply fold), so the catalog shares one table the
+#: way it shares the IVF centroids; cleared by reset_plan_caches
+_BPE_MERGES_CACHE: dict[tuple[int, str], list] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    key = (id(spark), sf_dir)
+    if key not in _BPE_MERGES_CACHE:
+        _BPE_MERGES_CACHE[key] = TX.bpe_train(
+            load_table(spark, sf_dir, "documents")
+        )
+    return _BPE_MERGES_CACHE[key]
+
+
 @register(
     "text_metrics",
     f"SELECT t.*, l.* EXCLUDE (doc_id), q.* EXCLUDE (doc_id),"
-    f" f.* EXCLUDE (doc_id)\n"
+    f" f.* EXCLUDE (doc_id), b.* EXCLUDE (doc_id)\n"
     f"FROM ({TO.TOKEN_STATS_SQL}) t\n"
     f"JOIN ({TO.LANGUAGE_ID_SQL}) l ON t.doc_id = l.doc_id\n"
     f"JOIN ({TO.QUALITY_SQL}) q ON t.doc_id = q.doc_id\n"
-    f"JOIN ({TO.FINGERPRINT_SQL}) f ON t.doc_id = f.doc_id",
+    f"JOIN ({TO.FINGERPRINT_SQL}) f ON t.doc_id = f.doc_id\n"
+    f"JOIN ({TO.bpe_doc_sql()}) b ON t.doc_id = b.doc_id",
 )
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis panel per document: token stats (whitespace + BPE-ish
-    regex), n-gram language ID, quality score, and rolling-hash
-    fingerprints as one wide row (was text_token_stats + text_language_id
-    + text_quality + text_fingerprint; operators stay independent in
+    regex), n-gram language ID, quality score (+ Gopher rule flags),
+    rolling-hash/winnowing fingerprints, and in-engine-TRAINED BPE token
+    counts as one wide row (operators stay independent in
     operators/textops.py — all built-in expressions, embarrassingly
-    parallel at any scale)."""
+    parallel at any scale).  The BPE columns certify the whole trainer:
+    any divergence in the 8 learned merges changes every count, so the
+    hash compare covers merge learning, not just the apply."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         TX.token_stats(docs)
         .join(TX.language_id(docs), "doc_id")
         .join(TX.quality_score(docs), "doc_id")
         .join(TX.fingerprints(docs), "doc_id")
+        .join(TX.bpe_token_counts(docs, _bpe_merges(spark, sf_dir)), "doc_id")
     )
 
 

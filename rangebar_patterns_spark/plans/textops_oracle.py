@@ -825,6 +825,64 @@ WHERE {_hexint(f"'{MIXTURE_SALT}:' || t.source || ':' || CAST(t.doc_id AS VARCHA
 """
 
 
+def bpe_doc_sql() -> str:
+    """Twin of textops.bpe_train + bpe_token_counts: the BPE merge
+    learning UNROLLED as CTE rounds — identical word-frequency vocab,
+    identical pair counts (integer sums), identical (cnt desc, a, b)
+    argmax, and the same left-to-right greedy apply fold (the learned
+    pair enters the next round's lambda via a one-row cross join) — then
+    per-doc token counts through the word-type join."""
+    from ..operators.textops import BPE_MERGES as R
+
+    ctes = [
+        f"bv0 AS (SELECT word, freq,"
+        f" list_transform(generate_series(1, length(word)), i -> word[i]) AS s"
+        f" FROM (SELECT word, CAST(count(*) AS BIGINT) AS freq"
+        f" FROM (SELECT unnest({WORDS}) AS word FROM documents)"
+        f" GROUP BY word))",
+    ]
+    for r in range(1, R + 1):
+        ctes.append(
+            f"bp{r} AS (SELECT a, b, sum(freq) AS cnt FROM ("
+            f"SELECT freq, s[i] AS a, s[i + 1] AS b FROM ("
+            f"SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS i"
+            f" FROM bv{r - 1})) GROUP BY a, b)"
+        )
+        ctes.append(
+            f"bb{r} AS (SELECT a, b FROM bp{r}"
+            f" ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"bv{r} AS (SELECT word, freq,"
+            f" list_reduce(list_prepend(CAST([] AS VARCHAR[]),"
+            f" list_transform(s, c -> [c])),"
+            f" (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a"
+            f" AND x[1] = m.b"
+            f" THEN list_append(acc[1:len(acc) - 1], m.a || m.b)"
+            f" ELSE list_append(acc, x[1]) END) AS s"
+            f" FROM bv{r - 1}, bb{r} m)"
+        )
+    ctes.extend(
+        [
+            f"bwt AS (SELECT word, CAST(len(s) AS BIGINT) AS w_tok,"
+            f" CAST(length(word) AS BIGINT) AS w_chars FROM bv{R})",
+            f"bdw AS (SELECT doc_id, unnest({WORDS}) AS word FROM documents)",
+            "bagg AS (SELECT doc_id, CAST(sum(w_tok) AS BIGINT)"
+            " AS bpe_vocab_tokens,"
+            " round(CAST(sum(w_chars) AS DOUBLE) / CAST(sum(w_tok) AS DOUBLE),"
+            " 6) AS bpe_chars_per_token"
+            " FROM bdw JOIN bwt USING (word) GROUP BY doc_id)",
+        ]
+    )
+    final = (
+        "SELECT d.doc_id,"
+        " coalesce(b.bpe_vocab_tokens, CAST(0 AS BIGINT)) AS bpe_vocab_tokens,"
+        " b.bpe_chars_per_token"
+        " FROM documents d LEFT JOIN bagg b USING (doc_id)"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
 def packing_sql() -> str:
     """Twin of textops.packing_panel: same md5-coin shard and sample
     membership, same per-shard doc_id-ordered token cumsum and

