@@ -852,15 +852,20 @@ def bpe_doc_sql() -> str:
             f"bb{r} AS (SELECT a, b FROM bp{r}"
             f" ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"
         )
+        # LEFT JOIN ON TRUE, not a plain cross join: a round with no
+        # pairs left (degenerate corpus — every word already one symbol)
+        # must keep the vocabulary intact, mirroring the Spark trainer's
+        # early break (applying zero further merges leaves s unchanged)
         ctes.append(
             f"bv{r} AS (SELECT word, freq,"
+            f" CASE WHEN m.a IS NULL THEN s ELSE"
             f" list_reduce(list_prepend(CAST([] AS VARCHAR[]),"
             f" list_transform(s, c -> [c])),"
             f" (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a"
             f" AND x[1] = m.b"
             f" THEN list_append(acc[1:len(acc) - 1], m.a || m.b)"
-            f" ELSE list_append(acc, x[1]) END) AS s"
-            f" FROM bv{r - 1}, bb{r} m)"
+            f" ELSE list_append(acc, x[1]) END) END AS s"
+            f" FROM bv{r - 1} LEFT JOIN bb{r} m ON TRUE)"
         )
     ctes.extend(
         [
