@@ -86,8 +86,15 @@ def quality_score(docs: DataFrame) -> DataFrame:
     punctuation ratios, stopword presence, token-length sanity — plus the
     Gopher rule flags (Rae et al. 2021 A1.1, word-based subset): word
     count band, mean word length band, alphabetic-word fraction,
-    distinct-stopword floor, symbol ('#'/'...') ratio, and the combined
-    ``gopher_pass``.  All map-only built-in expressions."""
+    distinct-stopword floor, the '#' and '...' symbol-to-word ratios
+    (tested SEPARATELY with the paper's remove-when-strictly-beyond
+    boundaries: keep needs frac >= 0.8 and each ratio <= 0.1), and the
+    combined ``gopher_pass``.  Deliberate deviations from A1.1, both
+    documented here: the line-based rules (bullet starts, ellipsis line
+    ends) are omitted (single-line corpus), and the distinct-stopword
+    floor uses this module's 7-word English list, not the paper's.
+    Wordless documents coalesce every per-word rule flag to false (never
+    NULL).  All map-only built-in expressions."""
     w = words_col()
     n_tok = F.size(w).cast("double")
     n_chars = F.col("n_chars").cast("double")
@@ -128,16 +135,30 @@ def quality_score(docs: DataFrame) -> DataFrame:
         (F.length("text") - F.length(F.replace("text", F.lit("..."), F.lit(""))))
         / F.lit(3)
     ).cast("long")
-    symbol_ratio = F.round(
-        (hash_cnt + ell_cnt).cast("double") / F.nullif(n_tok, F.lit(0.0)), 6
-    )
+    # the paper tests the '#' and '...' symbol-to-word ratios SEPARATELY
+    # (remove when either exceeds the threshold), so two columns, not a
+    # summed composite; boundary semantics are the paper's "remove when
+    # strictly beyond" (keep at exactly-the-threshold)
+    hash_ratio = F.round(hash_cnt.cast("double") / F.nullif(n_tok, F.lit(0.0)), 6)
+    ell_ratio = F.round(ell_cnt.cast("double") / F.nullif(n_tok, F.lit(0.0)), 6)
     r_words = (n_tok >= GOPHER_MIN_WORDS) & (n_tok <= GOPHER_MAX_WORDS)
-    r_wlen = (F.round(avg_len, 6) >= GOPHER_MIN_WORD_LEN) & (
-        F.round(avg_len, 6) <= GOPHER_MAX_WORD_LEN
+    # wordless documents make every per-word fraction NULL (nullif(n_tok,
+    # 0)); the rule flags coalesce to false — a NULL BOOLEAN would hit the
+    # Spark-None vs DuckDB-NaN value-hash split the knee panel documents
+    r_wlen = F.coalesce(
+        (F.round(avg_len, 6) >= GOPHER_MIN_WORD_LEN)
+        & (F.round(avg_len, 6) <= GOPHER_MAX_WORD_LEN),
+        F.lit(False),
     )
-    r_alpha = alpha_word_frac > F.lit(GOPHER_MIN_ALPHA_FRAC)
+    r_alpha = F.coalesce(
+        alpha_word_frac >= F.lit(GOPHER_MIN_ALPHA_FRAC), F.lit(False)
+    )
     r_stop = n_stop >= GOPHER_MIN_STOPWORDS
-    r_sym = symbol_ratio < F.lit(GOPHER_MAX_SYMBOL_RATIO)
+    r_sym = F.coalesce(
+        (hash_ratio <= F.lit(GOPHER_MAX_SYMBOL_RATIO))
+        & (ell_ratio <= F.lit(GOPHER_MAX_SYMBOL_RATIO)),
+        F.lit(False),
+    )
     return docs.select(
         "doc_id",
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
@@ -146,7 +167,8 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.round(avg_len, 6).alias("avg_word_len"),
         F.round(score, 6).alias("quality_score"),
         alpha_word_frac.alias("alpha_word_frac"),
-        symbol_ratio.alias("symbol_ratio"),
+        hash_ratio.alias("hash_word_ratio"),
+        ell_ratio.alias("ellipsis_word_ratio"),
         r_words.alias("rule_word_count"),
         r_wlen.alias("rule_mean_word_len"),
         r_alpha.alias("rule_alpha_words"),

@@ -315,10 +315,12 @@ def _gopher_cols() -> str:
         round(CAST(len(list_filter({WORDS}, x -> regexp_matches(x, '[a-z]')))
             AS DOUBLE) / nullif(CAST(len({WORDS}) AS DOUBLE), 0.0), 6)
             AS alpha_word_frac,
-        round(CAST((length(text) - length(replace(text, '#', '')))
-            + (length(text) - length(replace(text, '...', ''))) // 3
+        round(CAST(length(text) - length(replace(text, '#', ''))
             AS DOUBLE) / nullif(CAST(len({WORDS}) AS DOUBLE), 0.0), 6)
-            AS symbol_ratio,
+            AS hash_word_ratio,
+        round(CAST((length(text) - length(replace(text, '...', ''))) // 3
+            AS DOUBLE) / nullif(CAST(len({WORDS}) AS DOUBLE), 0.0), 6)
+            AS ellipsis_word_ratio,
         len(list_intersect(list_distinct({WORDS}), [{stops}]))
             AS n_stop_distinct,
         CAST(len({WORDS}) AS DOUBLE) AS n_tok_,
@@ -350,14 +352,16 @@ derived AS (
         least(n_tok / 50.0, 1.0) AS len_band,
         CASE WHEN nonspace / nullif(n_tok, 0.0) >= 2.0
               AND nonspace / nullif(n_tok, 0.0) <= 12.0 THEN 1.0 ELSE 0.0 END AS word_sanity,
-        alpha_word_frac, symbol_ratio, n_stop_distinct, n_tok_,
+        alpha_word_frac, hash_word_ratio, ellipsis_word_ratio,
+        n_stop_distinct, n_tok_,
         (n_tok_ >= g_minw AND n_tok_ <= g_maxw) AS rule_word_count,
-        (round(nonspace / nullif(n_tok, 0.0), 6) >= g_minl
-            AND round(nonspace / nullif(n_tok, 0.0), 6) <= g_maxl)
+        coalesce(round(nonspace / nullif(n_tok, 0.0), 6) >= g_minl
+            AND round(nonspace / nullif(n_tok, 0.0), 6) <= g_maxl, false)
             AS rule_mean_word_len,
-        (alpha_word_frac > g_alpha) AS rule_alpha_words,
+        coalesce(alpha_word_frac >= g_alpha, false) AS rule_alpha_words,
         (n_stop_distinct >= g_stop) AS rule_stopwords,
-        (symbol_ratio < g_sym) AS rule_symbol_ratio
+        coalesce(hash_word_ratio <= g_sym
+            AND ellipsis_word_ratio <= g_sym, false) AS rule_symbol_ratio
     FROM feats
 )
 SELECT doc_id,
@@ -369,7 +373,7 @@ SELECT doc_id,
         + 0.2 * least(stop_ratio * 10.0, 1.0)
         + 0.1 * (1.0 - least(punct_ratio * 5.0, 1.0))
         + 0.1 * word_sanity, 6) AS quality_score,
-    alpha_word_frac, symbol_ratio,
+    alpha_word_frac, hash_word_ratio, ellipsis_word_ratio,
     rule_word_count, rule_mean_word_len, rule_alpha_words,
     rule_stopwords, rule_symbol_ratio,
     (rule_word_count AND rule_mean_word_len AND rule_alpha_words

@@ -98,8 +98,17 @@ def test_gopher_rule_flags(spark):
     short = "the quick brown fox is in a tree"
     symbols = " ".join(["###"] * GOPHER_MIN_WORDS) + " the a of and is to in"
     nostop = " ".join(f"zzz{i}" for i in range(GOPHER_MIN_WORDS))
+    # exactly-at-threshold doc (paper boundaries KEEP it): 50 words, 40
+    # alphabetic (5 carrying one embedded '#' each) + 10 numeric -> alpha
+    # frac = 0.8 and hash ratio = 5/50 = 0.1, both on the boundary
+    edge = " ".join(
+        ["the", "a"]
+        + [f"word{i:02d}" for i in range(33)]
+        + ["ab#cd"] * 5
+        + ["111"] * 10
+    )
     docs = spark.createDataFrame(
-        [(0, good), (1, short), (2, symbols), (3, nostop)],
+        [(0, good), (1, short), (2, symbols), (3, nostop), (4, ""), (5, edge)],
         "doc_id long, text string",
     ).selectExpr("doc_id", "text", "CAST(length(text) AS LONG) AS n_chars")
     r = {x.doc_id: x for x in quality_score(docs).collect()}
@@ -107,3 +116,12 @@ def test_gopher_rule_flags(spark):
     assert not r[1].rule_word_count and not r[1].gopher_pass
     assert not r[2].rule_symbol_ratio and not r[2].gopher_pass
     assert not r[3].rule_stopwords and not r[3].gopher_pass
+    # wordless doc: every per-word rule flag is FALSE, never NULL (the
+    # NULL-boolean cross-engine hash pitfall)
+    for flag in ("rule_mean_word_len", "rule_alpha_words",
+                 "rule_symbol_ratio", "gopher_pass"):
+        assert getattr(r[4], flag) is False
+    # boundary doc: >= / <= paper semantics keep exactly-at-threshold
+    assert r[5].alpha_word_frac == 0.8 and r[5].rule_alpha_words
+    assert r[5].hash_word_ratio == 0.1 and r[5].rule_symbol_ratio
+    assert r[5].gopher_pass
