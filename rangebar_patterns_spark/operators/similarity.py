@@ -502,6 +502,7 @@ def ivf_pq_search(
     rerank_depth: int = IVF_RERANK_DEPTH,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
+    book: list[tuple[int, int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ: coarse probe over label cells, ADC candidate scan over the
     PQ-coded corpus, float re-rank — the billion-scale FAISS serving
@@ -509,11 +510,17 @@ def ivf_pq_search(
     bytes drop another 16×: the scan side holds m code bytes per vector
     plus one broadcast codebook.
 
+    ``book`` injects an already-trained codebook (the catalog shares one
+    per (session, sf_dir) — the _KMEANS_CENTS_CACHE pattern), so repeat
+    builds skip the Lloyd's training entirely; training in production is
+    a one-time index-build step, never part of serving.
+
     Output matches :func:`cosine_topk` (query_id, rank, neighbor_id,
     cosine — float precision from the re-rank); deterministic end to
     end, so the DuckDB twin ties out hash-exactly."""
     v = _vecs(emb)
-    book = pq_train(emb, m=m, ksub=ksub)
+    if book is None:
+        book = pq_train(emb, m=m, ksub=ksub)
     # decode once per vector (one linear pass; at serving scale this is
     # the per-cell LUT scan — see pq_decode) and keep the cell label
     vd = pq_decode(pq_codes(emb, book, m=m), book).join(

@@ -78,6 +78,7 @@ def reset_plan_caches(spark: SparkSession) -> None:
         _LOGREG_RAW_CACHE,
         _KMEANS_CENTS_CACHE,
         _BPE_MERGES_CACHE,
+        _PQ_BOOK_CACHE,
     ):
         cache.clear()
     spark.catalog.clearCache()
@@ -1515,7 +1516,11 @@ def q_sim_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             SIM.ivf_quantized_search(emb).withColumn("method", F.lit("ivf_int8"))
         )
-        .unionByName(SIM.ivf_pq_search(emb).withColumn("method", F.lit("ivf_pq")))
+        .unionByName(
+            SIM.ivf_pq_search(emb, book=_pq_book(spark, sf_dir)).withColumn(
+                "method", F.lit("ivf_pq")
+            )
+        )
     )
 
 
@@ -2140,6 +2145,23 @@ def _kmeans_cents_n(spark: SparkSession, sf_dir: str) -> tuple[int, list]:
 
 def _kmeans_cents(spark: SparkSession, sf_dir: str) -> list:
     return _kmeans_cents_n(spark, sf_dir)[1]
+
+
+#: trained PQ codebook per (session, sf_dir) — ADVICE r9: every
+#: sim_topk_methods build was retraining the m x ksub grouped-Lloyd's
+#: job; training is a one-time index-build step, so the catalog shares
+#: one book the way it shares the IVF centroids and the BPE merges;
+#: cleared by reset_plan_caches like every side-cache
+_PQ_BOOK_CACHE: dict[tuple[int, str], list] = {}
+
+
+def _pq_book(spark: SparkSession, sf_dir: str) -> list:
+    key = (id(spark), sf_dir)
+    if key not in _PQ_BOOK_CACHE:
+        _PQ_BOOK_CACHE[key] = SIM.pq_train(
+            load_table(spark, sf_dir, "embeddings")
+        )
+    return _PQ_BOOK_CACHE[key]
 
 
 @register("kmeans_ivf_assign", TO.kmeans_assign_sql())

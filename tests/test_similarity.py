@@ -221,3 +221,25 @@ def test_ivf_pq_rerank_recall(spark):
     assert deep >= 0.6, deep
     merged = pq.merge(brute, on=["query_id", "neighbor_id"], suffixes=("_q", "_b"))
     assert (merged.cosine_q == merged.cosine_b).all()
+
+
+def test_pq_book_session_cached(spark, monkeypatch):
+    """ADVICE r9: the PQ codebook trains once per (session, sf_dir) and
+    repeat builds serve from the shared book — training is an
+    index-build step, not part of serving."""
+    from rangebar_patterns_spark.plans import catalog as C
+
+    C._PQ_BOOK_CACHE.clear()
+    calls = {"n": 0}
+    real = C.SIM.pq_train
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(C.SIM, "pq_train", counting)
+    b1 = C._pq_book(spark, SF_DIR)
+    b2 = C._pq_book(spark, SF_DIR)
+    assert calls["n"] == 1 and b1 is b2
+    C.reset_plan_caches(spark)
+    assert not C._PQ_BOOK_CACHE
