@@ -290,23 +290,56 @@ def bpe_train(
         cur.unpersist()
 
 
+#: merge-count ceiling for the single-expression nested apply: the
+#: certified 8-merge panel nests all folds in ONE expression (zero extra
+#: jobs); a realistic 32K-merge table would hit a codegen/analysis wall
+#: at that shape, so above the ceiling the apply runs in chunks of this
+#: many folds with the lineage truncated between chunks — the training
+#: loop's persisted-state discipline, identical results by construction
+#: for a sequential-application algorithm
+BPE_NESTED_MAX = 16
+
+
+def bpe_word_tokens(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    max_nested: int = BPE_NESTED_MAX,
+) -> DataFrame:
+    """(word, w_tok, w_chars): the learned merge table applied once per
+    word TYPE.  Up to ``max_nested`` merges nest in one expression (the
+    certified-at-8 plan); larger tables apply iteratively — chunks of
+    ``max_nested`` folds over a vocabulary-sized relation, lineage
+    truncated per chunk (localCheckpoint) so plan depth and codegen cost
+    stay bounded at any merge-table size (a production 32K-merge
+    vocabulary runs ~2K vocabulary-sized rounds, never one 32K-fold
+    expression).  tests/test_bpe.py pins nested-vs-iterative equality at
+    64 merges."""
+    wt = docs.select(F.explode(words_col()).alias("word")).distinct()
+    if len(merges) <= max_nested:
+        cur = wt.select("word", _bpe_seq(merges).alias("s"))
+    else:
+        cur = wt.select("word", _char_seq(F.col("word")).alias("s"))
+        for i in range(0, len(merges), max_nested):
+            s = F.col("s")
+            for a, b in merges[i : i + max_nested]:
+                s = _apply_merge(s, a, b)
+            cur = cur.select("word", s.alias("s")).localCheckpoint()
+    return cur.select(
+        "word",
+        F.size("s").cast("long").alias("w_tok"),
+        F.length("word").cast("long").alias("w_chars"),
+    )
+
+
 def bpe_token_counts(
     docs: DataFrame, merges: list[tuple[str, str]]
 ) -> DataFrame:
     """(doc_id, bpe_vocab_tokens, bpe_chars_per_token): tokenize with the
-    learned merges — applied once per word TYPE (the vocabulary), then
-    broadcast-joined back to the doc-word relation and integer-summed,
-    so the fold never runs per occurrence.  Docs with no words keep a
-    zero count (left join)."""
-    wt = (
-        docs.select(F.explode(words_col()).alias("word"))
-        .distinct()
-        .select(
-            "word",
-            F.size(_bpe_seq(merges)).cast("long").alias("w_tok"),
-            F.length("word").cast("long").alias("w_chars"),
-        )
-    )
+    learned merges — applied once per word TYPE (the vocabulary, via
+    :func:`bpe_word_tokens`), then broadcast-joined back to the doc-word
+    relation and integer-summed, so the fold never runs per occurrence.
+    Docs with no words keep a zero count (left join)."""
+    wt = bpe_word_tokens(docs, merges)
     dw = docs.select("doc_id", F.explode(words_col()).alias("word"))
     agg = (
         dw.join(wt, "word")

@@ -67,3 +67,47 @@ def test_bpe_token_counts_conservation(spark):
     for r in rows:
         assert r.bpe_vocab_tokens > 0
         assert r.bpe_chars_per_token >= 1.0
+
+
+def test_apply_iterative_equals_nested_at_64_merges(spark):
+    """VERDICT r9 #4: the vocabulary-persisted chunked apply must equal
+    the single-expression nested fold for a merge table far past the
+    certified 8 — same sequential-application semantics, bounded plan
+    depth.  64 merges, chunk size forced to 8 so the iterative path
+    crosses 8 chunk boundaries."""
+    from rangebar_patterns_spark.operators.textops import bpe_word_tokens
+
+    syms = list("abcdefgh")
+    merges = []
+    # layered deterministic merge table: adjacent pairs, then pairs of
+    # the merged symbols, repeated — plenty of merges actually fire on
+    # words drawn from the same alphabet
+    level = syms
+    while len(merges) < 64:
+        nxt = []
+        for i in range(0, len(level) - 1, 2):
+            merges.append((level[i], level[i + 1]))
+            nxt.append(level[i] + level[i + 1])
+        if len(nxt) < 2:
+            level = syms + [s + s for s in syms]
+            for s in syms:
+                if len(merges) < 64:
+                    merges.append((s, s))
+        else:
+            level = nxt
+    merges = merges[:64]
+    words = [
+        "abcdefgh", "abcd", "efgh", "aabb", "abab", "hgfedcba",
+        "abcdefghabcdefgh", "aaaa", "gh", "a",
+    ]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[: i + 1])) for i in range(len(words))],
+        "doc_id long, text string",
+    )
+    nested = bpe_word_tokens(docs, merges, max_nested=64)
+    iterative = bpe_word_tokens(docs, merges, max_nested=8)
+    rows_n = sorted(map(tuple, nested.collect()))
+    rows_i = sorted(map(tuple, iterative.collect()))
+    assert rows_n == rows_i
+    # merges actually fired: some word compresses below its char count
+    assert any(t < c for _, t, c in rows_n)
