@@ -1,0 +1,224 @@
+"""Deterministic cardinality sketches over the ``documents`` table:
+KMV (k-minimum-values, Bar-Yossef et al. 2002) and HyperLogLog
+(Flajolet et al. 2007) distinct-count estimates per source, for both
+the word vocabulary and the 3-gram shingle space, plus a corpus-level
+row built by MERGING the per-source sketches — never by re-scanning.
+
+Why this is a first-class 100 TB operator: exact distinct counting is a
+full shuffle of every distinct value; a sketch replaces it with BOUNDED
+per-group state (256 max-rho registers for HLL, K minimum hashes for
+KMV) that partial aggregation collapses map-side, and — the property
+that matters on a 1000-executor cluster — sketches MERGE: registers
+combine by max, k-min sets by union-then-retop, so per-partition /
+per-source / per-day sketches roll up without touching the data again.
+The ``__all__`` row here is computed exactly that way from the
+per-source components (the global k smallest distinct hashes are
+contained in the union of per-source k-min sets; register max is
+associative), which certifies mergeability through the value hash.
+
+Everything is deterministic and cross-engine exact: the hash is the
+shared md5-prefix 60-bit integer convention (dedup.hexint), registers
+and rho are pure integer bit math (top HLL_P bits / leading zeros of
+the remainder via binary-string length — Spark ``bin`` and DuckDB
+``bin`` both render minimal-width), the HLL harmonic sum is
+integer-scaled (sum of 2^(53-M_j) as BIGINT — exact, order-free), and
+the only transcendental (the small-range ln correction) follows the
+round-6-after convention the DSIR log-ratios established.
+
+The ``exact_distinct`` column is the certification ground truth (and
+exactly the thing a 100 TB pipeline can no longer afford); the *_err
+columns put each sketch's relative error through the hash compare.
+
+Reference analogue: the reference's aggregate layer (SURVEY.md §2.5)
+stops at exact distinct counts; sketches are beyond-parity scale
+infrastructure like the rest of the LLM-pipeline family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import hexint, shingles_col, words_col
+
+#: KMV keeps the K smallest distinct hashes per group; the estimator is
+#: (K-1) * 2^60 / h_(K) (hashes uniform on [0, 2^60)); groups with
+#: fewer than K distinct values fall back to their exact count — the
+#: standard small-set rule
+KMV_K = 64
+
+#: HLL geometry: 2^HLL_P registers; the register index is the hash's
+#: top HLL_P bits, rho the leading-zero count (+1) of the remaining
+#: 60-HLL_P bits.  m=256 gives ~6.5% standard error — demo-sized; the
+#: code takes any P
+HLL_P = 8
+HLL_M = 1 << HLL_P
+#: bias constant alpha_m for m >= 128 (Flajolet et al. 2007, fig. 3) —
+#: precomputed in Python and interpolated into BOTH engines so the
+#: double is bit-identical
+HLL_ALPHA_MM = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M
+#: remainder width and max rho (= width + 1)
+_HLL_W = 60 - HLL_P
+_HLL_RHO_MAX = _HLL_W + 1
+
+
+def _item_values(docs: DataFrame) -> DataFrame:
+    """(source, item, v): every word and every 3-gram shingle occurrence
+    with its sketch-space discriminator.  The word array is bound once
+    per document (the shingles_col performance contract)."""
+    base = docs.select("source", words_col().alias("w"))
+    words = base.select(
+        "source", F.lit("word").alias("item"), F.explode("w").alias("v")
+    )
+    shingles = base.select(
+        "source",
+        F.lit("shingle").alias("item"),
+        F.explode(shingles_col(words=F.col("w"))).alias("v"),
+    )
+    return words.unionByName(shingles)
+
+
+def _hll_regs(h_rel: DataFrame, keys: list[str]) -> DataFrame:
+    """(keys..., reg, mj): the HLL register relation — ONE keyed
+    aggregate with at most HLL_M rows of state per group (the honest
+    sketch shape: partial max collapses map-side; nothing data-sized
+    shuffles)."""
+    w = F.col("h").bitwiseAND(F.lit((1 << _HLL_W) - 1))
+    rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    return (
+        h_rel.select(
+            *keys,
+            F.shiftright(F.col("h"), _HLL_W).cast("long").alias("reg"),
+            rho.cast("long").alias("rho"),
+        )
+        .groupBy(*keys, "reg")
+        .agg(F.max("rho").alias("mj"))
+    )
+
+
+def _sketch_metrics(
+    exact: DataFrame, kmv: DataFrame, regs: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Join the sketch components on ``keys`` and evaluate both
+    estimators.  The HLL harmonic sum is integer-scaled: sum of
+    2^(rho_max - M_j) as BIGINT (exponents in [0, rho_max-1], at most
+    HLL_M terms — exact and order-free), unobserved registers
+    contribute 2^rho_max each; one rounding cast to double at the
+    end."""
+    pow2 = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RHO_MAX} - mj AS INT))"
+    )
+    hll = regs.groupBy(*keys).agg(
+        F.sum(pow2).alias("s_obs"), F.count("*").cast("long").alias("nreg")
+    )
+    zeros = F.lit(HLL_M).cast("long") - F.col("nreg")
+    s_int = F.col("s_obs") + zeros * F.lit(1 << _HLL_RHO_MAX).cast("long")
+    s = s_int.cast("double") / F.lit(float(1 << _HLL_RHO_MAX))
+    e_raw = F.lit(HLL_ALPHA_MM) / s
+    hll_est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.round(
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+            6,
+        ),
+    ).otherwise(F.round(e_raw, 6))
+    kmv_est = F.when(
+        F.col("kmv_k") < KMV_K, F.col("kmv_k").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float((KMV_K - 1) * (1 << 60))) / F.col("kmv_hk").cast("double"),
+            6,
+        )
+    )
+    out = (
+        exact.join(kmv, keys)
+        .join(hll, keys)
+        .select(
+            *keys,
+            "n_items",
+            "exact_distinct",
+            "kmv_k",
+            kmv_est.alias("kmv_estimate"),
+            zeros.alias("hll_zero_regs"),
+            hll_est.alias("hll_estimate"),
+        )
+    )
+    err = lambda est: F.round(  # noqa: E731 — rounded inputs, exact ratio
+        F.col(est) / F.col("exact_distinct").cast("double") - 1.0, 6
+    )
+    return out.select(
+        *keys,
+        "n_items",
+        "exact_distinct",
+        "kmv_k",
+        "kmv_estimate",
+        err("kmv_estimate").alias("kmv_err"),
+        "hll_zero_regs",
+        "hll_estimate",
+        err("hll_estimate").alias("hll_err"),
+    )
+
+
+def distinct_sketch_panel(docs: DataFrame) -> DataFrame:
+    """The certified panel: one row per (source, item) plus the merged
+    ``__all__`` rows per item.  Per-source rows sketch that source's
+    distinct words / shingles; the ``__all__`` rows are built from the
+    per-source SKETCH COMPONENTS (k-min union re-topped, register max),
+    never from a second corpus scan — the mergeability contract the
+    hash compare certifies (for KMV the merged result provably equals
+    the global sketch: every global top-K hash is in its source's
+    top-K)."""
+    items = _item_values(docs)
+    occ = items.groupBy("source", "item").agg(
+        F.count("*").cast("long").alias("n_items")
+    )
+    hs = items.select(
+        "source", "item", hexint(F.col("v")).alias("h")
+    ).distinct()
+    exact = (
+        hs.groupBy("source", "item")
+        .agg(F.count("*").cast("long").alias("exact_distinct"))
+        .join(occ, ["source", "item"])
+    )
+    kw = Window.partitionBy("source", "item").orderBy(F.col("h").asc())
+    kmin = hs.withColumn("rn", F.row_number().over(kw)).filter(
+        F.col("rn") <= KMV_K
+    )
+    kmv = kmin.groupBy("source", "item").agg(
+        F.max("h").alias("kmv_hk"), F.count("*").cast("long").alias("kmv_k")
+    )
+    regs = _hll_regs(hs, ["source", "item"])
+    per_source = _sketch_metrics(exact, kmv, regs, ["source", "item"])
+
+    # --- merged corpus row from the per-source components -----------------
+    occ_all = occ.groupBy("item").agg(
+        F.sum("n_items").cast("long").alias("n_items")
+    )
+    # ground truth still needs the true global distinct (certification
+    # only — the sketches themselves never re-scan)
+    exact_all = (
+        hs.select("item", "h")
+        .distinct()
+        .groupBy("item")
+        .agg(F.count("*").cast("long").alias("exact_distinct"))
+        .join(occ_all, "item")
+    )
+    aw = Window.partitionBy("item").orderBy(F.col("h").asc())
+    kmv_all = (
+        kmin.select("item", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("item")
+        .agg(
+            F.max("h").alias("kmv_hk"),
+            F.count("*").cast("long").alias("kmv_k"),
+        )
+    )
+    regs_all = regs.groupBy("item", "reg").agg(F.max("mj").alias("mj"))
+    merged = _sketch_metrics(exact_all, kmv_all, regs_all, ["item"]).select(
+        F.lit("__all__").alias("source"), "*"
+    )
+    return per_source.unionByName(merged)

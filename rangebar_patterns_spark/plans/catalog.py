@@ -1504,23 +1504,48 @@ def q_sim_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-local scale path), int8-quantized IVF with float re-rank
     (the memory-scaled serving shape — the cell scan reads only the
     4×-smaller quantized corpus, floats are touched for
-    queries × rerank_depth rows), and IVF-PQ (Jégou et al. 2011: learned
+    queries × rerank_depth rows), IVF-PQ (Jégou et al. 2011: learned
     per-subspace codebooks, ADC scan over 4-byte code rows — another 16×
-    off the scanned bytes, the billion-scale FAISS layout) with a
-    ``method`` discriminator."""
+    off the scanned bytes, the billion-scale FAISS layout), and the
+    best-per-query IVF cell probe (was the separate ``sim_ivf_cell_
+    search`` entry — merged round 10 to free one gate slot for
+    ``sketch_distinct``; its cell / centroid_cos columns ride along,
+    NULL-padded for the other methods, so every formerly-certified
+    value keeps flowing through the hash) with a ``method``
+    discriminator."""
     emb = load_table(spark, sf_dir, "embeddings")
+    pad = lambda df: df.select(  # noqa: E731
+        "*",
+        F.lit(None).cast("long").alias("cell"),
+        F.lit(None).cast("double").alias("centroid_cos"),
+    )
+    ivf_cell = SIM.label_centroid_search(emb).select(
+        "query_id",
+        F.lit(1).cast("long").alias("rank"),
+        "neighbor_id",
+        "cosine",
+        F.col("cell").cast("long").alias("cell"),
+        "centroid_cos",
+        F.lit("ivf_cell").alias("method"),
+    )
     return (
-        SIM.cosine_topk(emb)
-        .withColumn("method", F.lit("brute"))
-        .unionByName(SIM.lsh_topk(emb).withColumn("method", F.lit("lsh")))
+        pad(SIM.cosine_topk(emb).withColumn("method", F.lit("brute")))
+        .unionByName(pad(SIM.lsh_topk(emb).withColumn("method", F.lit("lsh"))))
         .unionByName(
-            SIM.ivf_quantized_search(emb).withColumn("method", F.lit("ivf_int8"))
-        )
-        .unionByName(
-            SIM.ivf_pq_search(emb, book=_pq_book(spark, sf_dir)).withColumn(
-                "method", F.lit("ivf_pq")
+            pad(
+                SIM.ivf_quantized_search(emb).withColumn(
+                    "method", F.lit("ivf_int8")
+                )
             )
         )
+        .unionByName(
+            pad(
+                SIM.ivf_pq_search(emb, book=_pq_book(spark, sf_dir)).withColumn(
+                    "method", F.lit("ivf_pq")
+                )
+            )
+        )
+        .unionByName(ivf_cell)
     )
 
 
@@ -1545,9 +1570,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.duplicate_clusters(_minhash_pairs(spark, sf_dir))
 
 
-@register("sim_ivf_cell_search", TO.IVF_CELL_SQL)
-def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.label_centroid_search(load_table(spark, sf_dir, "embeddings"))
+from ..operators import sketches as SK  # noqa: E402
+
+
+@register("sketch_distinct", TO.sketch_distinct_sql())
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic cardinality sketches (KMV + HyperLogLog) per
+    source over the word and shingle spaces, with corpus-level rows
+    built by MERGING the per-source sketch components (register max /
+    k-min union) rather than re-scanning — the bounded-state,
+    mergeable distinct-count infrastructure a 100 TB pipeline uses
+    where exact COUNT(DISTINCT) stops being affordable.  Exact counts
+    and relative errors ride along as certification ground truth; all
+    integer bit math plus one round-6 small-range ln, so the DuckDB
+    twin hash-matches (new round-10 entry in the slot freed by merging
+    sim_ivf_cell_search into sim_topk_methods)."""
+    return SK.distinct_sketch_panel(load_table(spark, sf_dir, "documents"))
 
 
 #: learned BPE merge table per (session, sf_dir): training is 8
@@ -2322,7 +2360,7 @@ _GATE_ORDER = [
     "dedup_neardup_pairs",
     "dedup_clusters",
     "sim_topk_methods",
-    "sim_ivf_cell_search",
+    "sketch_distinct",
     "text_metrics",
     "corpus_packing",
     # sweep engine (gen500/gen600 config grids)

@@ -616,14 +616,19 @@ def ivf_pq_topk_sql() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
+_TOPK_PAD = "CAST(NULL AS BIGINT) AS cell, CAST(NULL AS DOUBLE) AS centroid_cos"
 SIM_TOPK_METHODS_SQL = f"""
-SELECT 'brute' AS method, * FROM ({COSINE_TOPK_SQL})
+SELECT 'brute' AS method, *, {_TOPK_PAD} FROM ({COSINE_TOPK_SQL})
 UNION ALL
-SELECT 'lsh' AS method, * FROM ({LSH_TOPK_SQL})
+SELECT 'lsh' AS method, *, {_TOPK_PAD} FROM ({LSH_TOPK_SQL})
 UNION ALL
-SELECT 'ivf_int8' AS method, * FROM ({IVF_INT8_TOPK_SQL})
+SELECT 'ivf_int8' AS method, *, {_TOPK_PAD} FROM ({IVF_INT8_TOPK_SQL})
 UNION ALL
-SELECT 'ivf_pq' AS method, * FROM ({ivf_pq_topk_sql()})
+SELECT 'ivf_pq' AS method, *, {_TOPK_PAD} FROM ({ivf_pq_topk_sql()})
+UNION ALL
+SELECT 'ivf_cell' AS method, query_id, CAST(1 AS BIGINT) AS rank,
+    neighbor_id, cosine, CAST(cell AS BIGINT) AS cell, centroid_cos
+FROM ({IVF_CELL_SQL})
 """
 
 # connected components over the MinHash-LSH near-dup pairs: transitive
@@ -1333,6 +1338,152 @@ JOIN km b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 JOIN ev ea ON ea.vec_id = a.vec_id
 JOIN ev eb ON eb.vec_id = b.vec_id
 WHERE round({_cos("ea.v", "eb.v")}, 6) >= {COSINE_DUP_THRESHOLD!r}
+"""
+
+
+def sketch_distinct_sql() -> str:
+    """Twin of sketches.distinct_sketch_panel: identical md5-prefix
+    60-bit hashes, identical integer register/rho bit math (both
+    engines' ``bin`` renders minimal-width), the same integer-scaled
+    harmonic sum, the same round-6 estimators (ln only in the
+    small-range branch — the DSIR round-6-after-transcendental
+    convention), and the same merged-from-components ``__all__`` rows."""
+    from ..operators.sketches import (
+        HLL_ALPHA_MM,
+        HLL_M,
+        KMV_K,
+        _HLL_RHO_MAX,
+        _HLL_W,
+    )
+
+    mask = (1 << _HLL_W) - 1
+    scale = 1 << _HLL_RHO_MAX
+    kmv_num = float((KMV_K - 1) * (1 << 60))
+    sh = (
+        "CASE WHEN len(w) >= 3 THEN list_transform("
+        "generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' '))"
+        " ELSE [] END"
+    )
+
+    def metrics(keys: str) -> str:
+        """The estimator SELECT over pre-joined (exact, kmv, hll) CTE
+        columns — shared by the per-source and merged stages."""
+        return f"""
+    SELECT {keys}, n_items, exact_distinct, kmv_k,
+        CASE WHEN kmv_k < {KMV_K} THEN CAST(kmv_k AS DOUBLE)
+             ELSE round({kmv_num!r} / CAST(kmv_hk AS DOUBLE), 6)
+        END AS kmv_estimate,
+        CAST({HLL_M} - nreg AS BIGINT) AS hll_zero_regs,
+        CASE WHEN {HLL_ALPHA_MM!r}
+                / (CAST(s_obs + ({HLL_M} - nreg) * {scale} AS DOUBLE)
+                   / {float(scale)!r}) <= {2.5 * HLL_M!r}
+              AND {HLL_M} - nreg > 0
+             THEN round({float(HLL_M)!r}
+                * ln({float(HLL_M)!r} / CAST({HLL_M} - nreg AS DOUBLE)), 6)
+             ELSE round({HLL_ALPHA_MM!r}
+                / (CAST(s_obs + ({HLL_M} - nreg) * {scale} AS DOUBLE)
+                   / {float(scale)!r}), 6)
+        END AS hll_estimate"""
+
+    def errs(keys: str) -> str:
+        return f"""
+    SELECT {keys}, n_items, exact_distinct, kmv_k, kmv_estimate,
+        round(kmv_estimate / CAST(exact_distinct AS DOUBLE) - 1.0, 6)
+            AS kmv_err,
+        hll_zero_regs, hll_estimate,
+        round(hll_estimate / CAST(exact_distinct AS DOUBLE) - 1.0, 6)
+            AS hll_err"""
+
+    return f"""
+WITH base AS (SELECT source, {WORDS} AS w FROM documents),
+items AS (
+    SELECT source, 'word' AS item, unnest(w) AS v FROM base
+    UNION ALL
+    SELECT source, 'shingle' AS item, unnest({sh}) AS v FROM base
+),
+occ AS (
+    SELECT source, item, CAST(count(*) AS BIGINT) AS n_items
+    FROM items GROUP BY source, item
+),
+hs AS MATERIALIZED (
+    SELECT DISTINCT source, item, {_hexint('v')} AS h FROM items
+),
+exact AS (
+    SELECT source, item, CAST(count(*) AS BIGINT) AS exact_distinct
+    FROM hs GROUP BY source, item
+),
+kmin AS MATERIALIZED (
+    SELECT source, item, h FROM (
+        SELECT source, item, h,
+            row_number() OVER (PARTITION BY source, item ORDER BY h ASC) AS rn
+        FROM hs
+    ) WHERE rn <= {KMV_K}
+),
+kmv AS (
+    SELECT source, item, max(h) AS kmv_hk,
+        CAST(count(*) AS BIGINT) AS kmv_k
+    FROM kmin GROUP BY source, item
+),
+regs AS MATERIALIZED (
+    SELECT source, item, h >> {_HLL_W} AS reg,
+        max(CASE WHEN h & {mask} = 0 THEN {_HLL_RHO_MAX}
+                 ELSE {_HLL_RHO_MAX} - length(bin(h & {mask})) END) AS mj
+    FROM hs GROUP BY source, item, h >> {_HLL_W}
+),
+hll AS (
+    SELECT source, item,
+        CAST(sum(CAST(1 AS BIGINT) << CAST({_HLL_RHO_MAX} - mj AS INT))
+            AS BIGINT) AS s_obs,
+        CAST(count(*) AS BIGINT) AS nreg
+    FROM regs GROUP BY source, item
+),
+persrc_m AS ({metrics('e.source, e.item')}
+    FROM exact e
+    JOIN occ o ON e.source = o.source AND e.item = o.item
+    JOIN kmv k ON e.source = k.source AND e.item = k.item
+    JOIN hll h ON e.source = h.source AND e.item = h.item
+),
+persrc AS ({errs('source, item')} FROM persrc_m),
+occ_all AS (
+    SELECT item, CAST(sum(n_items) AS BIGINT) AS n_items
+    FROM occ GROUP BY item
+),
+exact_all AS (
+    SELECT item, CAST(count(*) AS BIGINT) AS exact_distinct
+    FROM (SELECT DISTINCT item, h FROM hs) GROUP BY item
+),
+kmv_all AS (
+    SELECT item, max(h) AS kmv_hk, CAST(count(*) AS BIGINT) AS kmv_k
+    FROM (
+        SELECT item, h,
+            row_number() OVER (PARTITION BY item ORDER BY h ASC) AS rn
+        FROM (SELECT DISTINCT item, h FROM kmin)
+    ) WHERE rn <= {KMV_K} GROUP BY item
+),
+regs_all AS (
+    SELECT item, reg, max(mj) AS mj FROM regs GROUP BY item, reg
+),
+hll_all AS (
+    SELECT item,
+        CAST(sum(CAST(1 AS BIGINT) << CAST({_HLL_RHO_MAX} - mj AS INT))
+            AS BIGINT) AS s_obs,
+        CAST(count(*) AS BIGINT) AS nreg
+    FROM regs_all GROUP BY item
+),
+merged_m AS ({metrics('e.item')}
+    FROM exact_all e
+    JOIN occ_all o ON e.item = o.item
+    JOIN kmv_all k ON e.item = k.item
+    JOIN hll_all h ON e.item = h.item
+),
+merged AS ({errs('item')} FROM merged_m)
+SELECT source, item, n_items, exact_distinct, kmv_k, kmv_estimate,
+    kmv_err, hll_zero_regs, hll_estimate, hll_err
+FROM persrc
+UNION ALL
+SELECT '__all__' AS source, item, n_items, exact_distinct, kmv_k,
+    kmv_estimate, kmv_err, hll_zero_regs, hll_estimate, hll_err
+FROM merged
 """
 
 

@@ -1,0 +1,76 @@
+"""Cardinality sketches: estimator accuracy, mergeability, and
+partition-layout invariance (the oracle hash compare lives in
+test_queries_oracle via the ``sketch_distinct`` entry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rangebar_patterns_spark.operators.sketches import (
+    HLL_M,
+    KMV_K,
+    distinct_sketch_panel,
+)
+from rangebar_patterns_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+
+def _panel(spark, docs=None):
+    docs = docs if docs is not None else load_table(spark, SF_DIR, "documents")
+    return {(r.source, r.item): r for r in distinct_sketch_panel(docs).collect()}
+
+
+def test_exact_column_is_exact_and_errors_bounded(spark):
+    """The ground-truth column must equal a straight countDistinct on
+    the md5 hashes, and both estimators land within sketch-theory
+    bounds (HLL m=256 -> ~6.5% sigma; KMV K=64 -> ~12.5% sigma; assert
+    4 sigma so the test never flakes on a fixture refresh)."""
+    from rangebar_patterns_spark.operators.dedup import hexint, words_col
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = _panel(spark)
+    truth = {
+        r.source: r.n
+        for r in docs.select("source", F.explode(words_col()).alias("v"))
+        .select("source", hexint(F.col("v")).alias("h"))
+        .groupBy("source")
+        .agg(F.countDistinct("h").alias("n"))
+        .collect()
+    }
+    for src, n in truth.items():
+        r = rows[(src, "word")]
+        assert r.exact_distinct == n
+        if r.kmv_k == KMV_K:
+            assert abs(r.kmv_err) < 0.5
+        else:  # small-set fallback is exact by definition
+            assert r.kmv_estimate == float(r.exact_distinct)
+        assert abs(r.hll_err) < 0.26
+        assert 0 <= r.hll_zero_regs <= HLL_M
+
+
+def test_merged_rows_equal_global_sketch(spark):
+    """Mergeability: the __all__ rows (built from per-source components)
+    must equal the sketch computed on the corpus as ONE source — the
+    associativity contract that lets 100 TB roll up per-partition."""
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = _panel(spark)
+    mono = _panel(spark, docs.withColumn("source", F.lit("only")))
+    for item in ("word", "shingle"):
+        merged, single = rows[("__all__", item)], mono[("only", item)]
+        assert merged.exact_distinct == single.exact_distinct
+        assert merged.kmv_estimate == single.kmv_estimate
+        assert merged.hll_estimate == single.hll_estimate
+        assert merged.hll_zero_regs == single.hll_zero_regs
+        assert merged.n_items == single.n_items
+        # and __all__ also matches its own global-scan ground truth
+        assert mono[("__all__", item)].hll_estimate == single.hll_estimate
+
+
+def test_partition_layout_invariant(spark):
+    """Hash registers, k-min sets, and integer-scaled sums are
+    order-free: any repartitioning yields the identical panel."""
+    docs = load_table(spark, SF_DIR, "documents")
+    a = _panel(spark, docs)
+    b = _panel(spark, docs.repartition(17, "doc_id"))
+    assert a == b
