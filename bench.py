@@ -52,6 +52,20 @@ Schema history ("bench_version"):
     LOWER than r8 on unchanged entries.  Key changes:
     bm25_retrieval_scores + bm25_topk_retrieval merged into
     "bm25_retrieval"; new "dsir_selection" entry.
+  4 (r10) — driver line gains "unrated_n"/"sf1_unrated_n" counts; the
+    detail sidecar gains per-entry noise ratings (VERDICT r9 #2: same-
+    code sf1 medians-of-2 swung ~2x between runs, so per-entry deltas
+    were below the noise floor): sf1 default raised to 4 passes and all
+    tiers INTERLEAVED (catalog/sf1/demo round-robin) so co-tenant noise
+    epochs average into every tier instead of biasing whichever ran
+    last; per-entry IQR ([q1, q3]) alongside the [min, max] spread; an
+    "unrated" list naming entries whose spread exceeds +/-50% of the
+    median (quote the catalog total for those, not the entry median);
+    and per-entry CPU seconds of the whole process tree (python + JVM,
+    via /proc) with a cpu/wall ratio — co-tenant steal shows up as the
+    ratio dropping, visible IN the artifact instead of inferred across
+    rounds.  Key changes: sim_ivf_cell_search merged into
+    "sim_topk_methods" (method='ivf_cell'); new "sketch_distinct" entry.
 """
 
 from __future__ import annotations
@@ -126,18 +140,63 @@ def run_wrapped() -> int:
     return rc
 
 
-def time_queries(spark, qs, sf_dir, timings):
+def tree_cpu() -> float:
+    """User+system CPU seconds consumed so far by this process and every
+    live descendant — i.e. including the local-mode JVM, which
+    time.process_time() cannot see (separate process) and os.times()
+    only counts after reaping.  /proc walk, psutil-free; best-effort
+    (a vanished pid mid-walk is skipped)."""
+    import glob
+
+    hz = os.sysconf("SC_CLK_TCK")
+    procs: dict[int, tuple[int, float]] = {}
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(stat) as fh:
+                data = fh.read()
+        except OSError:
+            continue
+        try:
+            rest = data[data.rindex(")") + 2 :].split()
+            pid = int(stat.split("/")[2])
+            procs[pid] = (int(rest[1]), (int(rest[11]) + int(rest[12])) / hz)
+        except (ValueError, IndexError):
+            continue
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack, seen = 0.0, [os.getpid()], set()
+    while stack:
+        p = stack.pop()
+        if p in seen:
+            continue
+        seen.add(p)
+        total += procs.get(p, (0, 0.0))[1]
+        stack.extend(kids.get(p, []))
+    return total
+
+
+def time_queries(spark, qs, sf_dir, timings, cpus=None):
     for name, fn in qs.items():
+        c0 = tree_cpu() if cpus is not None else 0.0
         t0 = time.perf_counter()
         try:
             n = fn(spark, sf_dir).count()
         except Exception as exc:  # record failures, don't kill the bench
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings.setdefault(name, []).append(float("nan"))
+            if cpus is not None:
+                cpus.setdefault(name, []).append(float("nan"))
             continue
         dt = round(time.perf_counter() - t0, 3)
         timings.setdefault(name, []).append(dt)
-        print(f"bench: {name}: {dt}s ({n} rows)", file=sys.stderr)
+        if cpus is not None:
+            dc = round(tree_cpu() - c0, 3)
+            cpus.setdefault(name, []).append(dc)
+            print(f"bench: {name}: {dt}s wall / {dc}s cpu ({n} rows)",
+                  file=sys.stderr)
+        else:
+            print(f"bench: {name}: {dt}s ({n} rows)", file=sys.stderr)
 
 
 def _med(v):
@@ -155,6 +214,55 @@ def spreads(samples: dict[str, list[float]]) -> dict[str, list[float]]:
         for n, v in ((n, [x for x in v if x == x]) for n, v in samples.items())
         if v
     }
+
+
+def iqrs(samples: dict[str, list[float]]) -> dict[str, list[float]]:
+    """Per-entry [q1, q3] (inclusive quartiles) — with 2-3 samples this
+    degrades toward [min, max], which is the honest statement of what
+    2-3 samples can say."""
+    out = {}
+    for n, v in samples.items():
+        clean = sorted(x for x in v if x == x)
+        if not clean:
+            continue
+        if len(clean) < 3:
+            q1, q3 = clean[0], clean[-1]
+        else:
+            qs = statistics.quantiles(clean, n=4, method="inclusive")
+            q1, q3 = qs[0], qs[2]
+        out[n] = [round(q1, 3), round(q3, 3)]
+    return out
+
+
+def unrated(samples: dict[str, list[float]]) -> list[str]:
+    """Entries whose same-code spread exceeds +/-50% of the median —
+    their per-entry medians are BELOW THE NOISE FLOOR on this host and
+    must not be quoted for cross-round deltas (VERDICT r9 #2; totals
+    stay rateable because per-entry noise partially cancels)."""
+    bad = []
+    for n, v in samples.items():
+        clean = [x for x in v if x == x]
+        if len(clean) < 2:
+            continue
+        med = statistics.median(clean)
+        if med > 0 and (max(clean) > 1.5 * med or min(clean) < 0.5 * med):
+            bad.append(n)
+    return sorted(bad)
+
+
+def cpu_wall_ratio(
+    cpu: dict[str, list[float]], wall: dict[str, list[float]]
+) -> dict[str, float]:
+    """Median tree-CPU over median wall per entry.  On an idle 32-vcpu
+    host a parallel stage runs well above 1.0; the ratio FALLING across
+    entries or rounds is the co-tenant-steal signature the raw wall
+    numbers can't distinguish from a code regression."""
+    out = {}
+    for n, w in medians(wall).items():
+        c = _med(cpu.get(n, []))
+        if c == c and w == w and w > 0:
+            out[n] = round(c / w, 2)
+    return out
 
 
 def driver_line(out: dict, budget: int = LINE_BUDGET) -> str:
@@ -184,19 +292,19 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     demo_runs = int(os.environ.get("SPARK_GRAFT_BENCH_DEMO_RUNS", "2"))
-    sf1_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_RUNS", "2"))
+    sf1_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_RUNS", "4"))
     # soft wall-clock budget for the OPTIONAL tiers (extra demo passes and
     # the sf1 block): if the driver kills a long run mid-phase, the final
     # stdout line never prints and the round's record is lost (the r5
     # failure mode) — so before each optional phase we check that its
     # estimated duration fits and otherwise skip it, marking the detail
     # sidecar "truncated".  The compact line always prints.
-    # default: just above a full healthy run (~36 min observed for the
-    # 50-entry catalog: 3 catalog passes + 2 demo passes + 2 sf1 passes
-    # at sf0.1; the round-6 catalog is 55 entries, ~+1 min), so nothing
-    # is skipped normally — the budget exists to cap co-tenant-noise
-    # blowups (documented 2-4x CPU-steal swings would otherwise turn
-    # this into a 2h+ run and risk an external kill losing the record)
+    # default: a full healthy run (~40 min estimated for the 50-entry
+    # catalog: 3 catalog + 4 sf1 + 2 demo interleaved passes at sf0.1)
+    # just fits; on a noisy host the guard trims trailing sf1/demo
+    # passes — the budget exists to cap co-tenant-noise blowups
+    # (documented 2-4x CPU-steal swings would otherwise turn this into
+    # a 2h+ run and risk an external kill losing the record)
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2500"))
     truncated: list[str] = []
 
@@ -253,36 +361,82 @@ def main() -> None:
         print(f"bench: warm-up took {time.monotonic() - t0:.1f}s",
               file=sys.stderr)
 
+    # sf1 fixtures (50 symbols, ~1M events — the scale validation the
+    # README claims, driver-recorded) are tiled from sf0.1 on first use
+    sf1_on = (
+        os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0" and sf == "0.1"
+    )
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.scratch/sf1")
+    if sf1_on and not os.path.exists(os.path.join(sf1_dir, "events.parquet")):
+        print("bench: generating sf1 fixtures...", file=sys.stderr)
+        # keep stdout clean — this process prints ONE JSON line, so the
+        # generator's progress output must land on stderr
+        subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "tools", "gen_sf1.py"), sf1_dir],
+            check=True,
+            stdout=sys.stderr,
+        )
+    if not sf1_on:
+        sf1_runs = 0
+
     # single-run wall-clock swings 2-4x on this host from co-tenant CPU
-    # steal: run the gate catalog n_runs times cold (plan caches dropped
-    # between passes) and report per-query medians + [min, max] spread
+    # steal, and r9 showed same-code sf1 medians-of-2 swinging ~2x when
+    # the passes ran back-to-back at the end (whatever noise epoch covers
+    # that window biases EVERY sample).  So the tiers run INTERLEAVED —
+    # catalog / sf1 / demo round-robin, plan caches dropped between
+    # phases — spreading each tier's samples across the whole run window;
+    # per-entry medians come with IQR + a noise rating downstream.
     samples: dict[str, list[float]] = {}
-    for r in range(n_runs):
-        print(f"bench: === catalog pass {r + 1}/{n_runs} ===", file=sys.stderr)
-        time_queries(spark, qs, sf_dir, samples)
+    cpu_s: dict[str, list[float]] = {}
+    demo_t: dict[str, list[float]] = {}
+    demo_cpu: dict[str, list[float]] = {}
+    sf1_t: dict[str, list[float]] = {}
+    sf1_cpu: dict[str, list[float]] = {}
+    phases: list[tuple[str, int]] = []
+    ci = di = si = 0
+    while ci < n_runs or di < demo_runs or si < sf1_runs:
+        if ci < n_runs:
+            phases.append(("cat", ci))
+            ci += 1
+        if si < sf1_runs:
+            phases.append(("sf1", si))
+            si += 1
+        if di < demo_runs:
+            phases.append(("demo", di))
+            di += 1
+
+    last_dur = {"cat": 0.0, "demo": 0.0, "sf1": 0.0}
+    sf1_ran = 0
+    for kind, idx in phases:
+        # budget guard: catalog passes and the first demo pass always run
+        # (the core metric and the most-quoted grid); every other phase
+        # needs its estimated duration — the measured previous pass of
+        # its kind, or 4x a catalog pass for the first sf1 — to fit
+        if kind == "sf1":
+            est = last_dur["sf1"] or 4.0 * (last_dur["cat"] or 120.0)
+        elif kind == "demo" and idx > 0:
+            est = last_dur["demo"]
+        else:
+            est = 0.0
+        if est and not fits(est):
+            truncated.append(f"{kind} pass {idx + 1}")
+            print(f"bench: skipping {kind} pass {idx + 1} (budget)",
+                  file=sys.stderr)
+            continue
+        print(f"bench: === {kind} pass {idx + 1} ===", file=sys.stderr)
+        t0 = time.monotonic()
+        if kind == "cat":
+            time_queries(spark, qs, sf_dir, samples, cpu_s)
+        elif kind == "demo":
+            time_queries(spark, BENCH_QUERIES, sf_dir, demo_t, demo_cpu)
+        else:
+            time_queries(spark, qs, sf1_dir, sf1_t, sf1_cpu)
+            sf1_ran += 1
+        last_dur[kind] = time.monotonic() - t0
         reset_plan_caches(spark)
 
     queries = medians(samples)
     total = round(sum(t for t in queries.values() if t == t), 3)
-
-    # the demonstration grids are the noisiest AND most-quoted numbers
-    # (single runs have spanned 86-270 s on this host) — median them too.
-    # Catalog caches are dropped first so the wide grids aren't competing
-    # with the gate's persisted relations for executor memory.
-    demo_t: dict[str, list[float]] = {}
-    demo_dur = 0.0
-    for r in range(demo_runs):
-        # the first demo pass always runs; later passes only if a repeat
-        # of the previous pass fits the budget
-        if r > 0 and not fits(demo_dur):
-            truncated.append(f"demo pass {r + 1}/{demo_runs}")
-            print(f"bench: skipping demo pass {r + 1} (budget)", file=sys.stderr)
-            continue
-        print(f"bench: === demo pass {r + 1}/{demo_runs} ===", file=sys.stderr)
-        t0 = time.monotonic()
-        time_queries(spark, BENCH_QUERIES, sf_dir, demo_t)
-        demo_dur = time.monotonic() - t0
-        reset_plan_caches(spark)
     demos = medians(demo_t)
     demo_total = round(sum(t for t in demos.values() if t == t), 3)
 
@@ -293,54 +447,32 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "queries": queries,
         "spread": spreads(samples),
+        "iqr": iqrs(samples),
+        "unrated": unrated(samples),
+        "cpu": medians(cpu_s),
+        "cpu_wall_ratio": cpu_wall_ratio(cpu_s, samples),
         "samples": samples,
         "total": total,
         "demo_runs": demo_runs,
         "demos": demos,
         "demo_spread": spreads(demo_t),
+        "demo_iqr": iqrs(demo_t),
+        "demo_unrated": unrated(demo_t),
+        "demo_cpu_wall_ratio": cpu_wall_ratio(demo_cpu, demo_t),
         "demo_total": demo_total,
     }
-
-    # sf1 section: cold catalog passes at ~10x the default bench SF
-    # (50 symbols, ~1M events) — the scale validation the README claims,
-    # driver-recorded.  Fixtures are tiled from sf0.1 on first use.
-    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0" and sf == "0.1":
-        sf1_dir = os.environ.get(
-            "SPARK_GRAFT_SF1_DIR", "/root/repo/.scratch/sf1"
-        )
-        if not os.path.exists(os.path.join(sf1_dir, "events.parquet")):
-            print("bench: generating sf1 fixtures...", file=sys.stderr)
-            # keep stdout clean — this process prints ONE JSON line, so the
-            # generator's progress output must land on stderr
-            subprocess.run(
-                [sys.executable, os.path.join(os.path.dirname(__file__), "tools", "gen_sf1.py"), sf1_dir],
-                check=True,
-                stdout=sys.stderr,
-            )
-        sf1_t: dict[str, list[float]] = {}
-        # first-pass estimate: sf1 has historically run ~2-5x the sf0.1
-        # catalog total; later passes use the measured previous pass
-        sf1_dur = 4.0 * total
-        ran = 0
-        for r in range(sf1_runs):
-            if not fits(sf1_dur):
-                truncated.append(f"sf1 pass {r + 1}/{sf1_runs}")
-                print(f"bench: skipping sf1 pass {r + 1} (budget)", file=sys.stderr)
-                continue
-            reset_plan_caches(spark)
-            print(f"bench: === sf1 pass {r + 1}/{sf1_runs} ===", file=sys.stderr)
-            t0 = time.monotonic()
-            time_queries(spark, qs, sf1_dir, sf1_t)
-            sf1_dur = time.monotonic() - t0
-            ran += 1
-        if ran:
-            sf1_q = medians(sf1_t)
-            detail["sf1"] = {
-                "runs": ran,
-                "queries": sf1_q,
-                "spread": spreads(sf1_t),
-                "total": round(sum(t for t in sf1_q.values() if t == t), 3),
-            }
+    if sf1_ran:
+        sf1_q = medians(sf1_t)
+        detail["sf1"] = {
+            "runs": sf1_ran,
+            "queries": sf1_q,
+            "spread": spreads(sf1_t),
+            "iqr": iqrs(sf1_t),
+            "unrated": unrated(sf1_t),
+            "cpu_wall_ratio": cpu_wall_ratio(sf1_cpu, sf1_t),
+            "samples": sf1_t,
+            "total": round(sum(t for t in sf1_q.values() if t == t), 3),
+        }
 
     if truncated:
         detail["truncated"] = truncated
@@ -357,10 +489,12 @@ def main() -> None:
         "queries": queries,
         "sf": detail["sf"],
         "demo_total": demo_total,
+        "unrated_n": len(detail["unrated"]),
         "detail": "BENCH_DETAIL.json",
     }
     if "sf1" in detail:
         out["sf1_total"] = detail["sf1"]["total"]
+        out["sf1_unrated_n"] = len(detail["sf1"]["unrated"])
 
     line = driver_line(out)
 

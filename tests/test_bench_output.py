@@ -27,8 +27,10 @@ def _line_for(names, val):
         "queries": {n: val for n in names},
         "sf": 0.1,
         "demo_total": 99999.999,
+        "unrated_n": 50,
         "detail": "BENCH_DETAIL.json",
         "sf1_total": 99999.999,
+        "sf1_unrated_n": 50,
     }
     return bench.driver_line(out)
 
@@ -95,3 +97,44 @@ def test_medians_and_spreads_skip_nan():
     s = {"q1": [1.0, 2.0, 100.0], "q2": [float("nan"), 3.0, 5.0]}
     assert bench.medians(s) == {"q1": 2.0, "q2": 4.0}
     assert bench.spreads(s) == {"q1": [1.0, 100.0], "q2": [3.0, 5.0]}
+
+
+def test_noise_rating_helpers():
+    """r10 noise machinery: IQR degrades honestly at tiny n, the
+    unrated flag fires exactly on spreads beyond +/-50% of the median,
+    and the cpu/wall ratio uses medians of both series."""
+    samples = {
+        "steady": [10.0, 10.5, 11.0, 10.2],
+        "noisy": [10.0, 10.5, 22.0, 10.2],   # max > 1.5x median
+        "dipper": [10.0, 10.5, 4.0, 10.2],   # min < 0.5x median
+        "pair": [9.0, 11.0],
+        "failed": [float("nan")],
+    }
+    assert bench.unrated(samples) == ["dipper", "noisy"]
+    iqr = bench.iqrs(samples)
+    assert iqr["pair"] == [9.0, 11.0]  # <3 samples -> [min, max]
+    q1, q3 = iqr["steady"]
+    assert 10.0 <= q1 <= q3 <= 11.0
+    assert "failed" not in iqr
+    ratio = bench.cpu_wall_ratio({"steady": [20.0, 21.0, 20.5, 20.2]}, samples)
+    assert ratio == {"steady": round(20.35 / 10.35, 2)}
+
+
+def test_tree_cpu_sees_child_processes():
+    """The per-entry CPU column must include descendant processes (the
+    local-mode JVM), not just the python driver."""
+    import time as _time
+
+    c0 = bench.tree_cpu()
+    assert c0 > 0.0
+    p = subprocess.Popen(
+        [sys.executable, "-c",
+         "t=0\nfor i in range(3*10**6): t+=i*i\nimport time; time.sleep(3)"],
+    )
+    try:
+        _time.sleep(1.2)
+        c1 = bench.tree_cpu()
+        assert c1 - c0 > 0.1  # the child's burn is visible while it lives
+    finally:
+        p.kill()
+        p.wait()
