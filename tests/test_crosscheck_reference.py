@@ -127,3 +127,189 @@ def test_pq_codebook_matches_pure_python_reference(spark):
     assert len(got) == PQ_M * PQ_KSUB
     for mm, cc, cv in got:
         assert cv == ref[(mm, cc)], (mm, cc, cv[:3], ref[(mm, cc)][:3])
+
+
+def _r6(x: float) -> float:
+    return round(x, 6)
+
+
+def _dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _cos6(a, b):
+    import math
+
+    den = math.sqrt(_dot(a, a)) * math.sqrt(_dot(b, b))
+    return _r6(_dot(a, b) / den)
+
+
+def _ref_logreg(rows, iters, lr):
+    """Reference batch-GD logistic regression: integer-scaled exact
+    moment/gradient sums, round-6 standardization, round-6 sigmoid,
+    round-6 weight updates, exact-fixed-point early stop — plain dicts
+    and loops re-derived from the operator's documented math."""
+    import math
+
+    n = float(len(rows))
+    nf = len(rows[0][1])
+
+    def i6(x):
+        return int(round(x * 1_000_000))
+
+    mu = [
+        _r6(float(sum(i6(r[1][j]) for r in rows)) / 1e6 / n)
+        for j in range(nf)
+    ]
+    sd = [
+        _r6(
+            math.sqrt(
+                float(sum(i6(r[1][j] - mu[j]) ** 2 for r in rows)) / 1e12 / n
+            )
+        )
+        for j in range(nf)
+    ]
+    feats = [
+        (
+            [_r6((x - m) / s) if s > 0 else 0.0 for x, m, s in zip(r[1], mu, sd)],
+            r[2],
+        )
+        for r in rows
+    ]
+    w = [0.0] * (nf + 1)
+    for _ in range(iters):
+        resid = []
+        for x, y in feats:
+            z = w[0]
+            for j in range(nf):
+                z = z + w[j + 1] * x[j]
+            resid.append((_r6(1.0 / (1.0 + math.exp(-z))) - y, x))
+        g = [_r6(float(sum(i6(r) for r, _ in resid)) / 1e6 / n)]
+        for j in range(nf):
+            g.append(
+                _r6(
+                    float(sum(i6(r) * i6(x[j]) for r, x in resid)) / 1e12 / n
+                )
+            )
+        new = [_r6(wj - lr * gj) for wj, gj in zip(w, g)]
+        if new == w:
+            break
+        w = new
+    return w, mu, sd
+
+
+def test_logreg_matches_pure_python_reference(spark):
+    """VERDICT r9 #7: third implementation of the 12-step GD trainer.
+    The engine's feature frame is the INPUT (those columns are already
+    DuckDB-certified through text_repetition / logreg_quality_scores);
+    what this pins is the trainer math — moments, standardization,
+    sigmoid, gradient folds, updates, early stop."""
+    from rangebar_patterns_spark.operators.classifier import (
+        LOGREG_FEATURES,
+        LOGREG_ITERS,
+        LOGREG_LR,
+        logreg_features,
+        logreg_train,
+    )
+
+    raw = logreg_features(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    rows = sorted(
+        (r.doc_id, [r[c] for c in LOGREG_FEATURES], r.y)
+        for r in raw.collect()
+    )
+    ref_w, ref_mu, ref_sd = _ref_logreg(rows, LOGREG_ITERS, LOGREG_LR)
+    got_w, got_mu, got_sd = logreg_train(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    )
+    assert got_mu == ref_mu and got_sd == ref_sd
+    assert got_w == ref_w, (got_w, ref_w)
+
+
+def _ref_kmeans_parallel_seed(vectors, k, rounds, oversample):
+    """Reference k-means|| seeding (Bahmani et al. 2012, the engine's
+    deterministic variant): per-round round-6 cosine assignment cost,
+    md5-coin sampling against l*cost/total, vec_id-ordered candidate
+    appends with first-occurrence dedup, then greedy weighted
+    farthest-point reduction with first-index tie-breaks."""
+    import math
+
+    def r6v(v):
+        return [round(x, 6) for x in v]
+
+    def best_cos(v, cand):
+        # max by (cos, -cid): ties take the smallest candidate index
+        return max(
+            (( _cos6(v, cv), -ci) for ci, cv in enumerate(cand)),
+        )
+
+    first = vectors[0]
+    cand = [r6v(first[1])]
+    l = oversample * k
+    for rnd in range(rounds):
+        costs = {vid: 1.0 - best_cos(v, cand)[0] for vid, v in vectors}
+        tot = 0.0
+        for vid, _ in vectors:
+            tot = tot + costs[vid]
+        if not tot or tot <= 0.0:
+            break
+        picked = [
+            vid
+            for vid, _ in vectors
+            if _md5_long(f"kmeanspp|{rnd}|{vid}") / float(1 << 60)
+            < min(1.0, float(l) * costs[vid] / float(tot))
+        ]
+        by_id = dict(vectors)
+        for vid in sorted(picked):
+            cand.append(r6v(by_id[vid]))
+        seen = {}
+        for c in cand:
+            seen.setdefault(tuple(c), c)
+        cand = list(seen.values())
+    assert len(cand) > k  # fixture must exercise the main path
+    weights = [0.0] * len(cand)
+    for vid, v in vectors:
+        weights[-best_cos(v, cand)[1]] += 1.0
+    cn = []
+    for c in cand:
+        nrm = math.sqrt(_dot(c, c)) or 1.0
+        cn.append([x / nrm for x in c])
+    d2 = [
+        [(1.0 - min(1.0, max(-1.0, _dot(a, b)))) ** 2 for b in cn] for a in cn
+    ]
+    chosen = [max(range(len(cand)), key=lambda i: weights[i])]
+    while len(chosen) < k:
+        score = [
+            -1.0 if i in chosen else weights[i] * min(d2[i][j] for j in chosen)
+            for i in range(len(cand))
+        ]
+        chosen.append(max(range(len(cand)), key=lambda i: score[i]))
+    return [cand[i] for i in chosen]
+
+
+def test_kmeans_parallel_seed_matches_pure_python_reference(spark):
+    """VERDICT r9 #7: third implementation of the k-means|| seeder (its
+    DuckDB twin is deliberately not maintained — SURVEY-sanctioned
+    opt-in path — so the pure-Python reference is its only independent
+    check)."""
+    from rangebar_patterns_spark.operators.similarity import (
+        KMEANSPP_OVERSAMPLE,
+        KMEANSPP_ROUNDS,
+        _kmeans_vecs,
+        kmeans_parallel_seed,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+    vectors = sorted(
+        (vid, [float(x) for x in emb])
+        for vid, emb in zip(tbl["vec_id"], tbl["embedding"])
+    )
+    ref = _ref_kmeans_parallel_seed(
+        vectors, 8, KMEANSPP_ROUNDS, KMEANSPP_OVERSAMPLE
+    )
+    got = kmeans_parallel_seed(
+        _kmeans_vecs(spark.read.parquet(f"{SF_DIR}/embeddings.parquet")), k=8
+    )
+    assert got == ref
