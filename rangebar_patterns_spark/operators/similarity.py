@@ -449,7 +449,16 @@ def pq_codes(
     """(vec_id, codes array<smallint>): the stored PQ row — ``m`` codes
     per vector (4 bytes at the default geometry vs 64 int8 / 256 float32
     bytes).  This relation plus the broadcast codebook IS the ANN index
-    a 100 TB corpus keeps hot; floats are only touched at re-rank."""
+    a 100 TB corpus keeps hot; floats are only touched at re-rank.
+
+    Deliberately NOT reusing pq_train's last in-loop assignment (ADVICE
+    r9 suggested it): Lloyd's updates the codebook AFTER its final
+    assignment, so that assignment is against the pre-update book —
+    encoding must assign against the FINAL book (what FAISS does), an
+    (iters+1)-th pass.  Reuse would silently encode with stale
+    centroids and change every downstream hash.  The real repeat-build
+    waste — retraining the book per build — is closed by the catalog's
+    session cache instead (_PQ_BOOK_CACHE)."""
     cdf = emb.sparkSession.createDataFrame(book, "m int, code int, cv array<double>")
     return (
         _pq_assign(_subvectors(emb, m), cdf)
