@@ -174,9 +174,17 @@ def distinct_sketch_panel(docs: DataFrame) -> DataFrame:
     occ = items.groupBy("source", "item").agg(
         F.count("*").cast("long").alias("n_items")
     )
-    hs = items.select(
-        "source", "item", hexint(F.col("v")).alias("h")
-    ).distinct()
+    # the distinct hash relation feeds FOUR downstream components (exact,
+    # k-min window, registers, global ground truth); without a persist
+    # Spark recomputes the explode+md5+distinct subtree for each —
+    # observed ~2x entry cost at sf0.1.  Vocabulary-sized (distinct
+    # values, not occurrences), so safe to cache at any corpus scale;
+    # freed by the session's clearCache like the catalog side-caches.
+    hs = (
+        items.select("source", "item", hexint(F.col("v")).alias("h"))
+        .distinct()
+        .persist()
+    )
     exact = (
         hs.groupBy("source", "item")
         .agg(F.count("*").cast("long").alias("exact_distinct"))
