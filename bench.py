@@ -238,14 +238,21 @@ def unrated(samples: dict[str, list[float]]) -> list[str]:
     """Entries whose same-code spread exceeds +/-50% of the median —
     their per-entry medians are BELOW THE NOISE FLOOR on this host and
     must not be quoted for cross-round deltas (VERDICT r9 #2; totals
-    stay rateable because per-entry noise partially cancels)."""
+    stay rateable because per-entry noise partially cancels).  An
+    absolute half-second floor keeps sub-second entries — where a
+    0.2 -> 0.4 s swing is 100% relative but immaterial — from drowning
+    the list the flag exists to surface."""
     bad = []
     for n, v in samples.items():
         clean = [x for x in v if x == x]
         if len(clean) < 2:
             continue
         med = statistics.median(clean)
-        if med > 0 and (max(clean) > 1.5 * med or min(clean) < 0.5 * med):
+        if (
+            med > 0
+            and max(clean) - min(clean) > 0.5
+            and (max(clean) > 1.5 * med or min(clean) < 0.5 * med)
+        ):
             bad.append(n)
     return sorted(bad)
 
@@ -379,6 +386,17 @@ def main() -> None:
         )
     if not sf1_on:
         sf1_runs = 0
+    if sf1_runs:
+        # page-cache warm of the sf1 fixtures: the first sf1 pass
+        # otherwise pays 2-3x cold parquet reads (the untimed warm-up
+        # pass only touches the sf0.1 files — observed text_metrics
+        # 28 s cold vs 9 s warm), which poisons the per-entry noise
+        # rating with a systematic pass-1 outlier
+        for root, _, files in os.walk(sf1_dir):
+            for f in files:
+                with open(os.path.join(root, f), "rb") as fh:
+                    while fh.read(1 << 22):
+                        pass
 
     # single-run wall-clock swings 2-4x on this host from co-tenant CPU
     # steal, and r9 showed same-code sf1 medians-of-2 swinging ~2x when

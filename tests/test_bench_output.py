@@ -108,6 +108,7 @@ def test_noise_rating_helpers():
         "noisy": [10.0, 10.5, 22.0, 10.2],   # max > 1.5x median
         "dipper": [10.0, 10.5, 4.0, 10.2],   # min < 0.5x median
         "pair": [9.0, 11.0],
+        "tiny": [0.2, 0.45],  # >50% relative but under the 0.5s floor
         "failed": [float("nan")],
     }
     assert bench.unrated(samples) == ["dipper", "noisy"]
