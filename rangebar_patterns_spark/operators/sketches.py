@@ -62,6 +62,107 @@ _HLL_W = 60 - HLL_P
 _HLL_RHO_MAX = _HLL_W + 1
 
 
+#: Count-Min sketch geometry (Cormode & Muthukrishnan 2005): CMS_D
+#: independent hash rows of CMS_W buckets; point estimate = min over
+#: rows of the bucket sum — always an OVERestimate, with error bounded
+#: by e·N/W at confidence 1-e^-D.  D·W integers of state per sketch,
+#: and sketches MERGE by cell-wise addition (sums are associative) —
+#: the streaming/distributed heavy-hitters workhorse
+CMS_D = 4
+CMS_W = 512
+#: heavy-hitter panel width: the exact top-N 3-gram phrases by
+#: frequency, each carrying its CMS estimate so the overcount — real
+#: collision error at ~16K distinct grams over 512 buckets — is
+#: hash-certified.  Grams, not words: the fixture vocabulary is a fixed
+#: 31-word pool, so word-level CMS would be collision-free and certify
+#: nothing; frequent-PHRASE mining is also the real pipeline op (C4's
+#: boilerplate detection, n-gram LM pruning)
+HH_TOP = 32
+
+
+def _cms_bucket(gram, d: int):
+    """Row-d bucket: the shared md5-prefix int of the salted gram, mod
+    CMS_W — the same cross-engine hash family as every sampler here
+    ('cms{d}:' salts make the D rows independent)."""
+    return hexint(F.concat(F.lit(f"cms{d}:"), gram)) % CMS_W
+
+
+def _gram_counts(docs: DataFrame) -> DataFrame:
+    base = docs.select(words_col().alias("w"))
+    return (
+        base.select(F.explode(shingles_col(words=F.col("w"))).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_cells(docs: DataFrame) -> DataFrame:
+    """(d, bucket, cell): the Count-Min sketch of the corpus 3-gram
+    frequencies — built from the gram-TYPE counts (one gram-vocabulary-
+    sized aggregate; identical to hashing every occurrence, since cells
+    are sums).  D·W rows of bounded state; two sketches over disjoint
+    corpus halves ADD cell-wise into the corpus sketch
+    (tests/test_sketches.py pins that merge identity)."""
+    wc = _gram_counts(docs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("d"),
+                _cms_bucket(F.col("gram"), d).alias("bucket"),
+            )
+            for d in range(CMS_D)
+        ]
+    )
+    return (
+        wc.select(F.explode(rows).alias("db"), "cnt")
+        .groupBy(F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+        .agg(F.sum("cnt").alias("cell"))
+    )
+
+
+def heavy_hitters_panel(docs: DataFrame, top_n: int = HH_TOP) -> DataFrame:
+    """The certified heavy-hitters panel: the exact top-``top_n``
+    3-gram phrases by corpus frequency (TakeOrderedAndProject — no
+    global shuffle), each probed against the Count-Min sketch.
+    ``cms_estimate`` >= ``exact_count`` always (CMS never undercounts)
+    and the overcount column puts the sketch's REAL collision error
+    (~16K distinct grams over 512 buckets on the fixtures) through the
+    hash compare — the same certify-the-sketch pattern as
+    :func:`distinct_sketch_panel` (exact ground truth rides along; at
+    100 TB only the D·W-cell sketch and the candidate probes
+    survive)."""
+    wc = _gram_counts(docs)
+    top = wc.orderBy(F.col("cnt").desc(), F.col("gram").asc()).limit(top_n)
+    probes = top.select(
+        "gram",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("d"),
+                        _cms_bucket(F.col("gram"), d).alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("db"),
+    ).select("gram", "cnt", F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(cms_cells(docs)), ["d", "bucket"])
+        .groupBy("gram", "cnt")
+        .agg(F.min("cell").alias("cms_estimate"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    return est.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "gram",
+        F.col("cnt").alias("exact_count"),
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("cnt")).alias("cms_overcount"),
+    )
+
+
 def _item_values(docs: DataFrame) -> DataFrame:
     """(source, item, v): every word and every 3-gram shingle occurrence
     with its sketch-space discriminator.  The word array is bound once

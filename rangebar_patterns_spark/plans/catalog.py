@@ -1345,9 +1345,19 @@ from ..sources.tables import load_table  # noqa: E402
 from . import textops_oracle as TO  # noqa: E402
 
 
-@register("dedup_exact", TO.EXACT_DUP_SQL)
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.exact_duplicates(load_table(spark, sf_dir, "documents"))
+@register("sketch_heavy_hitters", TO.heavy_hitters_sql())
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters (Cormode & Muthukrishnan 2005)
+    over the 3-gram phrase space (frequent-phrase/boilerplate mining —
+    the C4-style cleanup op): the exact top-32 grams
+    (TakeOrderedAndProject, no global shuffle) probed against a D×W
+    integer sketch whose cells MERGE by addition — the streaming/
+    distributed frequent-items workhorse.  cms_estimate >= exact_count
+    always; with ~16K distinct grams over 512 buckets the overcount
+    column puts REAL collision error through the hash compare (new
+    round-10 entry in the slot freed by folding dedup_exact into
+    dedup_clusters — the round-11 plan, landed early)."""
+    return SK.heavy_hitters_panel(load_table(spark, sf_dir, "documents"))
 
 
 #: the rare-first shingle-array relation feeds both Jaccard and
@@ -1560,14 +1570,61 @@ def q_corpus_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.packing_panel(load_table(spark, sf_dir, "documents"))
 
 
-@register("dedup_clusters", TO.DEDUP_CLUSTERS_SQL)
+_DEDUP_RESOLUTION_SQL = f"""
+SELECT 'clusters' AS stage, doc_id, cluster_rep,
+    CAST(is_rep AS VARCHAR) AS is_rep, cluster_size,
+    CAST(NULL AS VARCHAR) AS text_hash, CAST(NULL AS BIGINT) AS n_docs,
+    CAST(NULL AS BIGINT) AS canonical_doc_id
+FROM ({TO.DEDUP_CLUSTERS_SQL})
+UNION ALL
+SELECT 'exact' AS stage, CAST(NULL AS BIGINT) AS doc_id,
+    CAST(NULL AS BIGINT) AS cluster_rep, CAST(NULL AS VARCHAR) AS is_rep,
+    CAST(NULL AS BIGINT) AS cluster_size,
+    text_hash, n_docs, canonical_doc_id
+FROM ({TO.EXACT_DUP_SQL})
+"""
+
+
+@register("dedup_clusters", _DEDUP_RESOLUTION_SQL)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster resolution: connected components over the
-    MinHash-LSH near-dup pairs (distributed min-label propagation;
-    recursive-closure DuckDB twin), with the keep-lowest-id
-    representative convention — the pairs→clusters→survivors step every
-    corpus-scale dedup pipeline ends with."""
-    return DD.duplicate_clusters(_minhash_pairs(spark, sf_dir))
+    """Duplicate-resolution panel, both stages in one long-format union
+    with a ``stage`` discriminator (was dedup_clusters + dedup_exact —
+    merged round 10 to free one gate slot for ``sketch_heavy_hitters``;
+    every formerly-certified column keeps flowing through the hash,
+    NULL-padded where a stage doesn't produce it, and ``is_rep``
+    crosses the union as VARCHAR because a NULL-padded BOOLEAN
+    materializes as None in Spark's toPandas but NaN in DuckDB's df() —
+    the knee-panel convention):
+
+      * ``clusters`` — connected components over the MinHash-LSH
+        near-dup pairs (distributed min-label propagation;
+        recursive-closure DuckDB twin), keep-lowest-id representative —
+        the pairs→clusters→survivors step every corpus-scale dedup
+        pipeline ends with;
+      * ``exact`` — content-digest duplicate groups with the canonical
+        (min) doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = DD.duplicate_clusters(_minhash_pairs(spark, sf_dir)).select(
+        F.lit("clusters").alias("stage"),
+        "doc_id",
+        "cluster_rep",
+        F.col("is_rep").cast("string").alias("is_rep"),
+        "cluster_size",
+        F.lit(None).cast("string").alias("text_hash"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("canonical_doc_id"),
+    )
+    exact = DD.exact_duplicates(docs).select(
+        F.lit("exact").alias("stage"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("cluster_rep"),
+        F.lit(None).cast("string").alias("is_rep"),
+        F.lit(None).cast("long").alias("cluster_size"),
+        "text_hash",
+        "n_docs",
+        "canonical_doc_id",
+    )
+    return clusters.unionByName(exact)
 
 
 from ..operators import sketches as SK  # noqa: E402
@@ -2356,7 +2413,7 @@ _GATE_ORDER = [
     "bm25_retrieval",
     "dsir_selection",
     "lm_perplexity_scores",
-    "dedup_exact",
+    "sketch_heavy_hitters",
     "dedup_neardup_pairs",
     "dedup_clusters",
     "sim_topk_methods",

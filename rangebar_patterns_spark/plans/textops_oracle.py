@@ -1487,6 +1487,49 @@ FROM merged
 """
 
 
+def heavy_hitters_sql() -> str:
+    """Twin of sketches.heavy_hitters_panel: identical salted md5-prefix
+    bucket hashes per CMS row (unrolled — D is a compile-time constant),
+    identical integer cell sums over the 3-gram space, exact top-N with
+    (count desc, gram asc) tie-break, min-over-rows point estimates."""
+    from ..operators.sketches import CMS_D, CMS_W, HH_TOP
+
+    def bucket(gram_expr: str, d: int) -> str:
+        salted = f"'cms{d}:' || {gram_expr}"
+        return f"{_hexint(salted)} % {CMS_W}"
+
+    cell_rows = "\nUNION ALL\n".join(
+        f"SELECT {d} AS d, {bucket('gram', d)} AS bucket, cnt FROM wc"
+        for d in range(CMS_D)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT gram, cnt, {d} AS d, {bucket('gram', d)} AS bucket FROM top"
+        for d in range(CMS_D)
+    )
+    return f"""
+WITH wc AS MATERIALIZED (
+    SELECT g AS gram, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest({_shingles()}) AS g FROM documents) GROUP BY g
+),
+cells AS MATERIALIZED (
+    SELECT d, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+    FROM ({cell_rows}) GROUP BY d, bucket
+),
+top AS MATERIALIZED (
+    SELECT gram, cnt FROM wc ORDER BY cnt DESC, gram ASC LIMIT {HH_TOP}
+),
+est AS (
+    SELECT p.gram, p.cnt, min(c.cell) AS cms_estimate
+    FROM ({probe_rows}) p JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+    GROUP BY p.gram, p.cnt
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, gram ASC) AS BIGINT) AS rank,
+    gram, cnt AS exact_count, cms_estimate,
+    cms_estimate - cnt AS cms_overcount
+FROM est
+"""
+
+
 def bm25_union_sql() -> str:
     """Long-format union twin of the merged ``bm25_retrieval`` gate
     entry: the corpus-scoring panel ('scores' rows) and the batch top-k

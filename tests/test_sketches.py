@@ -74,3 +74,71 @@ def test_partition_layout_invariant(spark):
     a = _panel(spark, docs)
     b = _panel(spark, docs.repartition(17, "doc_id"))
     assert a == b
+
+
+def test_cms_never_undercounts_and_top_ranks_are_exact(spark):
+    """Count-Min point estimates are >= the true count by construction
+    (cells only ever add), the panel's ranks/exact counts must agree
+    with a straight groupBy ground truth, and the gram space is big
+    enough (~16K over 512 buckets) that collisions actually happen —
+    the overcount column certifies real error, not zeros."""
+    from pyspark.sql import functions as F
+
+    from rangebar_patterns_spark.operators.dedup import shingles_col, words_col
+    from rangebar_patterns_spark.operators.sketches import (
+        HH_TOP,
+        heavy_hitters_panel,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    panel = heavy_hitters_panel(docs).collect()
+    truth = dict(
+        docs.select(words_col().alias("w"))
+        .select(F.explode(shingles_col(words=F.col("w"))).alias("g"))
+        .groupBy("g")
+        .count()
+        .collect()
+    )
+    assert len(panel) == min(HH_TOP, len(truth))
+    assert all(r.cms_overcount >= 0 for r in panel)
+    assert all(r.cms_estimate == r.exact_count + r.cms_overcount for r in panel)
+    assert any(r.cms_overcount > 0 for r in panel)
+    for r in panel:
+        assert truth[r.gram] == r.exact_count
+    ranks = sorted((-r.exact_count, r.gram) for r in panel)
+    assert [g for _, g in ranks] == [
+        r.gram for r in sorted(panel, key=lambda r: r.rank)
+    ]
+
+
+def test_cms_sketches_merge_by_addition(spark):
+    """Two sketches over disjoint corpus halves must add cell-wise into
+    the corpus sketch — the associativity that lets every partition /
+    source / day keep its own D*W integers and roll up for free."""
+    from pyspark.sql import functions as F
+
+    from rangebar_patterns_spark.operators.sketches import cms_cells
+
+    docs = load_table(spark, SF_DIR, "documents")
+    full = {
+        (r.d, r.bucket): r.cell for r in cms_cells(docs).collect()
+    }
+    merged: dict = {}
+    for half in (docs.filter(F.col("doc_id") % 2 == 0),
+                 docs.filter(F.col("doc_id") % 2 == 1)):
+        for r in cms_cells(half).collect():
+            merged[(r.d, r.bucket)] = merged.get((r.d, r.bucket), 0) + r.cell
+    assert merged == full
+
+
+def test_cms_partition_layout_invariant(spark):
+    from rangebar_patterns_spark.operators.sketches import (
+        heavy_hitters_panel,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = sorted(map(tuple, heavy_hitters_panel(docs).collect()))
+    b = sorted(
+        map(tuple, heavy_hitters_panel(docs.repartition(13, "doc_id")).collect())
+    )
+    assert a == b
