@@ -125,6 +125,7 @@ GLOBAL_WINDOW_SANCTIONED = {
     "cutoff_grid_search": 2,  # per-candidate ranking over the metric grid
     "eval_bootstrap_synthesis": 2,  # RW config-id axis + critical value
     "eval_spearman": 6,  # 2 rank windows x 3 metric pairs
+    "sketch_heavy_hitters": 1,  # rank over the 32-row top-N probe panel
 }
 
 
