@@ -1469,7 +1469,7 @@ FROM ({TO.semdedup_pairs_sql()})
 
 @register("dedup_neardup_pairs", _neardup_oracle())
 def q_dedup_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate candidate pairs from all four approximate methods as
+    """Near-duplicate candidate pairs from all five approximate methods as
     one long-format union with a ``method`` discriminator (was
     dedup_ngram_jaccard + dedup_minhash_lsh + dedup_simhash +
     dedup_embedding_cosine — consolidated so the whole catalog fits the
