@@ -331,3 +331,49 @@ def distinct_sketch_panel(docs: DataFrame) -> DataFrame:
         F.lit("__all__").alias("source"), "*"
     )
     return per_source.unionByName(merged)
+
+
+#: weighted-reservoir sample size (Efraimidis & Spirakis 2006, A-ES):
+#: each item draws the deterministic md5 uniform u and keeps key =
+#: ln(u)/w — the k LARGEST keys are a weighted-without-replacement
+#: sample (monotone transform of the paper's u^(1/w)).  Keys are
+#: per-item pure functions, so per-partition top-k heaps merge — the
+#: distributed/streaming weighted-downsampling shape a DoReMi-style
+#: mixture pipeline needs at corpus scale
+RESERVOIR_K = 64
+RESERVOIR_SALT = "reservoir:"
+
+
+def weighted_reservoir_sample(
+    docs: DataFrame, k: int = RESERVOIR_K
+) -> DataFrame:
+    """(rank, doc_id, weight, res_key): the A-ES weighted sample of the
+    corpus, weighted by document length in words — deterministic (the
+    md5 u01 coin every sampler here uses), partition-invariant, and
+    expressed as a TakeOrderedAndProject top-k, never a global sort.
+    Zero-weight (wordless) documents are excluded, as in the paper
+    (their key is ln(u)/0 → -inf).  ``res_key`` is reported round-6;
+    ranking uses the full double with doc_id tie-break.
+
+    Staged for the round-11 gate slot (oracle twin:
+    plans/textops_oracle.reservoir_sql); unit-certified meanwhile in
+    tests/test_sketches.py including a pure-Python crosscheck."""
+    from .similarity import _u01
+
+    w = F.size(words_col()).cast("double")
+    key = F.log(_u01(F.col("doc_id"), RESERVOIR_SALT)) / w
+    ranked = (
+        docs.select(
+            "doc_id", w.alias("weight"), key.alias("_k")
+        )
+        .filter(F.col("weight") > 0)
+        .orderBy(F.col("_k").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    rw = Window.orderBy(F.col("_k").desc(), F.col("doc_id").asc())
+    return ranked.select(
+        F.row_number().over(rw).cast("long").alias("rank"),
+        "doc_id",
+        F.col("weight").cast("long").alias("weight"),
+        F.round("_k", 6).alias("res_key"),
+    )

@@ -142,3 +142,58 @@ def test_cms_partition_layout_invariant(spark):
         map(tuple, heavy_hitters_panel(docs.repartition(13, "doc_id")).collect())
     )
     assert a == b
+
+
+def test_weighted_reservoir_sample(spark, duck):
+    """A-ES weighted sampling (staged for the round-11 gate slot): the
+    Spark top-k matches both the DuckDB twin and a pure-Python
+    reference (md5 u01, ln(u)/w keys, doc_id tie-break), and is
+    partition-layout invariant."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from rangebar_patterns_spark.operators.sketches import (
+        RESERVOIR_K,
+        RESERVOIR_SALT,
+        weighted_reservoir_sample,
+    )
+    from rangebar_patterns_spark.plans.textops_oracle import reservoir_sql
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = [tuple(r) for r in weighted_reservoir_sample(docs).collect()]
+    assert len(got) == RESERVOIR_K
+
+    from conftest import compare_frames
+
+    compare_frames(
+        weighted_reservoir_sample(docs), duck.execute(reservoir_sql()).df()
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    ref = []
+    for doc_id, text in zip(tbl["doc_id"], tbl["text"]):
+        w = len([x for x in text.split(" ") if x != ""])
+        if w == 0:
+            continue
+        h = int(
+            hashlib.md5(f"{RESERVOIR_SALT}{doc_id}".encode()).hexdigest()[:15],
+            16,
+        )
+        key = math.log(float(h) / float(1 << 60)) / float(w)
+        ref.append((-key, doc_id, w, round(key, 6)))
+    ref.sort()
+    expect = [
+        (i + 1, doc_id, w, rk)
+        for i, (_, doc_id, w, rk) in enumerate(ref[:RESERVOIR_K])
+    ]
+    assert got == expect
+
+    shuffled = [
+        tuple(r)
+        for r in weighted_reservoir_sample(
+            docs.repartition(13, "source")
+        ).collect()
+    ]
+    assert shuffled == got
