@@ -262,6 +262,18 @@ def _sketch_metrics(
     )
 
 
+#: last persisted distinct-hash relation (len <= 1) — see the swap-handle
+#: comment in distinct_sketch_panel
+_HS_LAST: list[DataFrame] = []
+
+
+def release_distinct_cache() -> None:
+    """Unpersist the last distinct_sketch_panel hash relation (no-op if
+    none is held) — for callers outside the catalog's clearCache flow."""
+    if _HS_LAST:
+        _HS_LAST.pop().unpersist(blocking=False)
+
+
 def distinct_sketch_panel(docs: DataFrame) -> DataFrame:
     """The certified panel: one row per (source, item) plus the merged
     ``__all__`` rows per item.  Per-source rows sketch that source's
@@ -279,13 +291,20 @@ def distinct_sketch_panel(docs: DataFrame) -> DataFrame:
     # k-min window, registers, global ground truth); without a persist
     # Spark recomputes the explode+md5+distinct subtree for each —
     # observed ~2x entry cost at sf0.1.  Vocabulary-sized (distinct
-    # values, not occurrences), so safe to cache at any corpus scale;
-    # freed by the session's clearCache like the catalog side-caches.
+    # values, not occurrences), so safe to cache at any corpus scale.
+    # Swap-handle discipline (round-11 ADVICE): each call unpersists the
+    # PREVIOUS call's relation, so repeated library/test invocations hold
+    # at most one cached copy instead of accumulating until clearCache;
+    # release_distinct_cache() drops the last one explicitly (recompute
+    # stays correct either way — unpersist only forfeits the cache).
     hs = (
         items.select("source", "item", hexint(F.col("v")).alias("h"))
         .distinct()
         .persist()
     )
+    if _HS_LAST:
+        _HS_LAST.pop().unpersist(blocking=False)
+    _HS_LAST.append(hs)
     exact = (
         hs.groupBy("source", "item")
         .agg(F.count("*").cast("long").alias("exact_distinct"))
@@ -352,28 +371,34 @@ def weighted_reservoir_sample(
     md5 u01 coin every sampler here uses), partition-invariant, and
     expressed as a TakeOrderedAndProject top-k, never a global sort.
     Zero-weight (wordless) documents are excluded, as in the paper
-    (their key is ln(u)/0 → -inf).  ``res_key`` is reported round-6;
-    ranking uses the full double with doc_id tie-break.
+    (their key is ln(u)/0 → -inf).
 
-    Staged for the round-11 gate slot (oracle twin:
-    plans/textops_oracle.reservoir_sql); unit-certified meanwhile in
-    tests/test_sketches.py including a pure-Python crosscheck."""
+    Two cross-engine hardenings (round-11 ADVICE): the u01 coin is
+    floored at 2^-60 — u=0 would make Spark's ``F.log(0)`` NULL (doc
+    silently sorted last) while DuckDB's ``ln(0)`` hard-fails the whole
+    oracle query; and the RANKING key is the round-6 ln quotient with a
+    doc_id tie-break (the cosine rankers' discipline), so a 1-ulp
+    JVM-vs-libm ln difference can never flip a boundary rank.
+
+    Oracle twin: plans/textops_oracle.reservoir_sql; pure-Python
+    crosscheck in tests/test_sketches.py."""
     from .similarity import _u01
 
     w = F.size(words_col()).cast("double")
-    key = F.log(_u01(F.col("doc_id"), RESERVOIR_SALT)) / w
+    u = F.greatest(_u01(F.col("doc_id"), RESERVOIR_SALT), F.lit(2.0**-60))
+    key = F.round(F.log(u) / w, 6)
     ranked = (
         docs.select(
-            "doc_id", w.alias("weight"), key.alias("_k")
+            "doc_id", w.alias("weight"), key.alias("res_key")
         )
         .filter(F.col("weight") > 0)
-        .orderBy(F.col("_k").desc(), F.col("doc_id").asc())
+        .orderBy(F.col("res_key").desc(), F.col("doc_id").asc())
         .limit(k)
     )
-    rw = Window.orderBy(F.col("_k").desc(), F.col("doc_id").asc())
+    rw = Window.orderBy(F.col("res_key").desc(), F.col("doc_id").asc())
     return ranked.select(
         F.row_number().over(rw).cast("long").alias("rank"),
         "doc_id",
         F.col("weight").cast("long").alias("weight"),
-        F.round("_k", 6).alias("res_key"),
+        "res_key",
     )

@@ -81,6 +81,9 @@ def reset_plan_caches(spark: SparkSession) -> None:
         _PQ_BOOK_CACHE,
     ):
         cache.clear()
+    from ..operators.sketches import release_distinct_cache
+
+    release_distinct_cache()
     spark.catalog.clearCache()
 
 
@@ -1645,6 +1648,21 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.distinct_sketch_panel(load_table(spark, sf_dir, "documents"))
 
 
+@register("reservoir_sample", TO.reservoir_sql())
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis & Spirakis 2006, A-ES):
+    the k documents with the largest ln(u)/w keys are a weighted
+    without-replacement sample of the corpus — keys are per-item pure
+    functions of the deterministic md5 coin, so per-partition top-k
+    heaps merge and the whole sample is one TakeOrderedAndProject,
+    never a global sort.  The weighted-downsampling step DoReMi-style
+    mixture pipelines need at corpus scale, completing the
+    mixture_sample → dsir_selection → reservoir family (round-11 entry
+    in the slot freed by merging tail_scan + asof_probe_lookup into
+    probe_panel)."""
+    return SK.weighted_reservoir_sample(load_table(spark, sf_dir, "documents"))
+
+
 #: learned BPE merge table per (session, sf_dir): training is 8
 #: sequential distributed rounds (inherently serial — each argmax feeds
 #: the next round's apply fold), so the catalog shares one table the
@@ -1830,57 +1848,85 @@ from ..operators.joins import asof_join_bars, exclude_done  # noqa: E402
 
 _TAIL_N = 150
 
-_TAIL_SCAN_ORACLE = f"""
+_PROBE_PANEL_ORACLE = f"""
 WITH {BARS_DUCKDB_CTE},
 ranked AS (
     SELECT symbol, rn, close_time_ms, close,
         row_number() OVER (PARTITION BY symbol ORDER BY rn DESC) AS rn_from_end
     FROM bars
-)
-SELECT symbol, rn, close_time_ms, close, CAST(rn_from_end AS BIGINT) AS rn_from_end
-FROM ranked WHERE rn_from_end <= {_TAIL_N}
-"""
-
-
-@register("tail_scan", _TAIL_SCAN_ORACLE)
-def q_tail_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2/O2: aligned tail scan — last N bars per series, numbered from
-    the end (gen720_wf_wl1d_template.sql:36-47)."""
-    bars = _bars(spark, sf_dir)
-    w = F.row_number().over(
-        bar_window().orderBy(F.col("rn").desc())
-    )
-    return (
-        bars.select("symbol", "rn", "close_time_ms", "close")
-        .withColumn("rn_from_end", w.cast("long"))
-        .filter(F.col("rn_from_end") <= _TAIL_N)
-    )
-
-
-_ASOF_ORACLE = f"""
-WITH {BARS_DUCKDB_CTE},
+),
 probes AS (
     SELECT symbol, rn AS probe_id, close_time_ms + 1 AS ts_ms
     FROM bars WHERE rn % 97 = 0
 )
-SELECT p.symbol, p.probe_id, p.ts_ms,
+SELECT 'tail' AS probe, symbol, rn, close_time_ms, close,
+    CAST(rn_from_end AS BIGINT) AS rn_from_end,
+    CAST(NULL AS BIGINT) AS probe_id, CAST(NULL AS BIGINT) AS ts_ms,
+    CAST(NULL AS DOUBLE) AS bar_close,
+    CAST(NULL AS DOUBLE) AS bar_trade_intensity
+FROM ranked WHERE rn_from_end <= {_TAIL_N}
+UNION ALL
+SELECT 'asof' AS probe, p.symbol,
+    CAST(NULL AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS close_time_ms,
+    CAST(NULL AS DOUBLE) AS close, CAST(NULL AS BIGINT) AS rn_from_end,
+    p.probe_id, p.ts_ms,
     b.close AS bar_close, b.trade_intensity AS bar_trade_intensity
 FROM probes p ASOF JOIN bars b
     ON p.symbol = b.symbol AND p.ts_ms >= b.close_time_ms
 """
 
 
-@register("asof_probe_lookup", _ASOF_ORACLE)
-def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7: as-of lookup — last bar at-or-before each probe timestamp
-    (eval/ou_barriers.py:66-96 searchsorted; DuckDB-native ASOF oracle)."""
+@register("probe_panel", _PROBE_PANEL_ORACLE)
+def q_probe_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bar-probe panel, both probes in one long-format union with a
+    ``probe`` discriminator (was tail_scan + asof_probe_lookup — merged
+    round 11 to free one gate slot for ``reservoir_sample``; every
+    formerly-certified column keeps flowing through the hash,
+    NULL-padded where a probe doesn't produce it — all long/double, so
+    no VARCHAR bridging needed):
+
+      * ``tail`` — S2/O2 aligned tail scan: last N bars per series,
+        numbered from the end (gen720_wf_wl1d_template.sql:36-47).
+      * ``asof`` — J7 as-of lookup: last bar at-or-before each probe
+        timestamp (eval/ou_barriers.py:66-96 searchsorted;
+        DuckDB-native ASOF oracle)."""
     bars = _bars(spark, sf_dir)
+    w = F.row_number().over(bar_window().orderBy(F.col("rn").desc()))
+    tail = (
+        bars.select("symbol", "rn", "close_time_ms", "close")
+        .withColumn("rn_from_end", w.cast("long"))
+        .filter(F.col("rn_from_end") <= _TAIL_N)
+        .select(
+            F.lit("tail").alias("probe"),
+            "symbol",
+            "rn",
+            "close_time_ms",
+            "close",
+            "rn_from_end",
+            F.lit(None).cast("long").alias("probe_id"),
+            F.lit(None).cast("long").alias("ts_ms"),
+            F.lit(None).cast("double").alias("bar_close"),
+            F.lit(None).cast("double").alias("bar_trade_intensity"),
+        )
+    )
     probes = bars.filter(F.col("rn") % 97 == 0).select(
         "symbol",
         F.col("rn").alias("probe_id"),
         (F.col("close_time_ms") + 1).alias("ts_ms"),
     )
-    return asof_join_bars(probes, bars, ["close", "trade_intensity"])
+    asof = asof_join_bars(probes, bars, ["close", "trade_intensity"]).select(
+        F.lit("asof").alias("probe"),
+        "symbol",
+        F.lit(None).cast("long").alias("rn"),
+        F.lit(None).cast("long").alias("close_time_ms"),
+        F.lit(None).cast("double").alias("close"),
+        F.lit(None).cast("long").alias("rn_from_end"),
+        "probe_id",
+        "ts_ms",
+        "bar_close",
+        "bar_trade_intensity",
+    )
+    return tail.unionByName(asof)
 
 
 def _sweep_grid_duckdb_values() -> str:
@@ -2208,7 +2254,8 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: trained IVF centroid matrix per (session, sf_dir) — kmeans_ivf_assign,
-#: sim_ivf_cell_search, and the semdedup branch of dedup_neardup_pairs
+#: sim_topk_methods (method='ivf_cell', merged round 10), and the semdedup
+#: branch of dedup_neardup_pairs
 #: consume the SAME quantizer, so Lloyd's runs once per session, not per
 #: entry (k x dim doubles; cleared by reset_plan_caches like every
 #: side-cache).  The cell count is CORPUS-SIZED (semdedup_cell_count —
@@ -2418,6 +2465,7 @@ _GATE_ORDER = [
     "dedup_clusters",
     "sim_topk_methods",
     "sketch_distinct",
+    "reservoir_sample",
     "text_metrics",
     "corpus_packing",
     # sweep engine (gen500/gen600 config grids)
@@ -2446,8 +2494,7 @@ _GATE_ORDER = [
     # multimodal / streaming / remaining §2 rows
     "multimodal_byte_features",
     "streaming_hourly_counts",
-    "tail_scan",
-    "asof_probe_lookup",
+    "probe_panel",
     "config_skip_done",
 ]
 

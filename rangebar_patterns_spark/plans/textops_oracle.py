@@ -1531,22 +1531,27 @@ FROM est
 
 
 def reservoir_sql() -> str:
-    """Twin of sketches.weighted_reservoir_sample (staged for the
-    round-11 gate slot): same md5 u01 coin, same ln(u)/w keys ranked
-    descending with doc_id tie-break, same round-6 reported key."""
+    """Twin of sketches.weighted_reservoir_sample: same md5 u01 coin
+    FLOORED at 2^-60 (u=0 would make DuckDB's ln(0) hard-fail while
+    Spark's F.log(0) silently NULLs), same ROUND-6 ln(u)/w ranking key
+    with doc_id tie-break — the round-11 ADVICE hardenings, applied in
+    both engines."""
     from ..operators.sketches import RESERVOIR_K, RESERVOIR_SALT
 
     salted = f"'{RESERVOIR_SALT}' || CAST(doc_id AS VARCHAR)"
-    u = f"CAST({_hexint(salted)} AS DOUBLE) / {float(1 << 60)!r}"
+    u = (
+        f"greatest(CAST({_hexint(salted)} AS DOUBLE) / {float(1 << 60)!r}, "
+        f"{2.0 ** -60!r})"
+    )
     return f"""
 WITH d AS (
     SELECT doc_id, CAST(len({WORDS}) AS DOUBLE) AS w,
-        ln({u}) / CAST(len({WORDS}) AS DOUBLE) AS k
+        round(ln({u}) / CAST(len({WORDS}) AS DOUBLE), 6) AS k
     FROM documents WHERE len({WORDS}) > 0
 )
 SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id ASC) AS BIGINT)
         AS rank,
-    doc_id, CAST(w AS BIGINT) AS weight, round(k, 6) AS res_key
+    doc_id, CAST(w AS BIGINT) AS weight, k AS res_key
 FROM d ORDER BY k DESC, doc_id ASC LIMIT {RESERVOIR_K}
 """
 

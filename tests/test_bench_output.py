@@ -123,19 +123,48 @@ def test_noise_rating_helpers():
 
 def test_tree_cpu_sees_child_processes():
     """The per-entry CPU column must include descendant processes (the
-    local-mode JVM), not just the python driver."""
+    local-mode JVM), not just the python driver.  Polls with a generous
+    deadline (ADVICE r10: on the documented 2-4x co-tenant-steal hosts a
+    single fixed 1.2s sleep could catch the child before it was ever
+    scheduled)."""
     import time as _time
 
-    c0 = bench.tree_cpu()
-    assert c0 > 0.0
+    c0 = bench.tree_cpu_snapshot()
+    assert sum(c0.values()) > 0.0
     p = subprocess.Popen(
         [sys.executable, "-c",
-         "t=0\nfor i in range(3*10**6): t+=i*i\nimport time; time.sleep(3)"],
+         "t=0\nfor i in range(3*10**7): t+=i*i"],
     )
     try:
-        _time.sleep(1.2)
-        c1 = bench.tree_cpu()
-        assert c1 - c0 > 0.1  # the child's burn is visible while it lives
+        deadline = _time.monotonic() + 10.0
+        delta = 0.0
+        while _time.monotonic() < deadline:
+            delta = bench.tree_cpu_delta(c0, bench.tree_cpu_snapshot())
+            if delta > 0.1:
+                break
+            _time.sleep(0.2)
+        assert delta > 0.1  # the child's burn is visible while it lives
     finally:
         p.kill()
         p.wait()
+
+
+def test_tree_cpu_delta_vanished_pid_never_negative():
+    """VERDICT r10 #1 regression pin: a descendant that exits between the
+    two snapshots (taking its accumulated CPU out of the end walk) must
+    contribute 0 — never drive the whole delta negative the way the old
+    total-minus-total arithmetic did (BENCH_DETAIL r10 committed
+    cpu/wall = -29.1 for dedup_neardup_pairs sf1)."""
+    start = {1000: 5.0, 2000: 120.0, 3000: 0.5}   # 2000 = a worker daemon
+    end = {1000: 7.5, 3000: 0.5}                   # ...that died mid-entry
+    delta = bench.tree_cpu_delta(start, end)
+    assert delta == 2.5  # pid 1000's burn only; nothing negative
+
+    # a pid born inside the window counts its whole (in-window) CPU
+    assert bench.tree_cpu_delta({1000: 5.0}, {1000: 5.0, 4000: 3.0}) == 3.0
+
+    # pid reuse (same pid, smaller cumulative CPU) clamps at 0
+    assert bench.tree_cpu_delta({5000: 9.0}, {5000: 1.0}) == 0.0
+
+    # the failure shape itself: every surviving pid idle, one big exit
+    assert bench.tree_cpu_delta({1: 1.0, 2: 300.0}, {1: 1.0}) == 0.0

@@ -33,7 +33,7 @@ ARROW_SANCTIONED = {
     "eval_bootstrap_synthesis",
     "eval_spearman", "wf_fold_metrics", "wf_topk",
     "cpcv_pbo", "gt_composite_mbb", "wf_fold_objectives",
-    "tail_scan", "asof_probe_lookup", "config_skip_done",
+    "probe_panel", "config_skip_done",
     "gen800_rolling_rdd", "crossasset_panel",
     "bars_adapter", "genx_hypotheses",
 }
@@ -126,6 +126,7 @@ GLOBAL_WINDOW_SANCTIONED = {
     "eval_bootstrap_synthesis": 2,  # RW config-id axis + critical value
     "eval_spearman": 6,  # 2 rank windows x 3 metric pairs
     "sketch_heavy_hitters": 1,  # rank over the 32-row top-N probe panel
+    "reservoir_sample": 1,  # rank over the 64-row post-limit sample
 }
 
 

@@ -145,9 +145,9 @@ def test_cms_partition_layout_invariant(spark):
 
 
 def test_weighted_reservoir_sample(spark, duck):
-    """A-ES weighted sampling (staged for the round-11 gate slot): the
-    Spark top-k matches both the DuckDB twin and a pure-Python
-    reference (md5 u01, ln(u)/w keys, doc_id tie-break), and is
+    """A-ES weighted sampling: the Spark top-k matches both the DuckDB
+    twin and a pure-Python reference (md5 u01 floored at 2^-60,
+    ROUND-6 ln(u)/w ranking keys, doc_id tie-break), and is
     partition-layout invariant."""
     import hashlib
     import math
@@ -181,8 +181,9 @@ def test_weighted_reservoir_sample(spark, duck):
             hashlib.md5(f"{RESERVOIR_SALT}{doc_id}".encode()).hexdigest()[:15],
             16,
         )
-        key = math.log(float(h) / float(1 << 60)) / float(w)
-        ref.append((-key, doc_id, w, round(key, 6)))
+        u = max(float(h) / float(1 << 60), 2.0**-60)
+        key = round(math.log(u) / float(w), 6)
+        ref.append((-key, doc_id, w, key))
     ref.sort()
     expect = [
         (i + 1, doc_id, w, rk)
