@@ -66,6 +66,15 @@ Schema history ("bench_version"):
     ratio dropping, visible IN the artifact instead of inferred across
     rounds.  Key changes: sim_ivf_cell_search merged into
     "sim_topk_methods" (method='ivf_cell'); new "sketch_distinct" entry.
+  4 (r11) — schema unchanged.  Per-entry tree-CPU deltas are now per-pid
+    (tree_cpu_delta): a descendant exiting mid-entry contributes 0
+    instead of driving the delta negative (r10 committed an impossible
+    cpu/wall = -29.1).  The sf1 tier gains an untimed warm-up pass plus
+    a second discarded execution of the 5 heaviest entries (r10's sf1
+    pass-1 samples ran 2-4x steady state, leaving 15 entries unrated);
+    discarded warm samples are kept in detail["sf1"]["warm_samples"].
+    Key changes: tail_scan + asof_probe_lookup merged into
+    "probe_panel"; new "reservoir_sample" entry.
 """
 
 from __future__ import annotations
@@ -140,12 +149,12 @@ def run_wrapped() -> int:
     return rc
 
 
-def tree_cpu() -> float:
-    """User+system CPU seconds consumed so far by this process and every
-    live descendant — i.e. including the local-mode JVM, which
+def tree_cpu_snapshot() -> dict[int, float]:
+    """Per-pid cumulative user+system CPU seconds of this process and
+    every live descendant — i.e. including the local-mode JVM, which
     time.process_time() cannot see (separate process) and os.times()
     only counts after reaping.  /proc walk, psutil-free; best-effort
-    (a vanished pid mid-walk is skipped)."""
+    (a pid vanishing mid-walk is skipped)."""
     import glob
 
     hz = os.sysconf("SC_CLK_TCK")
@@ -165,20 +174,47 @@ def tree_cpu() -> float:
     kids: dict[int, list[int]] = {}
     for pid, (ppid, _) in procs.items():
         kids.setdefault(ppid, []).append(pid)
-    total, stack, seen = 0.0, [os.getpid()], set()
+    out: dict[int, float] = {}
+    stack = [os.getpid()]
     while stack:
         p = stack.pop()
-        if p in seen:
+        if p in out:
             continue
-        seen.add(p)
-        total += procs.get(p, (0, 0.0))[1]
+        out[p] = procs.get(p, (0, 0.0))[1]
         stack.extend(kids.get(p, []))
+    return out
+
+
+def tree_cpu_delta(start: dict[int, float], end: dict[int, float]) -> float:
+    """CPU seconds the process tree consumed between two snapshots.
+
+    VERDICT r10 #1: the old total-minus-total delta went NEGATIVE when a
+    descendant (e.g. a PySpark daemon worker) exited between snapshots —
+    its whole cumulative CPU vanished from the end total, and BENCH_DETAIL
+    committed impossible values like cpu/wall = -29.1.  Per-pid deltas
+    fix the sign: a pid present in both snapshots contributes end-start
+    (clamped at 0 against pid reuse); a pid only in the END snapshot was
+    born inside the window, so its whole cumulative CPU counts; a pid
+    that VANISHED contributes 0 — its pre-window accumulation never
+    pollutes the delta, and the (unobservable) CPU it burned inside the
+    window before dying is the honest price of a /proc-based monitor:
+    a small UNDERcount, never an impossible number."""
+    total = 0.0
+    for pid, c1 in end.items():
+        total += max(0.0, c1 - start.get(pid, 0.0))
     return total
+
+
+def tree_cpu() -> float:
+    """Cumulative tree CPU right now (sum of the live snapshot) — only
+    meaningful for within-lifetime monotonic checks; deltas must go
+    through tree_cpu_delta (see its docstring)."""
+    return sum(tree_cpu_snapshot().values())
 
 
 def time_queries(spark, qs, sf_dir, timings, cpus=None):
     for name, fn in qs.items():
-        c0 = tree_cpu() if cpus is not None else 0.0
+        c0 = tree_cpu_snapshot() if cpus is not None else {}
         t0 = time.perf_counter()
         try:
             n = fn(spark, sf_dir).count()
@@ -191,7 +227,7 @@ def time_queries(spark, qs, sf_dir, timings, cpus=None):
         dt = round(time.perf_counter() - t0, 3)
         timings.setdefault(name, []).append(dt)
         if cpus is not None:
-            dc = round(tree_cpu() - c0, 3)
+            dc = round(tree_cpu_delta(c0, tree_cpu_snapshot()), 3)
             cpus.setdefault(name, []).append(dc)
             print(f"bench: {name}: {dt}s wall / {dc}s cpu ({n} rows)",
                   file=sys.stderr)
@@ -306,14 +342,19 @@ def main() -> None:
     # failure mode) — so before each optional phase we check that its
     # estimated duration fits and otherwise skip it, marking the detail
     # sidecar "truncated".  The compact line always prints.
-    # default: a full healthy run (~40 min for the 50-entry catalog:
-    # 3 catalog + 4 sf1 + 2 demo interleaved passes at sf0.1) fits with
-    # headroom; on a noisy host (the first r10 run saw ~2x steal and
-    # fit only 2 sf1 passes in 2500s) the guard trims trailing sf1
-    # passes — the budget exists to cap co-tenant-noise blowups
-    # (documented 2-4x CPU-steal swings would otherwise turn this into
-    # a 2h+ run and risk an external kill losing the record)
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "3000"))
+    # default: a full healthy run (~50 min for the 50-entry catalog:
+    # warm-up + sf1 warm-up + 3 catalog + 4 sf1 + 2 demo interleaved
+    # passes at sf0.1) fits with headroom; on a noisy host (the first
+    # r10 run saw ~2x steal and fit only 2 sf1 passes in 2500s) the
+    # guard trims trailing sf1 passes — the budget exists to cap
+    # co-tenant-noise blowups (documented 2-4x CPU-steal swings would
+    # otherwise turn this into a 2h+ run and risk an external kill
+    # losing the record).  Widened 3000 -> 3500 in r11: the sf1 warm
+    # passes (VERDICT r10 #2) MOVE the pass-1 epoch cost out of the
+    # timed passes rather than adding net work, but the guard's
+    # estimates are sized on the warm pass itself, so the ceiling needs
+    # the extra headroom to keep all 4 timed sf1 passes.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "3500"))
     truncated: list[str] = []
 
     def fits(estimate_s: float) -> bool:
@@ -359,6 +400,7 @@ def main() -> None:
     # medians-of-3 and makes cross-round deltas noisier than the code.
     # Skipped for tiny budgets (regression tests) or via env.
     warmed = False
+    last_warmup_s = 0.0
     if (os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
             and budget_s >= 600):
         print("bench: === warm-up pass (untimed) ===", file=sys.stderr)
@@ -366,7 +408,8 @@ def main() -> None:
         time_queries(spark, qs, sf_dir, {})
         reset_plan_caches(spark)
         warmed = True
-        print(f"bench: warm-up took {time.monotonic() - t0:.1f}s",
+        last_warmup_s = time.monotonic() - t0
+        print(f"bench: warm-up took {last_warmup_s:.1f}s",
               file=sys.stderr)
 
     # sf1 fixtures (50 symbols, ~1M events — the scale validation the
@@ -386,6 +429,7 @@ def main() -> None:
         )
     if not sf1_on:
         sf1_runs = 0
+    sf1_warm_t: dict[str, list[float]] = {}
     if sf1_runs:
         # page-cache warm of the sf1 fixtures: the first sf1 pass
         # otherwise pays 2-3x cold parquet reads (the untimed warm-up
@@ -397,6 +441,43 @@ def main() -> None:
                 with open(os.path.join(root, f), "rb") as fh:
                     while fh.read(1 << 22):
                         pass
+        # full untimed sf1 warm pass (VERDICT r10 #2): the page-cache
+        # warm covers file reads but NOT the sf1-shaped plans' JIT/
+        # codegen/shuffle warm-up epoch — r10's sf1 pass-1 samples ran
+        # 2-4x steady state (text_metrics 39.3 vs ~9 s, fullgrid 378 vs
+        # ~128 s), flagging 15 entries unrated and making the sf1 total
+        # unattributable.  One discarded execution absorbs the epoch;
+        # net run time is ~neutral because the timed passes then drop by
+        # what the warm pass costs.  fullgrid's epoch spanned TWO passes
+        # (378, 302, 129, 127), so the heaviest entries get a SECOND
+        # discarded execution — cheap once warm (~steady-state cost).
+        # Warm samples are recorded in the detail sidecar (sf1_warm) so
+        # the epoch stays visible instead of silently vanishing.
+        if warmed and fits(6.0 * (last_warmup_s or 120.0)):
+            print("bench: === sf1 warm-up pass (untimed) ===",
+                  file=sys.stderr)
+            t0 = time.monotonic()
+            time_queries(spark, qs, sf1_dir, sf1_warm_t, {})
+            reset_plan_caches(spark)
+            print(f"bench: sf1 warm-up took {time.monotonic() - t0:.1f}s",
+                  file=sys.stderr)
+            heavy = sorted(
+                ((n, v[0]) for n, v in sf1_warm_t.items() if v and v[0] == v[0]),
+                key=lambda kv: -kv[1],
+            )[:5]
+            est2 = 0.6 * sum(c for _, c in heavy)
+            if heavy and fits(est2):
+                print(f"bench: === sf1 heavy second warm (untimed): "
+                      f"{[n for n, _ in heavy]} ===", file=sys.stderr)
+                time_queries(
+                    spark, {n: qs[n] for n, _ in heavy}, sf1_dir,
+                    sf1_warm_t, {},
+                )
+                reset_plan_caches(spark)
+            else:
+                truncated.append("sf1 heavy second warm")
+        elif warmed:
+            truncated.append("sf1 warm-up pass")
 
     # single-run wall-clock swings 2-4x on this host from co-tenant CPU
     # steal, and r9 showed same-code sf1 medians-of-2 swinging ~2x when
@@ -492,6 +573,11 @@ def main() -> None:
             "samples": sf1_t,
             "total": round(sum(t for t in sf1_q.values() if t == t), 3),
         }
+        if sf1_warm_t:
+            # discarded warm executions, kept visible: the warm-up epoch
+            # these absorb (pass-1 JIT/codegen inflation) should be
+            # auditable in the artifact, not silently vanished
+            detail["sf1"]["warm_samples"] = sf1_warm_t
 
     if truncated:
         detail["truncated"] = truncated
