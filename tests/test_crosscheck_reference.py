@@ -313,3 +313,159 @@ def test_kmeans_parallel_seed_matches_pure_python_reference(spark):
         _kmeans_vecs(spark.read.parquet(f"{SF_DIR}/embeddings.parquet")), k=8
     )
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# Sketch bit math (VERDICT r10 #5): CMS bucket/min, KMV k-th-minimum
+# estimator, HLL register/rho + integer-scaled harmonic sum.  The DuckDB
+# twins were the only independent check of these integer conventions
+# (md5-prefix 60-bit hash, bin-width rho, 2^(rho_max-mj) scaling); the
+# dict-and-loop references below re-derive them from the papers.
+# ---------------------------------------------------------------------------
+
+
+def _h60(s: str) -> int:
+    """The shared cross-engine md5-prefix hash: 15 hex chars -> 60-bit int."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _grams(words: list[str], n: int = 3) -> list[str]:
+    return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+
+def test_cms_heavy_hitters_match_pure_python_reference(spark):
+    """Count-Min bit math: row-d bucket = md5('cms{d}:'||gram) mod W,
+    cell = sum of gram counts per (d, bucket), point estimate = min over
+    the D rows — rebuilt with plain dicts from the corpus text."""
+    from rangebar_patterns_spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+        HH_TOP,
+        heavy_hitters_panel,
+    )
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    counts: Counter = Counter()
+    for t in docs["text"]:
+        counts.update(_grams(_words(t)))
+
+    cells: Counter = Counter()
+    for gram, cnt in counts.items():
+        for d in range(CMS_D):
+            cells[(d, _h60(f"cms{d}:{gram}") % CMS_W)] += cnt
+
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:HH_TOP]
+    expect = []
+    for rank, (gram, cnt) in enumerate(top, 1):
+        est = min(cells[(d, _h60(f"cms{d}:{gram}") % CMS_W)] for d in range(CMS_D))
+        expect.append((rank, gram, cnt, est, est - cnt))
+
+    got = [
+        tuple(r)
+        for r in heavy_hitters_panel(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        ).collect()
+    ]
+    assert got == expect
+    # the panel certifies real collision error: some overcount must be > 0
+    assert any(row[4] > 0 for row in got)
+
+
+def _ref_hll_estimate(hashes: set[int], p: int, alpha_mm: float) -> tuple[int, float]:
+    """(zero_regs, estimate): HLL from a distinct-hash set — top-p bits
+    register, rho = leading-zero count (+1) of the 60-p remainder, the
+    integer-scaled harmonic sum the engine uses (exact, order-free)."""
+    import math
+
+    m = 1 << p
+    w_bits = 60 - p
+    rho_max = w_bits + 1
+    regs: dict[int, int] = {}
+    for h in hashes:
+        reg = h >> w_bits
+        w = h & ((1 << w_bits) - 1)
+        rho = rho_max if w == 0 else rho_max - w.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    zeros = m - len(regs)
+    s_int = sum(1 << (rho_max - mj) for mj in regs.values()) + zeros * (1 << rho_max)
+    s = float(s_int) / float(1 << rho_max)
+    e_raw = alpha_mm / s
+    if e_raw <= 2.5 * m and zeros > 0:
+        return zeros, round(float(m) * math.log(float(m) / float(zeros)), 6)
+    return zeros, round(e_raw, 6)
+
+
+def _ref_kmv_estimate(hashes: set[int], k: int) -> tuple[int, float]:
+    """(kmv_k, estimate): k smallest distinct hashes; (K-1)*2^60/h_(K),
+    exact-count fallback below K."""
+    kmin = sorted(hashes)[:k]
+    if len(kmin) < k:
+        return len(kmin), float(len(kmin))
+    return k, round(float((k - 1) * (1 << 60)) / float(kmin[-1]), 6)
+
+
+def test_distinct_sketches_match_pure_python_reference(spark):
+    """KMV + HLL over the word and shingle spaces, per source AND the
+    merged __all__ row — the merge laws (k-min union / register max)
+    re-derived with sets and dicts.  Pins every column the gate entry
+    hashes: exact counts, estimates, and round-6 relative errors."""
+    from rangebar_patterns_spark.operators.sketches import (
+        HLL_ALPHA_MM,
+        HLL_P,
+        KMV_K,
+        distinct_sketch_panel,
+    )
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    occ: Counter = Counter()          # (source, item) -> occurrences
+    hsets: dict[tuple[str, str], set[int]] = {}
+    for src, t in zip(docs["source"], docs["text"]):
+        ws = _words(t)
+        for item, vals in (("word", ws), ("shingle", _grams(ws))):
+            occ[(src, item)] += len(vals)
+            hsets.setdefault((src, item), set()).update(_h60(v) for v in vals)
+
+    def panel_row(source, item, n_items, hashes):
+        exact = len(hashes)
+        kmv_k, kmv_est = _ref_kmv_estimate(hashes, KMV_K)
+        zeros, hll_est = _ref_hll_estimate(hashes, HLL_P, HLL_ALPHA_MM)
+        return (
+            source, item, n_items, exact,
+            kmv_k, kmv_est, round(kmv_est / exact - 1.0, 6),
+            zeros, hll_est, round(hll_est / exact - 1.0, 6),
+        )
+
+    expect = [
+        panel_row(src, item, occ[(src, item)], hs)
+        for (src, item), hs in hsets.items()
+    ]
+    # the merged corpus row is built the way the ENGINE builds it: union
+    # of per-source k-min sets (k-th minimum of the union equals the
+    # global one — every global top-K hash is in its source's top-K) and
+    # register max across sources; exact ground truth from the true union
+    for item in ("word", "shingle"):
+        union_kmin: set[int] = set()
+        true_union: set[int] = set()
+        n_items = 0
+        for (src, it), hs in hsets.items():
+            if it != item:
+                continue
+            union_kmin.update(sorted(hs)[:KMV_K])
+            true_union.update(hs)
+            n_items += occ[(src, it)]
+        kmv_k, kmv_est = _ref_kmv_estimate(union_kmin, KMV_K)
+        zeros, hll_est = _ref_hll_estimate(true_union, HLL_P, HLL_ALPHA_MM)
+        exact = len(true_union)
+        expect.append((
+            "__all__", item, n_items, exact,
+            kmv_k, kmv_est, round(kmv_est / exact - 1.0, 6),
+            zeros, hll_est, round(hll_est / exact - 1.0, 6),
+        ))
+
+    got = [
+        tuple(r)
+        for r in distinct_sketch_panel(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        ).collect()
+    ]
+    assert sorted(got) == sorted(expect)
