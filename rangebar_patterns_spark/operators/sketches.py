@@ -402,3 +402,207 @@ def weighted_reservoir_sample(
         F.col("weight").cast("long").alias("weight"),
         "res_key",
     )
+
+
+#: q-digest geometry (Shrivastava et al. 2004): fixed integer universe
+#: [0, 2^QD_L), compression factor QD_K.  A node of the complete binary
+#: tree survives compression only while its sibling-pair sum stays under
+#: T = floor(n/QD_K), so the digest holds O(QD_K * QD_L) counts — bounded
+#: state — and two digests MERGE by node-wise count addition followed by
+#: one re-compression (sums are associative; the merge law the corpus row
+#: certifies).  Everything is integer bit math on the shared node ids, so
+#: the DuckDB twin is hash-exact; the quantile answer is ONE-SIDED
+#: (estimate >= exact, like the CMS overcount) because a node's range is
+#: charged at its right endpoint.
+QD_L = 12
+QD_U = 1 << QD_L
+QD_K = 64
+#: certified quantiles as exact rationals (num, den, label) — the target
+#: rank ceil(q*n) is computed in INTEGER arithmetic ((num*n + den - 1)
+#: div den) in both engines, never through float ceil
+QD_QS = [(1, 2, "q50"), (9, 10, "q90"), (99, 100, "q99")]
+
+
+def _qd_compress(nodes: DataFrame, trel: DataFrame) -> DataFrame:
+    """One full bottom-up q-digest compression of ``nodes`` (source, id,
+    cnt) under per-source threshold ``trel`` (source, t): level by level
+    (leaf ids have bit_length QD_L+1, the root's children 2), each
+    sibling pair whose sum — PLUS any count already sitting on the
+    parent, the paper's rule; parents pre-exist when re-compressing
+    MERGED digests — fits under t is absorbed into the parent.
+
+    Executed as ONE Arrow-batched applyInPandas over the per-source
+    histogram groups, the sanctioned custom-stateful-operator shape:
+    the input is bounded by construction (at most U distinct clamped
+    values plus merged ancestors per group — this is exactly the
+    bounded state that makes the sketch a sketch), the compression is
+    pure integer Python identical to the tests' reference
+    implementation, and the one shuffle is the groupBy(source).  A
+    DataFrame-only level loop was tried first and rejected: QD_L
+    sequential eagerly-checkpointed rounds cost ~1 s of fixed job
+    overhead each at ANY data size (and without per-level plan
+    detachment, Spark's size-only stats estimation chains through the
+    checkpoint history and planning time doubles per level — measured
+    0.6 s -> 244 s/level on the merged pass).  The DuckDB twin
+    (plans/textops_oracle.qdigest_sql) keeps the unrolled pure-SQL
+    levels, so the cross-engine check stays independent of this
+    Python."""
+    import pandas as pd
+
+    def compress(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = int(pdf["t"].iloc[0])
+        nd = dict(zip((int(i) for i in pdf["id"]), (int(c) for c in pdf["cnt"])))
+        for bl in range(QD_L + 1, 1, -1):
+            pairs: dict[int, int] = {}
+            for i, c in list(nd.items()):
+                if i.bit_length() == bl:
+                    pairs[i >> 1] = pairs.get(i >> 1, 0) + c
+            for pid, csum in pairs.items():
+                total = csum + nd.get(pid, 0)
+                if total <= t:
+                    nd.pop(2 * pid, None)
+                    nd.pop(2 * pid + 1, None)
+                    nd[pid] = total
+        return pd.DataFrame(
+            {
+                "source": pdf["source"].iloc[0],
+                "id": list(nd.keys()),
+                "cnt": list(nd.values()),
+            }
+        )
+
+    return (
+        nodes.join(F.broadcast(trel), "source")
+        .groupBy("source")
+        .applyInPandas(compress, "source string, id long, cnt long")
+    )
+
+
+def _qd_quantiles(
+    nodes: DataFrame, exact_hist: DataFrame, item: str
+) -> DataFrame:
+    """Evaluate the certified quantile panel from a compressed digest:
+    for each (source, q) the digest answer is the smallest node right
+    endpoint whose cumulative count reaches the integer target rank
+    (nodes ordered by (vmax asc, vmin desc) — descendants before
+    ancestors, the paper's traversal), alongside the exact answer from
+    the uncompressed histogram and the one-sided error."""
+    h = f"CAST({QD_L + 1} - length(bin(id)) AS INT)"
+    vmin = F.expr(f"shiftleft(id, {h}) - {QD_U}")
+    vmax = F.expr(
+        f"shiftleft(id, {h}) - {QD_U} "
+        f"+ shiftleft(CAST(1 AS BIGINT), {h}) - 1"
+    )
+    spans = nodes.select(
+        "source", "cnt", vmin.alias("vmin"), vmax.alias("vmax")
+    )
+    cw = (
+        Window.partitionBy("source")
+        .orderBy(F.col("vmax").asc(), F.col("vmin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = spans.select(
+        "source", "vmax", F.sum("cnt").over(cw).alias("cum")
+    )
+    sizes = nodes.groupBy("source").agg(
+        F.sum("cnt").alias("n"), F.count("*").cast("long").alias("qd_nodes")
+    )
+    qs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(num).alias("num"),
+                    F.lit(den).alias("den"),
+                    F.lit(lab).alias("lab"),
+                )
+                for num, den, lab in QD_QS
+            ]
+        )
+    ).alias("q")
+    targets = sizes.select("source", "n", "qd_nodes", qs).select(
+        "source",
+        "n",
+        "qd_nodes",
+        F.col("q.lab").alias("lab"),
+        # integer target rank ceil(q*n) = (num*n + den - 1) div den —
+        # never through float ceil (the cross-engine convention)
+        F.expr(
+            "CAST((q.num * n + q.den - 1) DIV q.den AS BIGINT)"
+        ).alias("r"),
+    )
+    est = (
+        targets.join(cum, "source")
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("source", "lab", "n", "qd_nodes")
+        .agg(F.min("vmax").alias("qd_estimate"))
+    )
+    ew = (
+        Window.partitionBy("source")
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecum = exact_hist.select(
+        "source", "v", F.sum("cnt").over(ew).alias("cum")
+    )
+    exact = (
+        targets.join(ecum, "source")
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("source", "lab")
+        .agg(F.min("v").alias("exact_q"))
+    )
+    return est.join(exact, ["source", "lab"]).select(
+        "source",
+        F.concat(F.lit(item + "_"), F.col("lab")).alias("item"),
+        F.col("n").alias("n_values"),
+        "exact_q",
+        "qd_estimate",
+        (F.col("qd_estimate") - F.col("exact_q")).alias("qd_err"),
+        "qd_nodes",
+    )
+
+
+def qdigest_quantile_panel(vals: DataFrame, item: str) -> DataFrame:
+    """(source, item, n_values, exact_q, qd_estimate, qd_err, qd_nodes):
+    per-source q-digest quantiles of an integer observation column plus
+    a corpus row built by MERGING the per-source digests (node-wise
+    count addition, one re-compression under the global threshold) —
+    never by re-sketching the data.  ``vals`` is one row per observation
+    with columns (source, v), v already clamped into [0, QD_U); ``item``
+    labels the statistic.  The exact quantile rides along as
+    certification ground truth; qd_err >= 0 always (one-sided, like the
+    CMS overcount) and the bounded node count proves the state never
+    grows with the corpus — the property that replaces the engine's
+    exact type-6 window quantile (functions/series_quantile.py) when a
+    rolling/grouped quantile has to run over 100 TB."""
+    hist = (
+        vals.groupBy("source", "v")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    leaves = hist.select(
+        "source", (F.col("v") + F.lit(QD_U)).alias("id"), "cnt"
+    )
+    trel = hist.groupBy("source").agg(
+        F.floor(F.sum("cnt") / QD_K).cast("long").alias("t")
+    )
+    # the digest relations are read by several downstream branches
+    # (spans, sizes, the merged re-compression) — checkpoint the bounded
+    # output once so the Arrow compress pass runs once per digest, not
+    # once per consumer
+    per_source = _qd_compress(leaves, trel).localCheckpoint()
+    panel_src = _qd_quantiles(per_source, hist, item)
+
+    merged_nodes = (
+        per_source.groupBy("id")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("__all__").alias("source"), "id", "cnt")
+    )
+    t_all = merged_nodes.groupBy("source").agg(
+        F.floor(F.sum("cnt") / QD_K).cast("long").alias("t")
+    )
+    merged = _qd_compress(merged_nodes, t_all).localCheckpoint()
+    hist_all = hist.groupBy("v").agg(F.sum("cnt").alias("cnt")).select(
+        F.lit("__all__").alias("source"), "v", "cnt"
+    )
+    panel_all = _qd_quantiles(merged, hist_all, item)
+    return panel_src.unionByName(panel_all)

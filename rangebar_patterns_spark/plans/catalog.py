@@ -1633,19 +1633,62 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators import sketches as SK  # noqa: E402
 
 
-@register("sketch_distinct", TO.sketch_distinct_sql())
+@register("sketch_distinct", TO.sketch_union_sql())
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic cardinality sketches (KMV + HyperLogLog) per
-    source over the word and shingle spaces, with corpus-level rows
-    built by MERGING the per-source sketch components (register max /
-    k-min union) rather than re-scanning — the bounded-state,
-    mergeable distinct-count infrastructure a 100 TB pipeline uses
-    where exact COUNT(DISTINCT) stops being affordable.  Exact counts
-    and relative errors ride along as certification ground truth; all
-    integer bit math plus one round-6 small-range ln, so the DuckDB
-    twin hash-matches (new round-10 entry in the slot freed by merging
-    sim_ivf_cell_search into sim_topk_methods)."""
-    return SK.distinct_sketch_panel(load_table(spark, sf_dir, "documents"))
+    """Mergeable-sketch panel, two families in one long-format union
+    (each side NULL-pads the other's columns — all BIGINT/DOUBLE, no
+    VARCHAR bridging needed):
+
+      * distinct-count rows — KMV + HyperLogLog per source over the
+        word and shingle spaces, corpus rows built by MERGING the
+        per-source sketch components (register max / k-min union)
+        rather than re-scanning: the bounded-state infrastructure a
+        100 TB pipeline uses where exact COUNT(DISTINCT) stops being
+        affordable (round-10 entry).
+      * quantile rows (folded in round 11, zero gate-slot cost — the
+        ivf_cell pattern) — q-digest (Shrivastava et al. 2004)
+        per-symbol bar-duration quantiles with a corpus row built by
+        MERGING the per-symbol digests (node-wise count addition + one
+        re-compression): the bounded mergeable state that replaces the
+        engine's exact type-6 window quantile (SURVEY §2.4 A4/W4 — the
+        primitive the reference runs exact because ClickHouse is
+        single-node) at scales where exact rank queries stop being
+        affordable.
+
+    Exact ground truth rides along on every row; the *_err columns put
+    each sketch's REAL error through the hash compare (qd_err is
+    one-sided like the CMS overcount).  All integer bit math plus one
+    round-6 small-range ln, so the DuckDB twin hash-matches."""
+    dist = SK.distinct_sketch_panel(
+        load_table(spark, sf_dir, "documents")
+    ).select(
+        "*",
+        F.lit(None).cast("long").alias("exact_q"),
+        F.lit(None).cast("long").alias("qd_estimate"),
+        F.lit(None).cast("long").alias("qd_err"),
+        F.lit(None).cast("long").alias("qd_nodes"),
+    )
+    vals = _bars(spark, sf_dir).select(
+        F.col("symbol").alias("source"),
+        F.expr("CAST(duration_us DIV 256 AS BIGINT)").alias("v"),
+    )
+    qd = SK.qdigest_quantile_panel(vals, "bardur").select(
+        "source",
+        "item",
+        F.col("n_values").alias("n_items"),
+        F.lit(None).cast("long").alias("exact_distinct"),
+        F.lit(None).cast("long").alias("kmv_k"),
+        F.lit(None).cast("double").alias("kmv_estimate"),
+        F.lit(None).cast("double").alias("kmv_err"),
+        F.lit(None).cast("long").alias("hll_zero_regs"),
+        F.lit(None).cast("double").alias("hll_estimate"),
+        F.lit(None).cast("double").alias("hll_err"),
+        "exact_q",
+        "qd_estimate",
+        "qd_err",
+        "qd_nodes",
+    )
+    return dist.unionByName(qd)
 
 
 @register("reservoir_sample", TO.reservoir_sql())

@@ -1661,3 +1661,165 @@ SELECT doc_id, source, n_grams, logw, sel_prob,
     logw > 0.0 AS target_like
 FROM final
 """
+
+
+def qdigest_sql() -> str:
+    """Twin of sketches.qdigest_quantile_panel over per-symbol bar
+    durations: identical node ids (leaf = v + U), identical bottom-up
+    sibling-pair compression unrolled level by level (bit_length via
+    minimal-width ``bin``, the HLL convention), identical integer target
+    ranks ((num*n + den - 1) div den — never float ceil), and the same
+    merged-from-components ``__all__`` row (node-wise count addition,
+    one re-compression under the global threshold)."""
+    from ..operators.sketches import QD_K, QD_L, QD_QS, QD_U
+    from ..sources.bars import BARS_DUCKDB_CTE
+
+    def levels(src: str, trel: str, pre: str) -> tuple[str, str]:
+        # the paper's parent-aware rule (count(children) + count(parent)
+        # <= T absorbs both into the parent): parents can pre-exist when
+        # re-compressing MERGED digests, so each level full-outer-joins
+        # the sibling-pair sums with the already-present parent row
+        parts, cur = [], src
+        for bl in range(QD_L + 1, 1, -1):
+            p, nxt = f"{pre}p{bl}", f"{pre}l{bl - 1}"
+            parts.append(f"""
+{p} AS MATERIALIZED (
+    SELECT j.source, j.pid, j.csum, j.pcnt,
+        coalesce(j.csum, 0) + coalesce(j.pcnt, 0) AS total,
+        (j.csum IS NOT NULL
+         AND coalesce(j.csum, 0) + coalesce(j.pcnt, 0) <= tr.t) AS merge_up
+    FROM (
+        SELECT coalesce(c.source, q.source) AS source,
+            coalesce(c.pid, q.pid) AS pid, c.csum, q.pcnt
+        FROM (
+            SELECT source, id >> 1 AS pid, CAST(sum(cnt) AS BIGINT) AS csum
+            FROM {cur} WHERE length(bin(id)) = {bl} GROUP BY source, id >> 1
+        ) c
+        FULL OUTER JOIN (
+            SELECT source, id AS pid, cnt AS pcnt
+            FROM {cur} WHERE length(bin(id)) = {bl - 1}
+        ) q ON c.source = q.source AND c.pid = q.pid
+    ) j JOIN {trel} tr ON tr.source = j.source
+)""")
+            parts.append(f"""
+{nxt} AS MATERIALIZED (
+    SELECT source, id, cnt FROM {cur}
+    WHERE length(bin(id)) != {bl} AND length(bin(id)) != {bl - 1}
+    UNION ALL
+    SELECT n.source, n.id, n.cnt FROM {cur} n
+    JOIN {p} p ON n.source = p.source AND (n.id >> 1) = p.pid
+    WHERE length(bin(n.id)) = {bl} AND NOT p.merge_up
+    UNION ALL
+    SELECT source, pid AS id, pcnt AS cnt FROM {p}
+    WHERE NOT merge_up AND pcnt IS NOT NULL
+    UNION ALL
+    SELECT source, pid AS id, total AS cnt FROM {p} WHERE merge_up
+)""")
+            cur = nxt
+        return ",".join(parts), cur
+
+    qvals = ", ".join(f"({num}, {den}, '{lab}')" for num, den, lab in QD_QS)
+
+    def qpanel(dg: str, hs: str, pre: str) -> tuple[str, str]:
+        h = f"({QD_L + 1} - length(bin(id)))"
+        return f"""
+{pre}spans AS (
+    SELECT source, cnt, (id << {h}) - {QD_U} AS vmin,
+        (id << {h}) - {QD_U} + (CAST(1 AS BIGINT) << {h}) - 1 AS vmax
+    FROM {dg}
+),
+{pre}cum AS (
+    SELECT source, vmax, CAST(sum(cnt) OVER (PARTITION BY source
+        ORDER BY vmax ASC, vmin DESC ROWS UNBOUNDED PRECEDING)
+        AS BIGINT) AS cum
+    FROM {pre}spans
+),
+{pre}sizes AS (
+    SELECT source, CAST(sum(cnt) AS BIGINT) AS n,
+        CAST(count(*) AS BIGINT) AS qd_nodes
+    FROM {dg} GROUP BY source
+),
+{pre}targets AS MATERIALIZED (
+    SELECT source, n, qd_nodes, lab, (num * n + den - 1) // den AS r
+    FROM {pre}sizes CROSS JOIN (VALUES {qvals}) q(num, den, lab)
+),
+{pre}est AS (
+    SELECT t.source, t.lab, t.n, t.qd_nodes, min(c.vmax) AS qd_estimate
+    FROM {pre}targets t JOIN {pre}cum c
+        ON c.source = t.source AND c.cum >= t.r
+    GROUP BY t.source, t.lab, t.n, t.qd_nodes
+),
+{pre}ecum AS (
+    SELECT source, v, CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM {hs}
+),
+{pre}exact AS (
+    SELECT t.source, t.lab, min(e.v) AS exact_q
+    FROM {pre}targets t JOIN {pre}ecum e
+        ON e.source = t.source AND e.cum >= t.r
+    GROUP BY t.source, t.lab
+),
+{pre}panel AS (
+    SELECT e.source, 'bardur_' || e.lab AS item, e.n AS n_values,
+        x.exact_q, e.qd_estimate, e.qd_estimate - x.exact_q AS qd_err,
+        e.qd_nodes
+    FROM {pre}est e JOIN {pre}exact x
+        ON e.source = x.source AND e.lab = x.lab
+)""", f"{pre}panel"
+
+    src_levels, src_final = levels("leaves", "trel", "s")
+    mrg_levels, mrg_final = levels("merged0", "trel_all", "m")
+    src_q, src_panel = qpanel(src_final, "hist", "qs")
+    mrg_q, mrg_panel = qpanel(mrg_final, "hist_all", "qm")
+    return f"""
+WITH {BARS_DUCKDB_CTE},
+vals AS (SELECT symbol AS source, duration_us // 256 AS v FROM bars),
+hist AS MATERIALIZED (
+    SELECT source, v, CAST(count(*) AS BIGINT) AS cnt
+    FROM vals GROUP BY source, v
+),
+leaves AS (SELECT source, v + {QD_U} AS id, cnt FROM hist),
+trel AS MATERIALIZED (
+    SELECT source, CAST(sum(cnt) AS BIGINT) // {QD_K} AS t
+    FROM hist GROUP BY source
+),{src_levels},
+merged0 AS MATERIALIZED (
+    SELECT '__all__' AS source, id, CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM {src_final} GROUP BY id
+),
+trel_all AS MATERIALIZED (
+    SELECT source, CAST(sum(cnt) AS BIGINT) // {QD_K} AS t
+    FROM merged0 GROUP BY source
+),{mrg_levels},
+hist_all AS (
+    SELECT '__all__' AS source, v, CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM hist GROUP BY v
+),{src_q},{mrg_q}
+SELECT * FROM {src_panel} UNION ALL SELECT * FROM {mrg_panel}
+"""
+
+
+def sketch_union_sql() -> str:
+    """Long-format union twin of the ``sketch_distinct`` gate entry
+    after the round-11 fold-in of the q-digest quantile panel (zero
+    gate-slot cost, the ivf_cell/dedup_exact pattern): distinct-sketch
+    rows NULL-pad the quantile columns and vice versa — every pad is
+    BIGINT/DOUBLE, so no VARCHAR bridging is needed, and every
+    formerly-certified value keeps flowing through the hash."""
+    return f"""
+SELECT source, item, n_items, exact_distinct, kmv_k, kmv_estimate,
+    kmv_err, hll_zero_regs, hll_estimate, hll_err,
+    CAST(NULL AS BIGINT) AS exact_q, CAST(NULL AS BIGINT) AS qd_estimate,
+    CAST(NULL AS BIGINT) AS qd_err, CAST(NULL AS BIGINT) AS qd_nodes
+FROM ({sketch_distinct_sql()})
+UNION ALL
+SELECT source, item, n_values AS n_items,
+    CAST(NULL AS BIGINT) AS exact_distinct,
+    CAST(NULL AS BIGINT) AS kmv_k, CAST(NULL AS DOUBLE) AS kmv_estimate,
+    CAST(NULL AS DOUBLE) AS kmv_err,
+    CAST(NULL AS BIGINT) AS hll_zero_regs,
+    CAST(NULL AS DOUBLE) AS hll_estimate, CAST(NULL AS DOUBLE) AS hll_err,
+    exact_q, qd_estimate, qd_err, qd_nodes
+FROM ({qdigest_sql()})
+"""

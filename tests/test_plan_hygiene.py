@@ -34,6 +34,7 @@ ARROW_SANCTIONED = {
     "eval_spearman", "wf_fold_metrics", "wf_topk",
     "cpcv_pbo", "gt_composite_mbb", "wf_fold_objectives",
     "probe_panel", "config_skip_done",
+    "sketch_distinct",  # r11: q-digest compress is a bounded applyInPandas
     "gen800_rolling_rdd", "crossasset_panel",
     "bars_adapter", "genx_hypotheses",
 }
@@ -127,6 +128,10 @@ GLOBAL_WINDOW_SANCTIONED = {
     "eval_spearman": 6,  # 2 rank windows x 3 metric pairs
     "sketch_heavy_hitters": 1,  # rank over the 32-row top-N probe panel
     "reservoir_sample": 1,  # rank over the 64-row post-limit sample
+    # the merged q-digest ground-truth cumsum: its '__all__' literal
+    # partition key is constant-folded away, and the input is the value
+    # histogram — bounded by the QD_U=4096 universe at ANY corpus size
+    "sketch_distinct": 1,
 }
 
 
