@@ -1189,7 +1189,21 @@ def cross_doc_duplication(docs: DataFrame, k: int = CROSS_DUP_K) -> DataFrame:
       * ``dup_token_coverage`` — fraction of the document's words covered
         by at least one duplicated gram (merged-interval union length);
       * ``n_dup_spans``       — number of maximal duplicated spans after
-        merging overlapping/adjacent gram intervals.
+        merging overlapping/adjacent gram intervals — these ARE the
+        spans the cleaned view removes (n_spans_removed);
+      * ``tokens_removed`` / ``cleaned_len`` / ``cleaned_text`` — the
+        ACTUAL ExactSubstr dedup output (Lee et al. 2021 §4: excise
+        every duplicated span): the distinct covered word positions are
+        dropped and the survivors re-joined.  ``tokens_removed`` equals
+        the merged-interval union length by construction (distinct
+        covered positions), so the certified coverage stat and the
+        removal agree exactly; ``cleaned_text`` is the canonical
+        single-space word join (words_col collapses runs of spaces, so
+        a doc with no duplicated spans round-trips to its word-joined
+        form).  The keep test is one array HOF per document —
+        O(words x covered) on the fixture docs; at production document
+        lengths the same columns would come from an exists() over the
+        merged SPANS (few) rather than the covered SET, same semantics.
 
     Scale shape (the honest inverted-index plan, same discipline as
     ``bm25_topk``): the TEXT column is read exactly once — one posexplode
@@ -1252,10 +1266,31 @@ def cross_doc_duplication(docs: DataFrame, k: int = CROSS_DUP_K) -> DataFrame:
     # without grams (< k words) can't have hits, so the coverage branch
     # never reads a wrong denominator
     n_words = (n_grams + F.lit(k - 1)).cast("double")
+    covered = F.when(
+        F.col("_ps").isNull(), F.array().cast("array<bigint>")
+    ).otherwise(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.col("_ps"),
+                    lambda p: F.sequence(
+                        p.cast("long"), p.cast("long") + F.lit(k - 1).cast("long")
+                    ),
+                )
+            )
+        )
+    )
+    idx = F.when(
+        F.size("_w") > 0,
+        F.sequence(F.lit(1).cast("long"), F.size("_w").cast("long")),
+    ).otherwise(F.array().cast("array<bigint>"))
+    keptw = F.filter(
+        idx, lambda i: ~F.array_contains(F.col("_cov"), i)
+    )
     out = (
-        docs.select("doc_id")
-        .join(totals, "doc_id", "left")
+        bound.join(totals, "doc_id", "left")
         .join(hits, "doc_id", "left")
+        .withColumn("_cov", covered)
         .select(
             "doc_id",
             n_grams.alias("n_grams_cross"),
@@ -1272,6 +1307,14 @@ def cross_doc_duplication(docs: DataFrame, k: int = CROSS_DUP_K) -> DataFrame:
             )
             .alias("dup_token_coverage"),
             F.coalesce(fold["spans"], F.lit(0).cast("long")).alias("n_dup_spans"),
+            F.size("_cov").cast("long").alias("tokens_removed"),
+            (F.size("_w") - F.size("_cov")).cast("long").alias("cleaned_len"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    keptw, lambda i: F.get(F.col("_w"), (i - 1).cast("int"))
+                ),
+            ).alias("cleaned_text"),
         )
     )
     return out

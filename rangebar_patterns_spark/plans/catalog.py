@@ -2278,7 +2278,11 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         shape of Lee et al.'s suffix-array ExactSubstr dedup): duplicated
         k-gram fraction, merged-span token coverage, span count — one
         bounded keyed gram shuffle, duplicate test min<>max doc_id
-        (operators/textops.cross_doc_duplication)."""
+        (operators/textops.cross_doc_duplication).
+      * The cleaned-corpus view (round 11): tokens_removed /
+        cleaned_len / cleaned_text — the duplicated spans actually
+        EXCISED, Lee et al. 2021's dedup output, hash-certified
+        including the cleaned text itself."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.repetition_stats(docs).join(
         TX.cross_doc_duplication(docs), "doc_id"

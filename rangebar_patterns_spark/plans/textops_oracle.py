@@ -1268,7 +1268,7 @@ def cross_dup_sql(k: int | None = None) -> str:
     kk = CROSS_DUP_K if k is None else k
     grams = f"""wbase AS (SELECT doc_id, {WORDS} AS w FROM documents),
 base AS (
-    SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+    SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_words,
         CASE WHEN len(w) >= {kk} THEN
             list_transform(generate_series(1, len(w) - {kk - 1}),
                 i -> array_to_string(w[i:i+{kk - 1}], ' '))
@@ -1301,6 +1301,12 @@ folded AS (
                 'spans': acc.spans + CASE WHEN e.prev - acc.prev > {kk}
                                           THEN 1 ELSE 0 END}}) AS f
     FROM hits
+),
+covered AS (
+    SELECT doc_id,
+        list_distinct(flatten(list_transform(ps,
+            p -> generate_series(p, p + {kk - 1})))) AS cov
+    FROM hits
 )"""
     return f"""
 WITH {grams}
@@ -1313,10 +1319,17 @@ SELECT b.doc_id,
          ELSE round(CAST(f.f.cov AS DOUBLE)
              / nullif(CAST(b.n_words AS DOUBLE), 0.0), 6)
     END AS dup_token_coverage,
-    CAST(coalesce(f.f.spans, 0) AS BIGINT) AS n_dup_spans
+    CAST(coalesce(f.f.spans, 0) AS BIGINT) AS n_dup_spans,
+    CAST(coalesce(len(c.cov), 0) AS BIGINT) AS tokens_removed,
+    CAST(b.n_words - coalesce(len(c.cov), 0) AS BIGINT) AS cleaned_len,
+    coalesce(array_to_string(list_transform(
+        list_filter(generate_series(1, b.n_words),
+            i -> NOT list_contains(coalesce(c.cov, []), i)),
+        i -> b.w[i]), ' '), '') AS cleaned_text
 FROM base b
 LEFT JOIN hits h USING (doc_id)
 LEFT JOIN folded f USING (doc_id)
+LEFT JOIN covered c USING (doc_id)
 """
 
 

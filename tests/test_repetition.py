@@ -79,6 +79,12 @@ def test_cross_doc_duplication_scenarios(spark):
       * doc 2 repeats a phrase WITHIN itself only -> no cross-doc signal;
       * doc 3 shares nothing;
       * doc 4 is a full copy of doc 0 -> coverage 1.0, one span.
+
+    The cleaned-view columns (the ACTUAL ExactSubstr dedup output, Lee
+    et al. 2021 span removal) are pinned on the same vectors: full
+    copies clean to the empty string, a partial overlap excises exactly
+    the shared phrase, untouched docs round-trip to their word-joined
+    form.
     """
     from rangebar_patterns_spark.operators.textops import (
         cross_doc_duplication,
@@ -104,16 +110,24 @@ def test_cross_doc_duplication_scenarios(spark):
         assert r.n_dup_grams_cross == 6
         assert r.dup_token_coverage == 1.0
         assert r.n_dup_spans == 1
+        assert r.tokens_removed == 10 and r.cleaned_len == 0
+        assert r.cleaned_text == ""
     # doc 1 shares exactly the 6-word phrase: 2 dup grams, 6 of 11 words
     r1 = out[1]
     assert r1.n_dup_grams_cross == 2
     assert r1.n_dup_spans == 1
     assert r1.dup_token_coverage == round(6 / 11, 6)
+    assert r1.tokens_removed == 6 and r1.cleaned_len == 5
+    assert r1.cleaned_text == "zero one two nine ten"
     # within-doc repetition alone is NOT cross-doc duplication
     assert out[2].n_dup_grams_cross == 0
     assert out[2].dup_token_coverage == 0.0
     assert out[3].n_dup_grams_cross == 0
     assert out[3].n_dup_spans == 0
+    # untouched docs keep every word (canonical single-space join)
+    assert out[2].tokens_removed == 0
+    assert out[2].cleaned_text == "rep rep rep rep rep rep rep rep unique tail words here"
+    assert out[3].cleaned_len == 9
 
 
 def test_cross_doc_duplication_property(spark):
@@ -164,6 +178,9 @@ def test_cross_doc_duplication_property(spark):
                 round(len(ps) / len(gs), 6) if gs else None,
                 round(len(covered) / len(ws), 6) if ps else 0.0,
                 spans,
+                len(covered),
+                len(ws) - len(covered),
+                " ".join(w for i, w in enumerate(ws, 1) if i not in covered),
             )
 
         got = {
@@ -173,6 +190,9 @@ def test_cross_doc_duplication_property(spark):
                 r.dup_gram_frac_cross,
                 r.dup_token_coverage,
                 r.n_dup_spans,
+                r.tokens_removed,
+                r.cleaned_len,
+                r.cleaned_text,
             )
             for r in cross_doc_duplication(
                 spark.createDataFrame(texts, "doc_id long, text string")
@@ -205,3 +225,4 @@ def test_cross_doc_adjacent_spans_merge(spark):
     assert r0.n_dup_grams_cross == 2
     assert r0.dup_token_coverage == 1.0  # contiguous: all 10 words
     assert r0.n_dup_spans == 1  # adjacency merges
+    assert r0.tokens_removed == 10 and r0.cleaned_text == ""
