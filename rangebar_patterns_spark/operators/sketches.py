@@ -267,11 +267,25 @@ def _sketch_metrics(
 _HS_LAST: list[DataFrame] = []
 
 
+def _drop_hs_last() -> None:
+    """Unpersist and forget the held hash relation.  The unpersist is
+    best-effort (round-12 ADVICE): the handle may belong to a
+    SparkSession that has since been stopped, in which case the JVM call
+    raises — the stale handle must still be dropped so a fresh session's
+    distinct_sketch_panel call starts clean (forfeiting a dead session's
+    cache costs nothing)."""
+    if _HS_LAST:
+        stale = _HS_LAST.pop()
+        try:
+            stale.unpersist(blocking=False)
+        except Exception:
+            pass
+
+
 def release_distinct_cache() -> None:
     """Unpersist the last distinct_sketch_panel hash relation (no-op if
     none is held) — for callers outside the catalog's clearCache flow."""
-    if _HS_LAST:
-        _HS_LAST.pop().unpersist(blocking=False)
+    _drop_hs_last()
 
 
 def distinct_sketch_panel(docs: DataFrame) -> DataFrame:
@@ -302,8 +316,7 @@ def distinct_sketch_panel(docs: DataFrame) -> DataFrame:
         .distinct()
         .persist()
     )
-    if _HS_LAST:
-        _HS_LAST.pop().unpersist(blocking=False)
+    _drop_hs_last()
     _HS_LAST.append(hs)
     exact = (
         hs.groupBy("source", "item")
@@ -373,12 +386,17 @@ def weighted_reservoir_sample(
     Zero-weight (wordless) documents are excluded, as in the paper
     (their key is ln(u)/0 → -inf).
 
-    Two cross-engine hardenings (round-11 ADVICE): the u01 coin is
+    Cross-engine hardenings (round-11/12 ADVICE): the u01 coin is
     floored at 2^-60 — u=0 would make Spark's ``F.log(0)`` NULL (doc
     silently sorted last) while DuckDB's ``ln(0)`` hard-fails the whole
-    oracle query; and the RANKING key is the round-6 ln quotient with a
-    doc_id tie-break (the cosine rankers' discipline), so a 1-ulp
-    JVM-vs-libm ln difference can never flip a boundary rank.
+    oracle query; the RANKING chain is (round-6 ln quotient DESC, FULL
+    unrounded quotient DESC, doc_id ASC) in both engines — the round-6
+    head absorbs 1-ulp JVM-vs-libm ln differences at rank boundaries,
+    while the full-key middle keeps genuinely different keys that merely
+    collide at 6 decimals in true A-ES order instead of falling straight
+    to the deterministic low-doc_id bias (keys occupy a small negative
+    range, so 6-decimal collisions become routine at corpus scale).
+    Only the round-6 key is reported.
 
     Oracle twin: plans/textops_oracle.reservoir_sql; pure-Python
     crosscheck in tests/test_sketches.py."""
@@ -386,16 +404,25 @@ def weighted_reservoir_sample(
 
     w = F.size(words_col()).cast("double")
     u = F.greatest(_u01(F.col("doc_id"), RESERVOIR_SALT), F.lit(2.0**-60))
-    key = F.round(F.log(u) / w, 6)
+    full = F.log(u) / w
+    key = F.round(full, 6)
+    order = [
+        F.col("res_key").desc(),
+        F.col("_full_key").desc(),
+        F.col("doc_id").asc(),
+    ]
     ranked = (
         docs.select(
-            "doc_id", w.alias("weight"), key.alias("res_key")
+            "doc_id",
+            w.alias("weight"),
+            key.alias("res_key"),
+            full.alias("_full_key"),
         )
         .filter(F.col("weight") > 0)
-        .orderBy(F.col("res_key").desc(), F.col("doc_id").asc())
+        .orderBy(*order)
         .limit(k)
     )
-    rw = Window.orderBy(F.col("res_key").desc(), F.col("doc_id").asc())
+    rw = Window.orderBy(*order)
     return ranked.select(
         F.row_number().over(rw).cast("long").alias("rank"),
         "doc_id",
@@ -567,13 +594,26 @@ def qdigest_quantile_panel(vals: DataFrame, item: str) -> DataFrame:
     a corpus row built by MERGING the per-source digests (node-wise
     count addition, one re-compression under the global threshold) —
     never by re-sketching the data.  ``vals`` is one row per observation
-    with columns (source, v), v already clamped into [0, QD_U); ``item``
-    labels the statistic.  The exact quantile rides along as
-    certification ground truth; qd_err >= 0 always (one-sided, like the
-    CMS overcount) and the bounded node count proves the state never
-    grows with the corpus — the property that replaces the engine's
-    exact type-6 window quantile (functions/series_quantile.py) when a
-    rolling/grouped quantile has to run over 100 TB."""
+    with columns (source, v); v is CLAMPED here into [0, QD_U) — the
+    round-12 ADVICE hardening: an out-of-range value would give the leaf
+    id a bit_length beyond QD_L+1, the compression would skip it, and
+    the span math would compute a negative shift that Spark's shiftleft
+    masks while DuckDB's << does not (silent divergence instead of a
+    failure).  The oracle twin (plans/textops_oracle.qdigest_sql)
+    applies the same greatest/least clamp.  ``item`` labels the
+    statistic.  The exact quantile rides along as certification ground
+    truth; qd_err >= 0 always (one-sided, like the CMS overcount) and
+    the bounded node count proves the state never grows with the corpus
+    — the property that replaces the engine's exact type-6 window
+    quantile (functions/series_quantile.py) when a rolling/grouped
+    quantile has to run over 100 TB."""
+    vals = vals.withColumn(
+        "v",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.col("v").cast("long"), F.lit(QD_U - 1).cast("long")),
+        ),
+    )
     hist = (
         vals.groupBy("source", "v")
         .agg(F.count("*").cast("long").alias("cnt"))

@@ -1546,9 +1546,9 @@ FROM est
 def reservoir_sql() -> str:
     """Twin of sketches.weighted_reservoir_sample: same md5 u01 coin
     FLOORED at 2^-60 (u=0 would make DuckDB's ln(0) hard-fail while
-    Spark's F.log(0) silently NULLs), same ROUND-6 ln(u)/w ranking key
-    with doc_id tie-break — the round-11 ADVICE hardenings, applied in
-    both engines."""
+    Spark's F.log(0) silently NULLs), same (round-6 key DESC, full key
+    DESC, doc_id ASC) ranking chain — the round-11/12 ADVICE hardenings,
+    applied in both engines."""
     from ..operators.sketches import RESERVOIR_K, RESERVOIR_SALT
 
     salted = f"'{RESERVOIR_SALT}' || CAST(doc_id AS VARCHAR)"
@@ -1559,13 +1559,14 @@ def reservoir_sql() -> str:
     return f"""
 WITH d AS (
     SELECT doc_id, CAST(len({WORDS}) AS DOUBLE) AS w,
-        round(ln({u}) / CAST(len({WORDS}) AS DOUBLE), 6) AS k
+        round(ln({u}) / CAST(len({WORDS}) AS DOUBLE), 6) AS k,
+        ln({u}) / CAST(len({WORDS}) AS DOUBLE) AS kf
     FROM documents WHERE len({WORDS}) > 0
 )
-SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id ASC) AS BIGINT)
-        AS rank,
+SELECT CAST(row_number() OVER (ORDER BY k DESC, kf DESC, doc_id ASC)
+        AS BIGINT) AS rank,
     doc_id, CAST(w AS BIGINT) AS weight, k AS res_key
-FROM d ORDER BY k DESC, doc_id ASC LIMIT {RESERVOIR_K}
+FROM d ORDER BY k DESC, kf DESC, doc_id ASC LIMIT {RESERVOIR_K}
 """
 
 
@@ -1787,7 +1788,8 @@ def qdigest_sql() -> str:
     mrg_q, mrg_panel = qpanel(mrg_final, "hist_all", "qm")
     return f"""
 WITH {BARS_DUCKDB_CTE},
-vals AS (SELECT symbol AS source, duration_us // 256 AS v FROM bars),
+vals AS (SELECT symbol AS source,
+    greatest(0, least(duration_us // 256, {QD_U} - 1)) AS v FROM bars),
 hist AS MATERIALIZED (
     SELECT source, v, CAST(count(*) AS BIGINT) AS cnt
     FROM vals GROUP BY source, v

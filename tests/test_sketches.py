@@ -146,9 +146,9 @@ def test_cms_partition_layout_invariant(spark):
 
 def test_weighted_reservoir_sample(spark, duck):
     """A-ES weighted sampling: the Spark top-k matches both the DuckDB
-    twin and a pure-Python reference (md5 u01 floored at 2^-60,
-    ROUND-6 ln(u)/w ranking keys, doc_id tie-break), and is
-    partition-layout invariant."""
+    twin and a pure-Python reference (md5 u01 floored at 2^-60, ranking
+    chain round-6 key DESC / full key DESC / doc_id ASC — the round-12
+    ADVICE hardening), and is partition-layout invariant."""
     import hashlib
     import math
 
@@ -182,12 +182,13 @@ def test_weighted_reservoir_sample(spark, duck):
             16,
         )
         u = max(float(h) / float(1 << 60), 2.0**-60)
-        key = round(math.log(u) / float(w), 6)
-        ref.append((-key, doc_id, w, key))
+        full = math.log(u) / float(w)
+        key = round(full, 6)
+        ref.append((-key, -full, doc_id, w, key))
     ref.sort()
     expect = [
         (i + 1, doc_id, w, rk)
-        for i, (_, doc_id, w, rk) in enumerate(ref[:RESERVOIR_K])
+        for i, (_, _f, doc_id, w, rk) in enumerate(ref[:RESERVOIR_K])
     ]
     assert got == expect
 
