@@ -630,6 +630,296 @@ def benchmark_overlap(
     )
 
 
+#: Bloom-filter geometry (round 12): k hash probes from the shared
+#: md5-prefix family, BITS_PER_ELEM bits per inserted element — the
+#: filter size ADAPTS to the benchmark shingle count (m = 64 words *
+#: ceil(n/8), floored at MIN_WORDS words), so the fill ratio — and with
+#: it the false-positive rate, (1-e^{-kn/m})^k ≈ 3% — is the same at
+#: every fixture scale AND at 100 TB.  8 bits/elem with k=3 is
+#: deliberately lossy: the certified false-positive columns need real
+#: FPs at the gate fixture (the grams-not-words lesson from the CMS
+#: sketch — a collision-free sketch certifies nothing).
+BLOOM_K = 3
+BLOOM_BITS_PER_ELEM = 8
+BLOOM_MIN_WORDS = 4
+#: usable bits per packed 64-bit word — the sign bit stays CLEAR so the
+#: cross-engine word values are identical non-negative longs (DuckDB's
+#: checked 1<<63 overflows where Spark's shiftleft wraps, and a negative
+#: word would also change the VARCHAR rendering the bloom_hash signs)
+BLOOM_WORD_BITS = 63
+BLOOM_SALT = "bloom"
+
+
+def _bloom_positions(shingle: Column, m_bits: Column) -> list[Column]:
+    """The BLOOM_K bit positions of a hashed shingle: the shared
+    md5-prefix int of 'bloom:<i>:<shingle>' mod m.  Operands are
+    non-negative, so Spark pmod and DuckDB % agree."""
+    from .dedup import hexint
+
+    return [
+        F.pmod(
+            hexint(
+                F.concat_ws(
+                    ":",
+                    F.lit(BLOOM_SALT),
+                    F.lit(str(i)),
+                    shingle.cast("string"),
+                )
+            ),
+            m_bits,
+        )
+        for i in range(BLOOM_K)
+    ]
+
+
+def benchmark_overlap_bloom(
+    docs: DataFrame, benchmark: DataFrame, n: int | None = None
+) -> DataFrame:
+    """The decontamination panel with the at-scale membership sketch
+    riding along: every exact-overlap column of ``benchmark_overlap``
+    (ground truth), plus per-document Bloom-filter verdicts and the
+    certified false-positive columns, plus 'filter' rows describing the
+    partial and merged bit arrays themselves.
+
+    Why a Bloom filter: the exact path materializes the benchmark's
+    distinct-shingle relation and joins the corpus against it — correct,
+    but at 100 TB the membership structure each executor actually holds
+    should be a BIT ARRAY, not a hash relation.  The classic Bloom
+    filter (Bloom 1970; the reference's done-set membership pattern,
+    scripts/gen600/submit.sh --skip-done, is the same guard in exact
+    form) gives one-sided answers: never a false negative, false
+    positives at a rate set by the geometry — so a 'clean' verdict is
+    definitive and a 'hit' verdict errs toward caution, exactly the
+    right polarity for decontamination.
+
+    Scale shape: partial filters are built per benchmark partition
+    (bench-doc grain here — the distributed build is a partial bit_or
+    aggregate per executor partition, merged by OR; OR-associativity is
+    what lets 1000 executors build the filter without ever colocating
+    the benchmark), the merged array is a few KB broadcast to every
+    probe task, and the probe itself is pure integer bit math inside
+    codegen — no join, no shuffle beyond the existing doc-grain
+    aggregate the exact path already pays.  The Spark merged row is
+    built by OR-ing the per-part words while the DuckDB twin builds it
+    from the global position set — their hash equality IS the merge-law
+    certification (the KMV/HLL/q-digest discipline).
+
+    Output rows: row_kind='doc' (one per corpus document, doc-grain
+    columns) UNION row_kind='filter' (one per bench partial +
+    '__merged__', bit-array columns: inserted count, bits set, fill
+    ratio, geometry m, and the md5 of the packed words).  Boolean
+    verdicts are cast to string on both engines (NULL-padded booleans
+    hash differently across Arrow/DuckDB)."""
+    from .dedup import hexint, shingles_col
+
+    k = n or SHINGLE_N
+    long_null = F.lit(None).cast("long")
+    str_null = F.lit(None).cast("string")
+    dbl_null = F.lit(None).cast("double")
+
+    # --- benchmark shingles, partitioned for the partial-filter build ---
+    bench_sh = (
+        benchmark.select(
+            F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias(
+                "part"
+            ),
+            words_col().alias("_w"),
+        )
+        .select(
+            "part", F.explode(shingles_col(k, words=F.col("_w"))).alias("s")
+        )
+        .select("part", hexint(F.col("s")).alias("shingle"))
+        .distinct()
+    )
+    bench_global = bench_sh.select("shingle").distinct()
+    # filter geometry from the GLOBAL inserted count (partials must share
+    # m for OR to be meaningful) — one scalar row, broadcast everywhere
+    mrel = bench_global.agg(
+        F.count("*").cast("long").alias("n_ins")
+    ).select(
+        "n_ins",
+        F.greatest(
+            F.lit(BLOOM_MIN_WORDS).cast("long"),
+            F.expr(
+                f"(n_ins * {BLOOM_BITS_PER_ELEM} + {BLOOM_WORD_BITS - 1})"
+                f" DIV {BLOOM_WORD_BITS}"
+            ).cast("long"),
+        ).alias("m_words"),
+    ).withColumn("m_bits", F.col("m_words") * BLOOM_WORD_BITS)
+
+    # --- per-part packed words via bit_or partial aggregates ------------
+    pos_long = (
+        bench_sh.crossJoin(F.broadcast(mrel))
+        .select(
+            "part",
+            "m_words",
+            F.explode(
+                F.array(*_bloom_positions(F.col("shingle"), F.col("m_bits")))
+            ).alias("pos"),
+        )
+        .select(
+            "part",
+            "m_words",
+            (F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("widx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("wval"),
+        )
+    )
+    sparse = pos_long.groupBy("part", "m_words", "widx").agg(
+        F.bit_or("wval").alias("word")
+    )
+    # the merged filter = OR of the per-part words (the merge law)
+    merged_sparse = sparse.groupBy("m_words", "widx").agg(
+        F.bit_or("word").alias("word")
+    ).select(F.lit("__merged__").alias("part"), "m_words", "widx", "word")
+
+    def densify(rel: DataFrame) -> DataFrame:
+        return rel.groupBy("part", "m_words").agg(
+            F.map_from_arrays(
+                F.collect_list(F.col("widx").cast("int")),
+                F.collect_list("word"),
+            ).alias("_wm")
+        ).select(
+            "part",
+            "m_words",
+            F.transform(
+                F.sequence(F.lit(0), (F.col("m_words") - 1).cast("int")),
+                lambda wi: F.coalesce(
+                    F.element_at(F.col("_wm"), wi), F.lit(0).cast("long")
+                ),
+            ).alias("_words"),
+        )
+
+    dense_parts = densify(sparse)
+    dense_merged = densify(merged_sparse)
+    n_ins_part = bench_sh.groupBy("part").agg(
+        F.count("*").cast("long").alias("n_inserted")
+    )
+    n_ins_all = mrel.select(
+        F.lit("__merged__").alias("part"), F.col("n_ins").alias("n_inserted")
+    )
+
+    def filter_rows(dense: DataFrame, nrel: DataFrame) -> DataFrame:
+        bits_set = F.aggregate(
+            F.transform(F.col("_words"), lambda w: F.bit_count(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        )
+        return dense.join(nrel, "part").select(
+            F.lit("filter").alias("row_kind"),
+            long_null.alias("doc_id"),
+            F.col("part"),
+            F.col("n_inserted").alias("n_shingles"),
+            long_null.alias("n_contaminated"),
+            dbl_null.alias("contamination_ratio"),
+            str_null.alias("is_contaminated"),
+            bits_set.alias("n_bloom"),
+            F.round(
+                bits_set.cast("double")
+                / (F.col("m_words") * float(BLOOM_WORD_BITS)),
+                6,
+            ).alias("bloom_ratio"),
+            str_null.alias("is_contaminated_bloom"),
+            long_null.alias("n_false_pos"),
+            str_null.alias("fp_flag"),
+            (F.col("m_words") * BLOOM_WORD_BITS).cast("long").alias("bloom_m"),
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform(F.col("_words"), lambda w: w.cast("string"))
+                )
+            ).alias("bloom_hash"),
+        )
+
+    frows = filter_rows(dense_parts, n_ins_part).unionByName(
+        filter_rows(dense_merged, n_ins_all)
+    )
+
+    # --- probe: one exploded pass feeds BOTH the exact and bloom counts --
+    corpus = docs.select("doc_id", words_col().alias("_w")).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingles_col(k, words=F.col("_w")), lambda s: hexint(s))
+        ).alias("_shs"),
+    )
+    probe = (
+        corpus.select("doc_id", F.explode("_shs").alias("shingle"))
+        .join(
+            F.broadcast(bench_global.withColumn("_in_bench", F.lit(1))),
+            "shingle",
+            "left",
+        )
+        .crossJoin(
+            F.broadcast(
+                dense_merged.select(
+                    F.col("_words").alias("_bloom"),
+                    (F.col("m_words") * BLOOM_WORD_BITS).alias("m_bits"),
+                )
+            )
+        )
+    )
+    for i, p in enumerate(_bloom_positions(F.col("shingle"), F.col("m_bits"))):
+        probe = probe.withColumn(f"_pos_{i}", p)
+    hit = None
+    for i in range(BLOOM_K):
+        h = F.expr(
+            f"(shiftright(element_at(_bloom,"
+            f" CAST(_pos_{i} DIV {BLOOM_WORD_BITS} AS INT) + 1),"
+            f" CAST(_pos_{i} % {BLOOM_WORD_BITS} AS INT)) & 1) = 1"
+        )
+        hit = h if hit is None else (hit & h)
+    agg = probe.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("_in_bench") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_bloom"),
+    )
+    base = corpus.select(
+        "doc_id", F.size("_shs").cast("long").alias("n_shingles")
+    )
+    out = (
+        base.join(agg, "doc_id", "left")
+        .withColumn(
+            "n_contaminated",
+            F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "n_bloom", F.coalesce(F.col("n_bloom"), F.lit(0).cast("long"))
+        )
+    )
+
+    def _ratio(c: Column) -> Column:
+        return F.round(
+            F.when(
+                F.col("n_shingles") > 0,
+                c.cast("double") / F.col("n_shingles").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+    exact_ratio = _ratio(F.col("n_contaminated"))
+    bloom_ratio = _ratio(F.col("n_bloom"))
+    exact_v = exact_ratio >= F.lit(CONTAMINATION_RATIO)
+    bloom_v = bloom_ratio >= F.lit(CONTAMINATION_RATIO)
+    drows = out.select(
+        F.lit("doc").alias("row_kind"),
+        F.col("doc_id"),
+        str_null.alias("part"),
+        "n_shingles",
+        "n_contaminated",
+        exact_ratio.alias("contamination_ratio"),
+        exact_v.cast("string").alias("is_contaminated"),
+        F.col("n_bloom"),
+        bloom_ratio.alias("bloom_ratio"),
+        bloom_v.cast("string").alias("is_contaminated_bloom"),
+        (F.col("n_bloom") - F.col("n_contaminated")).alias("n_false_pos"),
+        (bloom_v & ~exact_v).cast("string").alias("fp_flag"),
+        long_null.alias("bloom_m"),
+        str_null.alias("bloom_hash"),
+    )
+    return drows.unionByName(frows)
+
+
 # --- within-document repetition (Gopher-style quality filter) -------------
 
 #: n-gram orders scored by repetition_stats (word-grain; the reference

@@ -2250,13 +2250,21 @@ def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("decontamination_overlap", TO.decontamination_sql())
 def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (GPT-3 appx-C / PaLM n-gram overlap):
-    every corpus document scored by its distinct-shingle overlap with the
-    deterministic doc_id%100==7 eval split.  Benchmark shingle set is
-    broadcast; corpus text is never shuffled."""
+    """Benchmark decontamination (GPT-3 appx-C / PaLM n-gram overlap)
+    with the round-12 Bloom membership sketch riding along as union
+    rows: every corpus document scored by its exact distinct-shingle
+    overlap with the deterministic doc_id%100==7 eval split (ground
+    truth) AND by the k-hash Bloom bit-array probe, with certified
+    per-doc false-positive columns; 'filter' rows certify the partial
+    bit arrays and the OR-merged array (Spark merges per-part words by
+    bit_or, the oracle builds the global array directly — bloom_hash
+    equality is the merge law).  Benchmark shingle set / merged filter
+    are broadcast; corpus text is never shuffled."""
     docs = load_table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % TX.BENCHMARK_MOD == TX.BENCHMARK_RESIDUE
-    return TX.benchmark_overlap(docs.filter(~is_bench), docs.filter(is_bench))
+    return TX.benchmark_overlap_bloom(
+        docs.filter(~is_bench), docs.filter(is_bench)
+    )
 
 
 @register(

@@ -658,48 +658,171 @@ FROM labels
 
 
 def decontamination_sql() -> str:
-    """Twin of textops.benchmark_overlap over the deterministic
-    doc_id % BENCHMARK_MOD == BENCHMARK_RESIDUE eval split: same md5-prefix
-    shingle ints, same distinct-per-doc counting, same rounded-ratio flag."""
+    """Twin of textops.benchmark_overlap_bloom over the deterministic
+    doc_id % BENCHMARK_MOD == BENCHMARK_RESIDUE eval split: same
+    md5-prefix shingle ints and distinct-per-doc exact counting, same
+    Bloom bit math via integer shifts over a bit-position relation.
+    The crucial asymmetry: this twin builds the '__merged__' bit array
+    from the GLOBAL benchmark position set while the Spark side OR-merges
+    the per-part partial arrays — the bloom_hash equality across engines
+    is the OR-merge-law certification."""
     from ..operators.textops import (
         BENCHMARK_MOD,
         BENCHMARK_RESIDUE,
+        BLOOM_BITS_PER_ELEM,
+        BLOOM_K,
+        BLOOM_MIN_WORDS,
+        BLOOM_SALT,
+        BLOOM_WORD_BITS,
         CONTAMINATION_RATIO,
     )
 
     sh = _shingles()
+    idx = ", ".join(str(i) for i in range(BLOOM_K))
+
+    def bpos(shingle: str, i: str) -> str:
+        salted = (
+            f"'{BLOOM_SALT}:' || CAST({i} AS VARCHAR) || ':' "
+            f"|| CAST({shingle} AS VARCHAR)"
+        )
+        return f"({_hexint(salted)} % (m.m_words * {BLOOM_WORD_BITS}))"
+
     return f"""
-WITH bench AS (
-    SELECT DISTINCT {_hexint('s')} AS shingle
+WITH bench_sh AS MATERIALIZED (
+    SELECT DISTINCT 'doc:' || CAST(doc_id AS VARCHAR) AS part,
+        {_hexint('s')} AS shingle
     FROM (
-        SELECT unnest({sh}) AS s FROM documents
+        SELECT doc_id, unnest({sh}) AS s FROM documents
         WHERE doc_id % {BENCHMARK_MOD} = {BENCHMARK_RESIDUE}
     )
 ),
-corpus AS (
+bench_global AS MATERIALIZED (SELECT DISTINCT shingle FROM bench_sh),
+mrel AS MATERIALIZED (
+    SELECT CAST(count(*) AS BIGINT) AS n_ins,
+        greatest(CAST({BLOOM_MIN_WORDS} AS BIGINT),
+            (count(*) * {BLOOM_BITS_PER_ELEM} + {BLOOM_WORD_BITS - 1})
+                // {BLOOM_WORD_BITS}) AS m_words
+    FROM bench_global
+),
+ppos AS (
+    SELECT b.part, {bpos('b.shingle', 'hi.i')} AS pos
+    FROM bench_sh b, mrel m, (SELECT unnest([{idx}]) AS i) hi
+),
+sparse AS (
+    SELECT part, pos // {BLOOM_WORD_BITS} AS widx,
+        bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD_BITS} AS INT))
+            AS word
+    FROM ppos GROUP BY part, pos // {BLOOM_WORD_BITS}
+),
+gpos AS (
+    SELECT {bpos('b.shingle', 'hi.i')} AS pos
+    FROM bench_global b, mrel m, (SELECT unnest([{idx}]) AS i) hi
+),
+gsparse AS (
+    SELECT pos // {BLOOM_WORD_BITS} AS widx,
+        bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD_BITS} AS INT))
+            AS word
+    FROM gpos GROUP BY pos // {BLOOM_WORD_BITS}
+),
+widxs AS (SELECT unnest(generate_series(0, m_words - 1)) AS wi FROM mrel),
+dense AS (
+    SELECT p.part, w.wi, coalesce(s.word, CAST(0 AS BIGINT)) AS word
+    FROM (SELECT DISTINCT part FROM bench_sh) p
+    CROSS JOIN widxs w
+    LEFT JOIN sparse s ON s.part = p.part AND s.widx = w.wi
+),
+gdense AS MATERIALIZED (
+    SELECT w.wi, coalesce(g.word, CAST(0 AS BIGINT)) AS word
+    FROM widxs w LEFT JOIN gsparse g ON g.widx = w.wi
+),
+n_part AS (
+    SELECT part, CAST(count(*) AS BIGINT) AS n_inserted
+    FROM bench_sh GROUP BY part
+    UNION ALL
+    SELECT '__merged__', n_ins FROM mrel
+),
+alldense AS (
+    SELECT part, wi, word FROM dense
+    UNION ALL
+    SELECT '__merged__', wi, word FROM gdense
+),
+frows AS (
+    SELECT 'filter' AS row_kind, CAST(NULL AS BIGINT) AS doc_id, d.part,
+        n.n_inserted AS n_shingles,
+        CAST(NULL AS BIGINT) AS n_contaminated,
+        CAST(NULL AS DOUBLE) AS contamination_ratio,
+        CAST(NULL AS VARCHAR) AS is_contaminated,
+        CAST(sum(bit_count(d.word)) AS BIGINT) AS n_bloom,
+        round(CAST(sum(bit_count(d.word)) AS DOUBLE)
+            / CAST(m.m_words * {BLOOM_WORD_BITS} AS DOUBLE), 6)
+            AS bloom_ratio,
+        CAST(NULL AS VARCHAR) AS is_contaminated_bloom,
+        CAST(NULL AS BIGINT) AS n_false_pos,
+        CAST(NULL AS VARCHAR) AS fp_flag,
+        CAST(m.m_words * {BLOOM_WORD_BITS} AS BIGINT) AS bloom_m,
+        md5(string_agg(CAST(d.word AS VARCHAR), ',' ORDER BY d.wi))
+            AS bloom_hash
+    FROM alldense d JOIN n_part n USING (part), mrel m
+    GROUP BY d.part, n.n_inserted, m.m_words
+),
+corpus AS MATERIALIZED (
     SELECT doc_id,
         list_distinct(list_transform({sh}, s -> {_hexint('s')})) AS shs
     FROM documents
     WHERE doc_id % {BENCHMARK_MOD} != {BENCHMARK_RESIDUE}
 ),
+cpos AS (
+    SELECT c.doc_id, c.shingle, {bpos('c.shingle', 'hi.i')} AS pos
+    FROM (SELECT doc_id, unnest(shs) AS shingle FROM corpus) c,
+        mrel m, (SELECT unnest([{idx}]) AS i) hi
+),
+chit AS (
+    SELECT doc_id, shingle,
+        CASE WHEN count(*) FILTER (WHERE
+            ((g.word >> CAST(pos % {BLOOM_WORD_BITS} AS INT)) & 1) = 1)
+            = {BLOOM_K}
+        THEN 1 ELSE 0 END AS bloom_hit
+    FROM cpos JOIN gdense g ON g.wi = pos // {BLOOM_WORD_BITS}
+    GROUP BY doc_id, shingle
+),
 hits AS (
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
-    FROM (SELECT doc_id, unnest(shs) AS shingle FROM corpus) c
-    JOIN bench USING (shingle)
-    GROUP BY doc_id
+    SELECT h.doc_id,
+        CAST(sum(CASE WHEN bg.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+        CAST(sum(h.bloom_hit) AS BIGINT) AS n_bloom
+    FROM chit h LEFT JOIN bench_global bg USING (shingle)
+    GROUP BY h.doc_id
 ),
 scored AS (
     SELECT c.doc_id,
         CAST(len(c.shs) AS BIGINT) AS n_shingles,
         coalesce(h.n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated,
+        coalesce(h.n_bloom, CAST(0 AS BIGINT)) AS n_bloom,
         round(CASE WHEN len(c.shs) > 0
             THEN CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
                 / CAST(len(c.shs) AS DOUBLE)
-            ELSE 0.0 END, 6) AS contamination_ratio
+            ELSE 0.0 END, 6) AS contamination_ratio,
+        round(CASE WHEN len(c.shs) > 0
+            THEN CAST(coalesce(h.n_bloom, 0) AS DOUBLE)
+                / CAST(len(c.shs) AS DOUBLE)
+            ELSE 0.0 END, 6) AS bloom_ratio
     FROM corpus c LEFT JOIN hits h USING (doc_id)
 )
-SELECT *, contamination_ratio >= {CONTAMINATION_RATIO!r} AS is_contaminated
+SELECT 'doc' AS row_kind, doc_id, CAST(NULL AS VARCHAR) AS part,
+    n_shingles, n_contaminated, contamination_ratio,
+    CAST(contamination_ratio >= {CONTAMINATION_RATIO!r} AS VARCHAR)
+        AS is_contaminated,
+    n_bloom, bloom_ratio,
+    CAST(bloom_ratio >= {CONTAMINATION_RATIO!r} AS VARCHAR)
+        AS is_contaminated_bloom,
+    n_bloom - n_contaminated AS n_false_pos,
+    CAST(bloom_ratio >= {CONTAMINATION_RATIO!r}
+        AND NOT contamination_ratio >= {CONTAMINATION_RATIO!r} AS VARCHAR)
+        AS fp_flag,
+    CAST(NULL AS BIGINT) AS bloom_m, CAST(NULL AS VARCHAR) AS bloom_hash
 FROM scored
+UNION ALL
+SELECT * FROM frows
 """
 
 

@@ -469,3 +469,122 @@ def test_distinct_sketches_match_pure_python_reference(spark):
         ).collect()
     ]
     assert sorted(got) == sorted(expect)
+
+
+def test_bloom_decontamination_matches_pure_python_reference(spark):
+    """Reference Bloom filter (Bloom 1970) with plain Python ints: build
+    the per-benchmark-part partial bit arrays, OR-merge them, probe the
+    corpus — every filter-row column (inserted counts, popcounts, packed
+    md5) and every doc-grain bloom count must match the Spark panel
+    bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from rangebar_patterns_spark.operators.textops import (
+        BENCHMARK_MOD,
+        BENCHMARK_RESIDUE,
+        BLOOM_BITS_PER_ELEM,
+        BLOOM_K,
+        BLOOM_MIN_WORDS,
+        BLOOM_SALT,
+        BLOOM_WORD_BITS,
+        CONTAMINATION_RATIO,
+        benchmark_overlap_bloom,
+    )
+
+    def hexint(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def shingles(text: str) -> set[int]:
+        ws = _words(text)
+        return {
+            hexint(" ".join(ws[i : i + 3])) for i in range(len(ws) - 2)
+        }
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    bench: dict[str, set[int]] = {}
+    corpus: dict[int, set[int]] = {}
+    for doc_id, text in zip(tbl["doc_id"], tbl["text"]):
+        if doc_id % BENCHMARK_MOD == BENCHMARK_RESIDUE:
+            bench[f"doc:{doc_id}"] = shingles(text)
+        else:
+            corpus[doc_id] = shingles(text)
+
+    glob = set().union(*bench.values())
+    m_words = max(
+        BLOOM_MIN_WORDS,
+        (len(glob) * BLOOM_BITS_PER_ELEM + BLOOM_WORD_BITS - 1)
+        // BLOOM_WORD_BITS,
+    )
+    m_bits = m_words * BLOOM_WORD_BITS
+
+    def positions(sh: int) -> list[int]:
+        return [
+            hexint(f"{BLOOM_SALT}:{i}:{sh}") % m_bits for i in range(BLOOM_K)
+        ]
+
+    def build(shs: set[int]) -> list[int]:
+        words = [0] * m_words
+        for sh in shs:
+            for p in positions(sh):
+                words[p // BLOOM_WORD_BITS] |= 1 << (p % BLOOM_WORD_BITS)
+        return words
+
+    def w_hash(words: list[int]) -> str:
+        return hashlib.md5(",".join(str(w) for w in words).encode()).hexdigest()
+
+    part_words = {part: build(shs) for part, shs in bench.items()}
+    merged = [0] * m_words
+    for words in part_words.values():
+        merged = [a | b for a, b in zip(merged, words)]
+    # merge law in the reference too: OR of partials == global build
+    assert merged == build(glob)
+
+    expect_filters = {}
+    for part, words in {**part_words, "__merged__": merged}.items():
+        n_ins = len(glob) if part == "__merged__" else len(bench[part])
+        bits = sum(bin(w).count("1") for w in words)
+        expect_filters[part] = (
+            n_ins, bits, round(bits / m_bits, 6), m_bits, w_hash(words),
+        )
+
+    def bloom_hit(sh: int) -> bool:
+        return all(
+            (merged[p // BLOOM_WORD_BITS] >> (p % BLOOM_WORD_BITS)) & 1
+            for p in positions(sh)
+        )
+
+    expect_docs = {}
+    for doc_id, shs in corpus.items():
+        n_cont = len(shs & glob)
+        n_bloom = sum(1 for sh in shs if bloom_hit(sh))
+        n = len(shs)
+        er = round(n_cont / n, 6) if n else 0.0
+        br = round(n_bloom / n, 6) if n else 0.0
+        expect_docs[doc_id] = (
+            n, n_cont, er, str(er >= CONTAMINATION_RATIO).lower(),
+            n_bloom, br, str(br >= CONTAMINATION_RATIO).lower(),
+            n_bloom - n_cont,
+            str(br >= CONTAMINATION_RATIO and not er >= CONTAMINATION_RATIO
+                ).lower(),
+        )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    is_bench = F.col("doc_id") % BENCHMARK_MOD == BENCHMARK_RESIDUE
+    rows = benchmark_overlap_bloom(
+        docs.filter(~is_bench), docs.filter(is_bench)
+    ).collect()
+    got_filters = {
+        r.part: (r.n_shingles, r.n_bloom, r.bloom_ratio, r.bloom_m,
+                 r.bloom_hash)
+        for r in rows
+        if r.row_kind == "filter"
+    }
+    got_docs = {
+        r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination_ratio,
+                   r.is_contaminated, r.n_bloom, r.bloom_ratio,
+                   r.is_contaminated_bloom, r.n_false_pos, r.fp_flag)
+        for r in rows
+        if r.row_kind == "doc"
+    }
+    assert got_filters == expect_filters
+    assert got_docs == expect_docs
