@@ -343,9 +343,24 @@ def minhash_lsh_pairs(
     bands: int = MINHASH_BANDS,
     floor: float = LSH_JACCARD_FLOOR,
     arrs: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact Jaccard verification.
-    Returns (doc_a, doc_b, n_shared_bands, jaccard >= floor)."""
+    Returns (doc_a, doc_b, n_shared_bands, jaccard >= floor).
+
+    ``max_bucket`` is the hot-bucket guard (round-12, the band-join
+    analog of ``ngram_jaccard_pairs``'s ``max_df``): at corpus scale the
+    band key is Zipf — a boilerplate template shared by a large slice of
+    the corpus collapses its minhash signature, and ONE oversized band
+    bucket makes the self-join quadratic in that bucket's size (the
+    serialized-reducer failure).  Buckets larger than the cap are
+    dropped BEFORE the self-join, bounding per-key join fan-out at
+    max_bucket² — the standard web-dedup stop-listing trade-off, made
+    explicit: pairs whose only shared bands are boilerplate-sized are
+    sacrificed (they are near-identical template members better handled
+    by exact dedup), everything else is untouched.  The DuckDB twin
+    (textops_oracle.minhash_lsh_capped_sql) applies the same cut;
+    degenerate/bounded behavior is pinned in tests/test_dedup_guard.py."""
     rows = k // bands
     if arrs is None:
         arrs = _shingle_arrays(docs)
@@ -364,6 +379,16 @@ def minhash_lsh_pairs(
     buckets = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    if max_bucket is not None:
+        sizes = buckets.groupBy("band", "key").agg(
+            F.count("*").alias("_bs")
+        )
+        buckets = (
+            buckets.join(
+                sizes.filter(F.col("_bs") <= max_bucket), ["band", "key"]
+            )
+            .drop("_bs")
+        )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

@@ -105,7 +105,7 @@ SELECT doc_a, doc_b, inter, jaccard FROM shjac WHERE jaccard >= {threshold!r}
 """
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(max_bucket: int | None = None) -> str:
     rows = MINHASH_SEEDS // MINHASH_BANDS
     mh_cols = ",\n        ".join(
         f"min(md5('{i}|' || CAST(shingle AS VARCHAR))) AS mh{i}"
@@ -117,15 +117,28 @@ def _minhash_sql() -> str:
         + ") AS key FROM sigs"
         for bi in range(MINHASH_BANDS)
     )
+    cap = ""
+    src = "buckets"
+    if max_bucket is not None:
+        cap = f"""
+bsz AS (
+    SELECT band, key, count(*) AS _bs FROM buckets GROUP BY band, key
+),
+fbuckets AS (
+    SELECT b.doc_id, b.band, b.key
+    FROM buckets b JOIN bsz s USING (band, key)
+    WHERE s._bs <= {max_bucket}
+),"""
+        src = "fbuckets"
     return f"""sigs AS (
     SELECT doc_id, {mh_cols} FROM docsh GROUP BY doc_id
 ),
 buckets AS (
 {band_rows}
-),
+),{cap}
 cand AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-    FROM buckets a JOIN buckets b
+    FROM {src} a JOIN {src} b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )"""
@@ -137,6 +150,21 @@ WITH {_SHINGLE_REL},
 SELECT c.doc_a, c.doc_b, c.n_shared_bands, j.jaccard
 FROM cand c JOIN shjac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 WHERE j.jaccard >= {LSH_JACCARD_FLOOR!r}
+"""
+
+
+def minhash_lsh_capped_sql(
+    max_bucket: int, floor: float = LSH_JACCARD_FLOOR
+) -> str:
+    """Twin of dedup.minhash_lsh_pairs with the hot-bucket guard: band
+    buckets larger than ``max_bucket`` are dropped before the self-join
+    (same cut, same verification) — see tests/test_dedup_guard.py."""
+    return f"""
+WITH {_SHINGLE_REL},
+{_minhash_sql(max_bucket)}
+SELECT c.doc_a, c.doc_b, c.n_shared_bands, j.jaccard
+FROM cand c JOIN shjac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= {floor!r}
 """
 
 _CHUNK_W = SIMHASH_BITS // SIMHASH_CHUNKS

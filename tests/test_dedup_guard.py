@@ -69,3 +69,60 @@ def test_capped_matches_duckdb_twin(spark, skewed_docs):
     # the near-dup pair must survive the cap (its overlap is rare shingles)
     got = {(r["doc_a"], r["doc_b"]) for r in sp.collect()}
     assert (100, 101) in got
+
+
+# --- LSH band-join hot-bucket guard (round 12) -----------------------------
+#
+# The band key is the second Zipf axis: a boilerplate template shared by a
+# large corpus slice collapses the minhash signature, and ONE oversized
+# band bucket makes the banded self-join quadratic in its size.  The
+# max_bucket guard drops oversized buckets before the join.
+
+MAX_BUCKET = 10
+
+
+@pytest.fixture(scope="module")
+def template_docs(spark):
+    # 30 byte-identical template docs (every band bucket has size >= 30)
+    # plus one identical PAIR whose buckets have size 2 — the pair must
+    # survive the cap, the template cluster must not reach the join.
+    rows = [(i, "boiler plate text common to every template doc") for i in range(30)]
+    rows += [
+        (200, "alpha beta gamma delta epsilon zeta eta"),
+        (201, "alpha beta gamma delta epsilon zeta eta"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_uncapped_band_bucket_degenerates(spark, template_docs):
+    from rangebar_patterns_spark.operators.dedup import minhash_lsh_pairs
+
+    # all template docs share every band -> the self-join emits the full
+    # quadratic pair set (the 100 TB serialized-reducer shape)
+    n = minhash_lsh_pairs(template_docs).count()
+    assert n == 30 * 29 // 2 + 1
+
+
+def test_capped_band_bucket_bounded(spark, template_docs):
+    from rangebar_patterns_spark.operators.dedup import minhash_lsh_pairs
+
+    got = minhash_lsh_pairs(template_docs, max_bucket=MAX_BUCKET).collect()
+    # only the small-bucket pair survives; the boilerplate cluster's
+    # buckets (size 30 > cap) never reach the join
+    assert {(r.doc_a, r.doc_b) for r in got} == {(200, 201)}
+    # boundary: a cap at exactly the cluster size keeps everything
+    loose = minhash_lsh_pairs(template_docs, max_bucket=30).count()
+    assert loose == 30 * 29 // 2 + 1
+
+
+def test_capped_band_join_matches_duckdb_twin(spark, template_docs):
+    from rangebar_patterns_spark.operators.dedup import minhash_lsh_pairs
+    from rangebar_patterns_spark.plans.textops_oracle import (
+        minhash_lsh_capped_sql,
+    )
+
+    sp = minhash_lsh_pairs(template_docs, max_bucket=MAX_BUCKET)
+    con = duckdb.connect()
+    con.register("documents", template_docs.toPandas())
+    du = con.execute(minhash_lsh_capped_sql(MAX_BUCKET)).df()
+    compare_frames(sp, du)
