@@ -646,3 +646,240 @@ def qdigest_quantile_panel(vals: DataFrame, item: str) -> DataFrame:
     )
     panel_all = _qd_quantiles(merged, hist_all, item)
     return panel_src.unionByName(panel_all)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mergeable FLOAT-domain quantile summary (round 12)
+# ---------------------------------------------------------------------------
+
+#: geometry of the MRL-style summary (Manku, Rajagopalan & Lindsay,
+#: SIGMOD 1998 "Approximate Medians and other Quantiles in One Pass and
+#: with Limited Memory" — the collapse operation, made DETERMINISTIC):
+#: each summary holds at most MRL_M weighted items; level-0 chunks of
+#: MRL_CHUNK observations compact in parallel, chunk summaries merge
+#: per source, source summaries merge into the corpus summary.  The
+#: q-digest (above) covers bounded INTEGER universes; this summary is
+#: the float-domain mergeable path (trade returns, unbounded metrics —
+#: the reference's eval quantile family, eval/extraction.py:208-209)
+#: where KLL/t-digest would be used in production: the deterministic
+#: rank-subsampling collapse gives the same O((levels)/M) rank-error
+#: shape with NO coin flips, so the DuckDB twin and the Spark plan are
+#: hash-identical and the merge law is certifiable.
+MRL_M = 128
+MRL_CHUNK = 1024
+
+
+def _mrl_compact(
+    items: DataFrame, keys: list[str], tie_cols: list[str], m: int = MRL_M
+) -> DataFrame:
+    """One deterministic collapse: per ``keys`` group, sort the weighted
+    items by ``tie_cols`` (a total order), take the running weight, and
+    keep exactly the items whose weight span crosses a multiple of
+    step = ceil(total/m) — the smallest item at each of <= m target
+    ranks.  A kept item absorbs the weight of everything discarded
+    since the previous kept item, so TOTAL WEIGHT IS PRESERVED exactly
+    (the last item's running weight is the group total) — the invariant
+    the quantile targets rely on.  Groups at or under m pass through
+    unchanged (step = 1 keeps every row).  Two window passes + one
+    filter; no Python, no explosion."""
+    wspec = Window.partitionBy(*keys).orderBy(*tie_cols)
+    d = (
+        items.withColumn(
+            "_cumw",
+            F.sum("w").over(
+                wspec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("_tw", F.sum("w").over(Window.partitionBy(*keys)))
+        .withColumn("_step", F.expr(f"(_tw + {m - 1}) DIV {m}"))
+    )
+    kept = d.filter(
+        F.expr("(_cumw DIV _step) > ((_cumw - w) DIV _step)")
+    )
+    return kept.withColumn(
+        "w", F.col("_cumw") - F.lag("_cumw", 1, 0).over(wspec)
+    ).drop("_cumw", "_tw", "_step")
+
+
+#: certified quantile targets — the q-digest's exact rationals
+MRL_QS = QD_QS
+
+
+def mergeable_quantile_panel(obs: DataFrame, item: str) -> DataFrame:
+    """(source, item, q_label, n_values, n_items, est_q, exact_q,
+    rank_target, rank_est, rank_err, err_bound, within_bound): per-source
+    MRL quantile summaries of a FLOAT observation column plus the corpus
+    row built by MERGING the per-source summaries (union of weighted
+    items, one more collapse) — never by re-sketching the data.
+
+    ``obs`` is one row per observation with columns (source, id, v): id
+    a per-source unique ordinal (the deterministic tie-break), v the
+    float value (round-6 by the caller's convention).
+
+    Scale shape: stage 1 compacts fixed-size chunks IN PARALLEL (the
+    map-side partial — each group is <= MRL_CHUNK rows by construction);
+    stage 2 merges a source's chunk summaries (<= M items each, so the
+    group is summary-sized); stage 3 merges the per-source summaries.
+    Exactly the KMV/HLL/q-digest rollup shape for unbounded floats: at
+    100 TB every executor compacts its chunks locally and ships <= M
+    weighted items per chunk — state never grows with the data.
+
+    Certification: exact quantiles ride along as ground truth (computed
+    from the value-grain histogram — bounded by distinct round-6
+    values); rank_err = |exact rank of the estimate - target rank| and
+    err_bound = the sum of the collapse steps on the summary's lineage
+    (stage-1 max chunk step + stage-2 step, plus every source's
+    contribution + the stage-3 step for the corpus row) — the MRL
+    analysis' additive error, certified per row by within_bound.  The
+    DuckDB twin (plans/textops_oracle.mrl_quantiles_sql) replays the
+    identical deterministic collapse, so every column hash-matches;
+    tests/test_sketches.py pins a pure-Python third implementation,
+    the merge law, and the bound."""
+    one = F.lit(1).cast("long")
+    c0 = obs.select(
+        "source",
+        ((F.col("id") - 1) / MRL_CHUNK).cast("long").alias("chunk"),
+        "v",
+        one.alias("w"),
+        F.col("id").cast("long").alias("id"),
+    )
+    c1 = _mrl_compact(c0, ["source", "chunk"], ["v", "id"])
+    # the per-source summaries feed THREE consumers (the corpus merge,
+    # the final cumsum, the size certification) — checkpoint the bounded
+    # relation once so the collapse subtree isn't replayed per consumer
+    # (the q-digest discipline)
+    s2 = _mrl_compact(c1.drop("chunk"), ["source"], ["v", "id"]).localCheckpoint()
+    a0 = s2.select(
+        F.lit("__all__").alias("source"),
+        F.col("source").alias("_src"),
+        "v",
+        "w",
+        "id",
+    )
+    a3 = _mrl_compact(a0, ["source"], ["v", "_src", "id"])
+    # ids are only unique per ORIGINAL source, so the merged row's total
+    # order must carry the source tiebreak — without it the cumulative
+    # weights at (v, id) ties would depend on engine-internal row order
+    summaries = s2.withColumn("_tb", F.col("source")).unionByName(
+        a3.withColumnRenamed("_src", "_tb")
+    )
+    scum = summaries.withColumn(
+        "cumw",
+        F.sum("w").over(
+            Window.partitionBy("source")
+            .orderBy("v", "_tb", "id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+    # --- exact ground truth from the value-grain histogram --------------
+    hist = obs.groupBy("source", "v").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    hist_all = hist.groupBy("v").agg(F.sum("cnt").alias("cnt")).select(
+        F.lit("__all__").alias("source"), "v", "cnt"
+    )
+    hcum = hist.unionByName(hist_all).withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("source")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).localCheckpoint()
+    ns = hcum.groupBy("source").agg(
+        F.max("cum").cast("long").alias("n_values")
+    )
+
+    # --- collapse-step bounds from the observation counts ---------------
+    st1 = (
+        obs.groupBy("source", (F.expr(f"(id - 1) DIV {MRL_CHUNK}")).alias("chunk"))
+        .agg(F.count("*").alias("cn"))
+        .groupBy("source")
+        .agg(
+            F.max(F.expr(f"(cn + {MRL_M - 1}) DIV {MRL_M}"))
+            .cast("long")
+            .alias("b1")
+        )
+    )
+    st2 = ns.filter(F.col("source") != "__all__").select(
+        "source",
+        F.expr(f"(n_values + {MRL_M - 1}) DIV {MRL_M}").alias("b2"),
+    )
+    bsrc = st1.join(st2, "source").select(
+        "source", (F.col("b1") + F.col("b2")).alias("err_bound")
+    )
+    ball = bsrc.agg(F.sum("err_bound").alias("_s")).crossJoin(
+        ns.filter(F.col("source") == "__all__").select(
+            F.expr(f"(n_values + {MRL_M - 1}) DIV {MRL_M}").alias("b3")
+        )
+    ).select(
+        F.lit("__all__").alias("source"),
+        (F.col("_s") + F.col("b3")).alias("err_bound"),
+    )
+    bounds = bsrc.unionByName(ball)
+
+    # --- estimates vs targets -------------------------------------------
+    targets = obs.sparkSession.createDataFrame(
+        [(num, den, lab) for num, den, lab in MRL_QS],
+        "qnum long, qden long, q_label string",
+    )
+    tgt = F.expr("(qnum * n_values + qden - 1) DIV qden")
+    est = (
+        scum.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(targets))
+        .withColumn("rank_target", tgt)
+        .filter(F.col("cumw") >= F.col("rank_target"))
+        .groupBy("source", "q_label", "n_values", "rank_target")
+        .agg(F.min("v").alias("est_q"))
+    )
+    exact = (
+        hcum.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(targets))
+        .withColumn("rank_target", tgt)
+        .filter(F.col("cum") >= F.col("rank_target"))
+        .groupBy("source", "q_label")
+        .agg(F.min("v").alias("exact_q"))
+    )
+    # a round-6 float domain is heavily tied, so the estimate's exact
+    # rank is a RANGE [cum - cnt + 1, cum]; the honest error is the
+    # distance from the target to that range (zero when the estimate is
+    # any valid answer for the target rank)
+    rank_est = est.join(
+        hcum.select("source", "v", "cnt", "cum"),
+        (est.source == hcum.source) & (est.est_q == hcum.v),
+    ).select(
+        est.source,
+        "q_label",
+        (F.col("cum") - F.col("cnt") + 1).cast("long").alias("rank_lo"),
+        F.col("cum").cast("long").alias("rank_hi"),
+    )
+    n_items = summaries.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_items")
+    )
+    out = (
+        est.join(exact, ["source", "q_label"])
+        .join(rank_est, ["source", "q_label"])
+        .join(F.broadcast(n_items), "source")
+        .join(F.broadcast(bounds), "source")
+    )
+    err = F.greatest(
+        F.lit(0).cast("long"),
+        (F.col("rank_lo") - F.col("rank_target")).cast("long"),
+        (F.col("rank_target") - F.col("rank_hi")).cast("long"),
+    )
+    return out.select(
+        "source",
+        F.lit(item).alias("item"),
+        "q_label",
+        F.col("n_values").cast("long").alias("n_values"),
+        "n_items",
+        "est_q",
+        "exact_q",
+        F.col("rank_target").cast("long").alias("rank_target"),
+        "rank_lo",
+        "rank_hi",
+        err.alias("rank_err"),
+        F.col("err_bound").cast("long").alias("err_bound"),
+        (err <= F.col("err_bound")).cast("string").alias("within_bound"),
+    )

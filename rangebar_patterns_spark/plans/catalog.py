@@ -1047,8 +1047,10 @@ def q_eval_moments_dsr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("eval_ou_calibration", f"WITH {BARS_DUCKDB_CTE},\n{EO.OU_CTES}\n{EO.OU_SELECT}")
-def q_eval_ou(spark: SparkSession, sf_dir: str) -> DataFrame:
+_OU_ORACLE = f"WITH {BARS_DUCKDB_CTE},\n{EO.OU_CTES}\n{EO.OU_SELECT}"
+
+
+def _ou_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PRIVATE(EM.ou_calibration(_bars(spark, sf_dir)))
 
 
@@ -1101,25 +1103,83 @@ _CUTOFF_GRID_ORACLE = (
 )
 
 
-@register("cutoff_grid_search", _CUTOFF_GRID_ORACLE)
-def q_cutoff_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E29 cutoff optimization (reference scripts/rank_optimize.py): the
+_CUTOFF_OU_ORACLE = f"""
+SELECT 'cutoff' AS stage,
+    CAST(cand_id AS BIGINT) AS cand_id,
+    CAST(cut_omega AS BIGINT) AS cut_omega,
+    CAST(cut_cdar_inv AS BIGINT) AS cut_cdar_inv,
+    CAST(n_survivors AS BIGINT) AS n_survivors,
+    avg_quality, mean_cutoff, objective,
+    CAST(NULL AS VARCHAR) AS symbol, CAST(NULL AS DOUBLE) AS mu_dt,
+    CAST(NULL AS DOUBLE) AS sigma_dt, CAST(NULL AS DOUBLE) AS half_life,
+    CAST(NULL AS DOUBLE) AS optimal_tp_frac
+FROM ({_CUTOFF_GRID_ORACLE})
+UNION ALL
+SELECT 'ou', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+    symbol, mu_dt, sigma_dt, half_life, optimal_tp_frac
+FROM ({_OU_ORACLE})
+"""
+
+
+@register("cutoff_ou_panel", _CUTOFF_OU_ORACLE)
+def q_cutoff_ou_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E29 cutoff optimization (reference scripts/rank_optimize.py)
+    merged with E6 OU calibration as one config/symbol-grain union panel
+    (round 12 — both former entries' columns keep flowing through the
+    hash, NULL-padded under a ``stage`` discriminator; the freed gate
+    slot carries ``mergeable_quantiles``).  'cutoff' rows: the
     deterministic structured grid scored in one plan — survivors, mean
-    survivor quality, mean cutoff, and the survivors/mean-cutoff
-    objective per candidate vector.  The evolutionary refinement loop
-    (operators/cutoff_search.evolve_cutoffs) drives this same evaluator
-    per generation and is unit-tested for bit-determinism."""
+    survivor quality, mean cutoff, objective per candidate vector (the
+    evolutionary refinement loop, operators/cutoff_search.evolve_cutoffs,
+    drives this same evaluator per generation and is unit-tested for
+    bit-determinism).  'ou' rows: closed-form per-symbol OU parameter
+    calibration (no UDF)."""
     from ..operators.cutoff_search import evaluate_cutoffs
 
     tail = _eval_layer(spark, sf_dir, "tail")
     m = tail.withColumn("omega", F.col("_omega_raw")).withColumn(
         "cdar_inv", -F.col("_cdar_raw")
     )
-    return evaluate_cutoffs(
+    cut = evaluate_cutoffs(
         m, _CUTOFF_METRICS, grid_candidates(len(_CUTOFF_METRICS))
     )
-
-
+    long_null = F.lit(None).cast("long")
+    dbl_null = F.lit(None).cast("double")
+    str_null = F.lit(None).cast("string")
+    crow = cut.select(
+        F.lit("cutoff").alias("stage"),
+        F.col("cand_id").cast("long").alias("cand_id"),
+        F.col("cut_omega").cast("long").alias("cut_omega"),
+        F.col("cut_cdar_inv").cast("long").alias("cut_cdar_inv"),
+        F.col("n_survivors").cast("long").alias("n_survivors"),
+        "avg_quality",
+        "mean_cutoff",
+        "objective",
+        str_null.alias("symbol"),
+        dbl_null.alias("mu_dt"),
+        dbl_null.alias("sigma_dt"),
+        dbl_null.alias("half_life"),
+        dbl_null.alias("optimal_tp_frac"),
+    )
+    ou = _ou_df(spark, sf_dir)
+    orow = ou.select(
+        F.lit("ou").alias("stage"),
+        long_null.alias("cand_id"),
+        long_null.alias("cut_omega"),
+        long_null.alias("cut_cdar_inv"),
+        long_null.alias("n_survivors"),
+        dbl_null.alias("avg_quality"),
+        dbl_null.alias("mean_cutoff"),
+        dbl_null.alias("objective"),
+        "symbol",
+        "mu_dt",
+        "sigma_dt",
+        "half_life",
+        "optimal_tp_frac",
+    )
+    return crow.unionByName(orow)
 from ..operators import synthesis as SY  # noqa: E402
 from . import synthesis_oracle as SO  # noqa: E402
 
@@ -1689,6 +1749,28 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qd_nodes",
     )
     return dist.unionByName(qd)
+
+
+@register("mergeable_quantiles", TO.mrl_quantiles_sql())
+def q_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float-domain mergeable quantile summary (round 12, the KLL slot of
+    VERDICT r11 #5): per-symbol MRL summaries of round-6 bar returns —
+    an unbounded FLOAT metric, where the q-digest's fixed integer
+    universe can't go — with the corpus row built by MERGING the
+    per-symbol summaries.  Chunk compactions run in parallel (map-side
+    partials), every summary is <= MRL_M weighted items, and the panel
+    certifies exact quantiles, rank-range errors, and the additive
+    collapse bound per row.  Reference analogue: the eval quantile
+    family (eval/extraction.py:208-209) at 100 TB scale."""
+    bars = _bars(spark, sf_dir)
+    obs = bars.select(
+        F.col("symbol").alias("source"),
+        F.col("rn").cast("long").alias("id"),
+        F.round((F.col("close") - F.col("open")) / F.col("open"), 6).alias(
+            "v"
+        ),
+    )
+    return SK.mergeable_quantile_panel(obs, "ret")
 
 
 @register("reservoir_sample", TO.reservoir_sql())
@@ -2521,6 +2603,7 @@ _GATE_ORDER = [
     "sim_topk_methods",
     "sketch_distinct",
     "reservoir_sample",
+    "mergeable_quantiles",
     "text_metrics",
     "corpus_packing",
     # sweep engine (gen500/gen600 config grids)
@@ -2530,9 +2613,8 @@ _GATE_ORDER = [
     "sweep_nfeature_metrics",
     # eval layer (E1-E17) + regimes
     "eval_moments_dsr",
-    "eval_ou_calibration",
     "eval_tail_tamrs",
-    "cutoff_grid_search",
+    "cutoff_ou_panel",
     "eval_bootstrap_synthesis",
     "eval_spearman",
     "regime_labels",

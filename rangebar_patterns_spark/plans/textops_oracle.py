@@ -1989,3 +1989,145 @@ SELECT source, item, n_values AS n_items,
     exact_q, qd_estimate, qd_err, qd_nodes
 FROM ({qdigest_sql()})
 """
+
+
+def mrl_quantiles_sql() -> str:
+    """Twin of sketches.mergeable_quantile_panel over per-symbol bar
+    returns: the identical deterministic MRL collapse (chunk -> source ->
+    corpus), the same value-grain exact ground truth, the same
+    rank-range error and additive step bound — pure window SQL, so the
+    cross-engine hash certifies every stage including the merge."""
+    from ..operators.sketches import MRL_CHUNK, MRL_M, MRL_QS
+    from ..sources.bars import BARS_DUCKDB_CTE
+
+    M, C = MRL_M, MRL_CHUNK
+    vals = ", ".join(f"({n}, {d}, '{lab}')" for n, d, lab in MRL_QS)
+
+    def collapse(src: str, keys: str, order: str, out_cols: str) -> str:
+        return f"""(
+    SELECT {out_cols},
+        cumw - coalesce(lag(cumw) OVER (PARTITION BY {keys}
+            ORDER BY {order}), 0) AS w
+    FROM (
+        SELECT *, (tw + {M - 1}) // {M} AS step FROM (
+            SELECT *,
+                sum(w) OVER (PARTITION BY {keys} ORDER BY {order}
+                    ROWS UNBOUNDED PRECEDING) AS cumw,
+                sum(w) OVER (PARTITION BY {keys}) AS tw
+            FROM {src})
+        ) WHERE (cumw // step) > ((cumw - w) // step)
+)"""
+
+    c1 = collapse("c0", "source, chunk", "v, id", "source, chunk, v, id")
+    s2 = collapse("c1", "source", "v, id", "source, v, id")
+    a3 = collapse("a0", "source", "v, _src, id", "source, _src, v, id")
+    return f"""
+WITH {BARS_DUCKDB_CTE},
+obs AS (
+    SELECT symbol AS source, CAST(rn AS BIGINT) AS id,
+        round((close - "open") / "open", 6) AS v
+    FROM bars
+),
+c0 AS (
+    SELECT source, (id - 1) // {C} AS chunk, v, CAST(1 AS BIGINT) AS w, id
+    FROM obs
+),
+c1 AS {c1},
+s2 AS {s2},
+a0 AS (SELECT '__all__' AS source, source AS _src, v, w, id FROM s2),
+a3 AS {a3},
+summaries AS (
+    SELECT source, source AS _tb, v, w, id FROM s2
+    UNION ALL
+    SELECT source, _src AS _tb, v, w, id FROM a3
+),
+scum AS (
+    SELECT source, v, w,
+        sum(w) OVER (PARTITION BY source ORDER BY v, _tb, id
+            ROWS UNBOUNDED PRECEDING) AS cumw
+    FROM summaries
+),
+hist AS (
+    SELECT source, v, CAST(count(*) AS BIGINT) AS cnt
+    FROM obs GROUP BY source, v
+),
+hist2 AS (
+    SELECT * FROM hist
+    UNION ALL
+    SELECT '__all__', v, sum(cnt) FROM hist GROUP BY v
+),
+hcum AS (
+    SELECT source, v, cnt,
+        sum(cnt) OVER (PARTITION BY source ORDER BY v
+            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM hist2
+),
+ns AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_values
+    FROM obs GROUP BY source
+    UNION ALL
+    SELECT '__all__', CAST(count(*) AS BIGINT) FROM obs
+),
+st1 AS (
+    SELECT source, max((cn + {M - 1}) // {M}) AS b1 FROM (
+        SELECT source, (id - 1) // {C} AS chunk,
+            CAST(count(*) AS BIGINT) AS cn
+        FROM obs GROUP BY source, (id - 1) // {C}
+    ) GROUP BY source
+),
+st2 AS (
+    SELECT source, (n_values + {M - 1}) // {M} AS b2
+    FROM ns WHERE source != '__all__'
+),
+bsrc AS (
+    SELECT source, b1 + b2 AS err_bound FROM st1 JOIN st2 USING (source)
+),
+bounds AS (
+    SELECT * FROM bsrc
+    UNION ALL
+    SELECT '__all__', (SELECT sum(err_bound) FROM bsrc)
+        + (n_values + {M - 1}) // {M}
+    FROM ns WHERE source = '__all__'
+),
+targets AS (SELECT * FROM (VALUES {vals}) t(qnum, qden, q_label)),
+est AS (
+    SELECT s.source, t.q_label, n.n_values,
+        (t.qnum * n.n_values + t.qden - 1) // t.qden AS rank_target,
+        min(s.v) AS est_q
+    FROM scum s JOIN ns n USING (source) CROSS JOIN targets t
+    WHERE s.cumw >= (t.qnum * n.n_values + t.qden - 1) // t.qden
+    GROUP BY s.source, t.q_label, n.n_values,
+        (t.qnum * n.n_values + t.qden - 1) // t.qden
+),
+exact AS (
+    SELECT h.source, t.q_label, min(h.v) AS exact_q
+    FROM hcum h JOIN ns n USING (source) CROSS JOIN targets t
+    WHERE h.cum >= (t.qnum * n.n_values + t.qden - 1) // t.qden
+    GROUP BY h.source, t.q_label
+),
+rk AS (
+    SELECT e.source, e.q_label,
+        CAST(h.cum - h.cnt + 1 AS BIGINT) AS rank_lo,
+        CAST(h.cum AS BIGINT) AS rank_hi
+    FROM est e JOIN hcum h ON h.source = e.source AND h.v = e.est_q
+),
+n_items AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_items
+    FROM summaries GROUP BY source
+)
+SELECT e.source, 'ret' AS item, e.q_label, e.n_values, i.n_items,
+    e.est_q, x.exact_q,
+    CAST(e.rank_target AS BIGINT) AS rank_target,
+    r.rank_lo, r.rank_hi,
+    greatest(CAST(0 AS BIGINT),
+        r.rank_lo - e.rank_target, e.rank_target - r.rank_hi) AS rank_err,
+    CAST(b.err_bound AS BIGINT) AS err_bound,
+    CAST(greatest(CAST(0 AS BIGINT), r.rank_lo - e.rank_target,
+        e.rank_target - r.rank_hi) <= b.err_bound AS VARCHAR)
+        AS within_bound
+FROM est e
+JOIN exact x ON x.source = e.source AND x.q_label = e.q_label
+JOIN rk r ON r.source = e.source AND r.q_label = e.q_label
+JOIN n_items i ON i.source = e.source
+JOIN bounds b ON b.source = e.source
+"""

@@ -29,7 +29,8 @@ ARROW_SANCTIONED = {
     # downstream consumers of the champion-trades chain (the trades
     # relation is built from the streaming-quantile featurization)
     "eval_moments_dsr", "eval_tail_tamrs",
-    "eval_ou_calibration", "cutoff_grid_search",
+    "cutoff_ou_panel",
+    "mergeable_quantiles",  # r12: corpus-merge collapse on summary-sized input
     "eval_bootstrap_synthesis",
     "eval_spearman", "wf_fold_metrics", "wf_topk",
     "cpcv_pbo", "gt_composite_mbb", "wf_fold_objectives",
@@ -123,7 +124,12 @@ def test_join_strategies_across_catalog(spark):
 GLOBAL_WINDOW_SANCTIONED = {
     "eval_moments_dsr": 3,  # e-BH rank + GROW ordering + fold ranks (merged e-values side)
     "eval_tail_tamrs": 2,  # TOPSIS ideal-point scalars (merged ranking side)
-    "cutoff_grid_search": 2,  # per-candidate ranking over the metric grid
+    "cutoff_ou_panel": 2,  # per-candidate ranking over the metric grid
+    # the corpus-merge collapse: its '__all__' literal partition key is
+    # constant-folded away (the q-digest precedent below) and its input
+    # is the checkpointed union of per-source summaries (<= 5*MRL_M
+    # weighted items) replayed per consumer — bounded at any scale
+    "mergeable_quantiles": 8,
     "eval_bootstrap_synthesis": 2,  # RW config-id axis + critical value
     "eval_spearman": 6,  # 2 rank windows x 3 metric pairs
     "sketch_heavy_hitters": 1,  # rank over the 32-row top-N probe panel

@@ -368,3 +368,181 @@ def test_qdigest_partition_invariance(spark):
         )
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# MRL float-domain mergeable quantile summary (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _mrl_obs(spark):
+    from pyspark.sql import functions as F
+
+    from rangebar_patterns_spark.sources import bars_from_events
+
+    bars = bars_from_events(spark, SF_DIR)
+    return bars.select(
+        F.col("symbol").alias("source"),
+        F.col("rn").cast("long").alias("id"),
+        F.round((F.col("close") - F.col("open")) / F.col("open"), 6).alias(
+            "v"
+        ),
+    )
+
+
+def _ref_collapse(items, m):
+    """Pure-Python deterministic MRL collapse: items = [(tie..., v, w)],
+    sorted by tie; returns kept [(tie..., v, w')] with total weight
+    preserved."""
+    tw = sum(w for *_t, w in items)
+    step = (tw + m - 1) // m
+    out, cumw, prev_kept = [], 0, 0
+    for *t, w in items:
+        cumw += w
+        if (cumw // step) > ((cumw - w) // step):
+            out.append((*t, cumw - prev_kept))
+            prev_kept = cumw
+    return out
+
+
+def test_mrl_matches_oracle_and_python_reference(spark, duck):
+    """The full panel hash-matches the DuckDB twin AND a pure-Python
+    third implementation of the 3-stage collapse (chunk -> source ->
+    corpus merge), including exact ground truth, rank-range errors and
+    the additive step bound."""
+    from collections import defaultdict
+
+    from rangebar_patterns_spark.operators.sketches import (
+        MRL_CHUNK,
+        MRL_M,
+        MRL_QS,
+        mergeable_quantile_panel,
+    )
+    from rangebar_patterns_spark.plans.textops_oracle import mrl_quantiles_sql
+
+    from conftest import compare_frames
+
+    obs_df = _mrl_obs(spark)
+    panel = mergeable_quantile_panel(obs_df, "ret")
+    compare_frames(panel, duck.execute(mrl_quantiles_sql()).df())
+
+    obs = [(r.source, r.id, r.v) for r in obs_df.collect()]
+    by_chunk = defaultdict(list)
+    for src, i, v in obs:
+        by_chunk[(src, (i - 1) // MRL_CHUNK)].append((v, i, 1))
+    # stage 1: chunk collapse (tie = (v, id)); stage 2: source merge
+    by_src = defaultdict(list)
+    for (src, _c), items in by_chunk.items():
+        for v, i, w in _ref_collapse(sorted(items), MRL_M):
+            by_src[src].append((v, i, w))
+    summaries = {
+        src: _ref_collapse(sorted(items), MRL_M)
+        for src, items in by_src.items()
+    }
+    # stage 3: corpus merge of the per-source summaries (tie = (v, src, id))
+    union = [
+        (v, src, i, w)
+        for src, items in summaries.items()
+        for v, i, w in items
+    ]
+    merged = _ref_collapse(sorted(union), MRL_M)
+
+    # rebuild the expected panel rows
+    import math
+
+    vals = defaultdict(list)
+    for src, _i, v in obs:
+        vals[src].append(v)
+        vals["__all__"].append(v)
+    summ_cum = {}
+    for src, items in summaries.items():
+        acc, rows = 0, []
+        for v, _i, w in sorted(items):
+            acc += w
+            rows.append((v, acc))
+        summ_cum[src] = rows
+    acc, rows = 0, []
+    for v, _s, _i, w in sorted(merged):
+        acc += w
+        rows.append((v, acc))
+    summ_cum["__all__"] = rows
+
+    bounds = {}
+    for src, items in by_chunk.items():
+        pass
+    chunk_n = defaultdict(list)
+    for (src, c), items in by_chunk.items():
+        chunk_n[src].append(len(items))
+    b_all = 0
+    for src, cns in chunk_n.items():
+        b1 = max((cn + MRL_M - 1) // MRL_M for cn in cns)
+        b2 = (len(vals[src]) + MRL_M - 1) // MRL_M
+        bounds[src] = b1 + b2
+        b_all += b1 + b2
+    bounds["__all__"] = b_all + (len(vals["__all__"]) + MRL_M - 1) // MRL_M
+
+    expect = {}
+    for src, vs in vals.items():
+        vs_sorted = sorted(vs)
+        n = len(vs)
+        for qnum, qden, lab in MRL_QS:
+            tgt = (qnum * n + qden - 1) // qden
+            exact_q = vs_sorted[tgt - 1]
+            est_q = next(v for v, cum in summ_cum[src] if cum >= tgt)
+            lo = next(
+                i for i, v in enumerate(vs_sorted, start=1) if v == est_q
+            )
+            hi = len(vs_sorted) - next(
+                i
+                for i, v in enumerate(reversed(vs_sorted))
+                if v == est_q
+            )
+            err = max(0, lo - tgt, tgt - hi)
+            expect[(src, lab)] = (
+                n, len(summ_cum[src]), est_q, exact_q, tgt, lo, hi, err,
+                bounds[src], str(err <= bounds[src]).lower(),
+            )
+    got = {
+        (r.source, r.q_label): (
+            r.n_values, r.n_items, r.est_q, r.exact_q, r.rank_target,
+            r.rank_lo, r.rank_hi, r.rank_err, r.err_bound, r.within_bound,
+        )
+        for r in panel.collect()
+    }
+    assert got == expect
+
+
+def test_mrl_bounds_and_size(spark):
+    """Every row is within its certified additive bound, every summary is
+    at most MRL_M items, and total weight is preserved exactly (the last
+    cumulative rank equals n)."""
+    from rangebar_patterns_spark.operators.sketches import (
+        MRL_M,
+        mergeable_quantile_panel,
+    )
+
+    rows = mergeable_quantile_panel(_mrl_obs(spark), "ret").collect()
+    assert len(rows) == 18
+    for r in rows:
+        assert r.within_bound == "true"
+        assert 0 < r.n_items <= MRL_M
+        assert r.rank_err <= r.err_bound
+        assert 1 <= r.rank_target <= r.n_values
+
+
+def test_mrl_partition_layout_invariant(spark):
+    from rangebar_patterns_spark.operators.sketches import (
+        mergeable_quantile_panel,
+    )
+
+    obs = _mrl_obs(spark)
+    a = sorted(map(tuple, mergeable_quantile_panel(obs, "ret").collect()))
+    b = sorted(
+        map(
+            tuple,
+            mergeable_quantile_panel(
+                obs.repartition(17, "id"), "ret"
+            ).collect(),
+        )
+    )
+    assert a == b
