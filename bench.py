@@ -75,6 +75,15 @@ Schema history ("bench_version"):
     discarded warm samples are kept in detail["sf1"]["warm_samples"].
     Key changes: tail_scan + asof_probe_lookup merged into
     "probe_panel"; new "reservoir_sample" entry.
+  5 (r12) — adaptive retry passes: entries still unrated after the
+    interleaved tier passes re-run (alone) up to SPARK_GRAFT_BENCH_RETRY
+    extra times, and the noise rating trims its single worst outlier
+    once an entry has >= 5 samples — one co-tenant epoch no longer
+    permanently flags an entry four other passes agree on (the quoted
+    median always uses ALL samples; only the noise verdict trims).
+    Key changes: eval_ou_calibration merged into "cutoff_ou_panel"
+    (formerly cutoff_grid_search); new "mergeable_quantiles" entry;
+    "decontamination_overlap" absorbs the Bloom filter rows.
 """
 
 from __future__ import annotations
@@ -87,7 +96,7 @@ import sys
 import threading
 import time
 
-BENCH_VERSION = 4
+BENCH_VERSION = 5
 #: driver stdout-tail capture is ~2000 chars; stay safely under it
 LINE_BUDGET = 1900
 DETAIL_PATH = os.environ.get(
@@ -284,6 +293,16 @@ def unrated(samples: dict[str, list[float]]) -> list[str]:
         if len(clean) < 2:
             continue
         med = statistics.median(clean)
+        # round 12: with >= 5 samples, drop the SINGLE sample farthest
+        # from the median before applying the min/max rule — one
+        # co-tenant epoch must not permanently condemn an entry that
+        # four other passes agree on (two outliers still flag; the
+        # median itself is computed over ALL samples, so the trimmed
+        # rating never moves the quoted number, only the noise verdict).
+        # The adaptive retry passes below exist to push noisy entries
+        # over this sample-count threshold.
+        if len(clean) >= 5:
+            clean = sorted(clean, key=lambda x: abs(x - med))[:-1]
         if (
             med > 0
             and max(clean) - min(clean) > 0.5
@@ -534,6 +553,42 @@ def main() -> None:
             sf1_ran += 1
         last_dur[kind] = time.monotonic() - t0
         reset_plan_caches(spark)
+
+    # adaptive re-measure (round 12, VERDICT r11 #6/#7): entries still
+    # flagged unrated after the interleaved passes get up to RETRY extra
+    # timed passes of JUST those entries — cheap (only the noisy slice
+    # re-runs) and converging (each pass adds a sample; at >= 5 samples
+    # the rating trims its single worst outlier, so an entry condemned
+    # by one co-tenant epoch clears once four passes agree).  Entries
+    # that stay unrated after retries carry genuine variance.
+    retry = int(os.environ.get("SPARK_GRAFT_BENCH_RETRY", "2"))
+    for tier, tsamples, tcpu, tdir in (
+        ("cat", samples, cpu_s, sf_dir),
+        ("sf1", sf1_t, sf1_cpu, sf1_dir if sf1_ran else None),
+    ):
+        if tdir is None:
+            continue
+        for r in range(retry):
+            noisy = unrated(tsamples)
+            if not noisy:
+                break
+            est = 1.5 * sum(
+                statistics.median([x for x in tsamples[n] if x == x])
+                for n in noisy
+                if tsamples.get(n)
+            )
+            if not fits(est):
+                truncated.append(f"{tier} retry pass {r + 1}")
+                break
+            print(
+                f"bench: === {tier} retry pass {r + 1} (unrated: {noisy}) ===",
+                file=sys.stderr,
+            )
+            time_queries(
+                spark, {n: qs[n] for n in noisy if n in qs}, tdir,
+                tsamples, tcpu,
+            )
+            reset_plan_caches(spark)
 
     queries = medians(samples)
     total = round(sum(t for t in queries.values() if t == t), 3)

@@ -168,3 +168,24 @@ def test_tree_cpu_delta_vanished_pid_never_negative():
 
     # the failure shape itself: every surviving pid idle, one big exit
     assert bench.tree_cpu_delta({1: 1.0, 2: 300.0}, {1: 1.0}) == 0.0
+
+
+def test_unrated_trims_single_outlier_at_five_samples():
+    """r12 rating refinement: with >= 5 samples the single sample
+    farthest from the median is dropped before the min/max rule — one
+    co-tenant epoch can't permanently flag an entry four agreeing
+    passes cleared, while two outliers (or genuine spread) still flag.
+    The adaptive retry passes exist to push entries over this
+    threshold."""
+    # 4 samples, one epoch outlier -> still flagged (not enough evidence)
+    assert bench.unrated({"q": [10.0, 10.5, 26.0, 10.2]}) == ["q"]
+    # a 5th agreeing sample clears it (outlier trimmed from the verdict)
+    assert bench.unrated({"q": [10.0, 10.5, 26.0, 10.2, 10.4]}) == []
+    # two outliers survive the single-sample trim -> stays flagged
+    assert bench.unrated({"q": [10.0, 10.5, 26.0, 10.2, 25.0]}) == ["q"]
+    # genuine wide spread (no single outlier) stays flagged
+    assert bench.unrated({"q": [5.0, 30.0, 10.0, 28.0, 4.0]}) == ["q"]
+    # the quoted median itself is never trimmed
+    assert bench.medians({"q": [10.0, 10.5, 26.0, 10.2, 10.4]}) == {
+        "q": 10.4
+    }
