@@ -4,3 +4,7 @@ from .events_stream import (  # noqa: F401
     range_bars_stateful,
 )
 from .signal_stream import champion_signals_stateful  # noqa: F401
+from .decon_stream import (  # noqa: F401
+    bloom_guard_batch,
+    decontamination_guard_stateful,
+)

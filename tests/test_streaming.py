@@ -337,3 +337,86 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
 
     got = sorted(r.event_id for r in spark.table("dedup_sink").collect())
     assert got == [1, 2, 3], f"each id exactly once, got {got}"
+
+
+def test_streaming_bloom_guard_matches_batch_twin(spark, tmp_path):
+    """Round-12 streaming decontamination: split the documents file into
+    three files, force one micro-batch per file, and compare the
+    streamed output to a sequential replay of the SAME pure ingest
+    function — state (the Bloom bit array + benchmark counter) must
+    carry across micro-batches, and the emitted n_bench_seen column
+    must show the filter evolving (early corpus docs scored against a
+    smaller benchmark than later ones)."""
+    import os
+
+    from rangebar_patterns_spark.streaming import (
+        bloom_guard_batch,
+        decontamination_guard_stateful,
+    )
+    from rangebar_patterns_spark.streaming.decon_stream import (
+        BLOOM_STREAM_WORDS,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = len(docs)
+    parts = [docs.iloc[: n // 3], docs.iloc[n // 3 : 2 * n // 3],
+             docs.iloc[2 * n // 3 :]]
+    assert all(len(p) > 0 for p in parts)
+    # every part must contain at least one benchmark doc so each batch
+    # actually grows the filter
+    for p in parts:
+        assert (p["doc_id"] % 100 == 7).any()
+    for i, p in enumerate(parts):
+        f = tmp_path / f"documents_{i}.parquet"
+        p.to_parquet(f, index=False)
+        os.utime(f, (1_000_000 + i, 1_000_000 + i))
+
+    got = [
+        tuple(r)
+        for r in decontamination_guard_stateful(
+            spark,
+            str(tmp_path),
+            glob="documents_*.parquet",
+            sink_name="decon_multibatch_sink",
+            stream_options={"maxFilesPerTrigger": "1"},
+        ).collect()
+    ]
+
+    words, n_bench = [0] * BLOOM_STREAM_WORDS, 0
+    expect: list = []
+    for p in parts:
+        out, words, n_bench = bloom_guard_batch(
+            list(zip((int(d) for d in p["doc_id"]), p["text"])),
+            words,
+            n_bench,
+        )
+        expect.extend(out)
+
+    assert sorted(got) == sorted(expect)
+    # the guard evolved: distinct filter versions were observed, ending
+    # at the full benchmark count
+    versions = sorted({r[5] for r in got})
+    assert len(versions) == 3
+    assert versions[-1] == n_bench
+    # monotone one-sidedness: any doc with a bloom hit against an early
+    # filter would also hit the final filter (bits only ever set) —
+    # spot-check by rescoring everything against the final filter
+    final_scores = {
+        r[0]: r[2]
+        for r in bloom_guard_batch(
+            [
+                (int(d), t)
+                for d, t in zip(docs["doc_id"], docs["text"])
+            ],
+            [0] * BLOOM_STREAM_WORDS,
+            0,
+        )[0]
+    }
+    for doc_id, _ns, n_bloom, *_rest in got:
+        assert n_bloom <= final_scores[doc_id]
