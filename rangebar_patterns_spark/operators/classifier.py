@@ -186,30 +186,35 @@ def logreg_train(
     would each pay it once)."""
     raw = logreg_features(docs) if raw is None else raw
     mu, sd = standardize_moments(raw)
-    feats = _std_feats(raw, mu, sd).persist()
+    # localCheckpoint, not persist: each GD step submits a fresh aggregate
+    # plan over this relation, and with persist() every step re-analyzes
+    # the WHOLE feature lineage (the repetition HOF stack — a large
+    # logical tree) before the physical plan even consults the cache.
+    # Truncating the lineage to a LogicalRDD makes the per-step plan a
+    # few nodes, cutting the driver-side planning cost that dominates
+    # this latency-bound loop (guide §7.3 "planning time itself");
+    # the checkpointed rows are identical by construction.
+    feats = _std_feats(raw, mu, sd).localCheckpoint()
     ran = 0
-    try:
-        n = F.count("*").cast("double")
-        w = [0.0] * (len(LOGREG_FEATURES) + 1)
-        for _ in range(iters):
-            resid = (_p(w) - F.col("y")).alias("_r")
-            d = feats.select("doc_id", *LOGREG_FEATURES, resid)
-            aggs = [
-                F.round(_sum1(F.col("_r")) / n, 6).alias("g0")
-            ] + [
-                F.round(_sum2(F.col("_r"), F.col(name)) / n, 6).alias(
-                    f"g{j + 1}"
-                )
-                for j, name in enumerate(LOGREG_FEATURES)
-            ]
-            g = d.agg(*aggs).collect()[0]
-            new = [round(wj - lr * g[j], 6) for j, wj in enumerate(w)]
-            ran += 1
-            if new == w:  # rounded fixed point: rest of the loop is no-ops
-                break
-            w = new
-    finally:
-        feats.unpersist()
+    n = F.count("*").cast("double")
+    w = [0.0] * (len(LOGREG_FEATURES) + 1)
+    for _ in range(iters):
+        resid = (_p(w) - F.col("y")).alias("_r")
+        d = feats.select("doc_id", *LOGREG_FEATURES, resid)
+        aggs = [
+            F.round(_sum1(F.col("_r")) / n, 6).alias("g0")
+        ] + [
+            F.round(_sum2(F.col("_r"), F.col(name)) / n, 6).alias(
+                f"g{j + 1}"
+            )
+            for j, name in enumerate(LOGREG_FEATURES)
+        ]
+        g = d.agg(*aggs).collect()[0]
+        new = [round(wj - lr * g[j], 6) for j, wj in enumerate(w)]
+        ran += 1
+        if new == w:  # rounded fixed point: rest of the loop is no-ops
+            break
+        w = new
     if stats_out is not None:
         stats_out["iters_run"] = ran
     return w, mu, sd
