@@ -38,12 +38,15 @@ from dataclasses import dataclass
 from itertools import chain
 
 import numpy as np
+import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     IntegerType,
+    StringType,
     StructField,
     StructType,
 )
@@ -414,21 +417,17 @@ def derive_grid_shuffle_partitions(
     )
 
 
-def derive_threshold_partitions(
+def estimate_pair_rows(
     feat: DataFrame,
-    spark: SparkSession,
     warmup: int,
     formation_arr,
     groups_per_formation: dict[str, int],
 ) -> int:
-    """Size the threshold shuffle from estimated side-relation rows: count
-    candidate (bar, formation) memberships with one cheap aggregation over
-    ``feat`` (persisted by every catalog caller), multiply by each
-    formation's pair fan-out, and target
-    :data:`THRESHOLD_ROWS_PER_PARTITION` rows per partition.  The estimate
-    is an upper bound (it ignores per-pair feature-NULL drops), which errs
-    toward smaller, safer Arrow frames.  Clamped to [session shuffle
-    partitions, :data:`THRESHOLD_MAX_PARTITIONS`]."""
+    """Estimated PAIR-GRAIN side-relation rows: candidate (bar, formation)
+    memberships (one cheap aggregation over ``feat``, persisted by every
+    catalog caller) multiplied by each formation's pair fan-out.  An upper
+    bound — it ignores per-pair feature-NULL drops.  Feeds both the
+    threshold-shuffle partition sizing and the kernel-grain dispatch."""
     fcounts = {
         r["formation"]: r["count"]
         for r in (
@@ -443,13 +442,34 @@ def derive_threshold_partitions(
             .collect()
         )
     }
-    est_rows = sum(
-        fcounts.get(f, 0) * n for f, n in groups_per_formation.items()
-    )
+    return sum(fcounts.get(f, 0) * n for f, n in groups_per_formation.items())
+
+
+def partitions_from_pair_rows(est_rows: int, spark: SparkSession) -> int:
+    """Threshold-shuffle partition count for an estimated pair-grain row
+    count: target :data:`THRESHOLD_ROWS_PER_PARTITION` rows per partition,
+    clamped to [session shuffle partitions,
+    :data:`THRESHOLD_MAX_PARTITIONS`]."""
     session_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return max(
         session_default,
         min(THRESHOLD_MAX_PARTITIONS, -(-est_rows // THRESHOLD_ROWS_PER_PARTITION)),
+    )
+
+
+def derive_threshold_partitions(
+    feat: DataFrame,
+    spark: SparkSession,
+    warmup: int,
+    formation_arr,
+    groups_per_formation: dict[str, int],
+) -> int:
+    """Size the threshold shuffle from estimated side-relation rows (see
+    :func:`estimate_pair_rows` / :func:`partitions_from_pair_rows`).  The
+    estimate errs toward smaller, safer Arrow frames."""
+    return partitions_from_pair_rows(
+        estimate_pair_rows(feat, warmup, formation_arr, groups_per_formation),
+        spark,
     )
 
 
@@ -458,6 +478,21 @@ def _nan_to_null(c: F.Column) -> F.Column:
     list-array conversion where a scalar Double column's NaN would have
     become NULL — warm-gate semantics need NULL)."""
     return F.when(F.isnan(c), F.lit(None)).otherwise(c)
+
+
+#: kernel-grain dispatch thresholds, calibrated by r12 bench A/B with
+#: both kernels at sf0.1 AND sf1 (the crossover is data-dependent, so
+#: the dispatch reads estimated pair-grain rows, not a grid property
+#: alone).  Candidate grain won only where the pair-grain relation was
+#: both wide and long: fullgrid sf1 (est 160M pair rows) 169.9 → 93.1 s
+#: (−45%); every measured case at ≤72M est rows regressed on candidate
+#: grain (fullgrid sf0.1, 16M: +28%; 30,096-config complete matrix
+#: sf0.1, 72M: +14%; 44-config panel sf1, 2.1M: +52% — at fan-out 1 the
+#: kernel rows don't shrink at all, only the slot/decode overheads
+#: remain).  100M splits the measured points; the fan-out floor keeps
+#: narrow grids from ever paying the extra sizing aggregate.
+SWEEP_CANDGRAIN_MIN_FANOUT = 16
+SWEEP_CANDGRAIN_MIN_PAIR_ROWS = 100_000_000
 
 
 def sweep_candidates_with_thresholds(
@@ -473,33 +508,36 @@ def sweep_candidates_with_thresholds(
     """Fused grid-scale path producing exactly
     ``with_signalset_quantiles(sweep_candidates(...))`` (equivalence
     pinned in tests/test_sweep.py) with config-grain work deferred to the
-    very end:
+    very end.  Two Arrow kernel grains produce bit-identical rows; the
+    dispatch between them is empirical and scale-adaptive
+    (:data:`SWEEP_CANDGRAIN_MIN_FANOUT` /
+    :data:`SWEEP_CANDGRAIN_MIN_PAIR_ROWS`):
 
-    * candidates materialize at **unordered-pair grain** — one row per
-      (formation, feature-pair, bar); the quantile-combo and direction
-      axes of the grid never touch the candidate stream (4× fewer rows
-      for the full-width grid, more for dense quantile grids);
-    * the Arrow threshold pass groups by **(pair, symbol)** — the kernel
-      sees both orientations' values in one frame, sorts the candidate
-      sequence ONCE, runs every W7 quantile stream the pair needs over
-      it, and emits per-bar threshold ARRAYS (one slot per q, aligned
-      with the pair's sorted q-list).  Each threshold series is still
-      generated exactly once by construction, and the old design's
-      series-grain pivot — two decode joins plus a (pair, bar)-key
-      shuffle join moving the two widest relations in the plan (~60 % of
-      task time at full-matrix width) — disappears entirely: the
-      q1 × q2 fan-out is two JVM-side ``arrays_zip``/``explode``s over
-      the pair-grain rows;
-    * trade payload rides through the kernel, so no join back to the
-      candidate stream is ever needed; configs (direction axes included)
-      attach via ONE broadcast join on (formation, pair, q_a, q_b)
-      straight into the funnel aggregate — at no point does any shuffle
-      move config-grain or series-grain rows.
+    * **pair grain** (the default): one kernel row per
+      (formation, feature-pair, bar) — the quantile-combo and direction
+      axes never touch the candidate stream; the kernel sorts each
+      (pair, symbol) candidate sequence once, runs every W7 quantile
+      stream the pair needs over it, and emits per-bar thresholds as
+      wide scalar columns; the q1 × q2 fan-out is JVM-side
+      ``arrays_zip``/``explode``;
+    * **candidate grain** (wide grids over long streams): one kernel row
+      per (formation, bar) carrying every feature as a wide double
+      column — the ×pairs axis (76× for the full grid) moves AFTER the
+      Arrow pass as a broadcast join + slot-array indexing, shrinking
+      the threshold shuffle and the Arrow/pandas row traffic by the
+      fan-out factor (guide §2.3 "shuffle keys and metadata instead of
+      payloads", §8.4 "decide with small rows").
+
+    Either way, configs (direction axes included) attach via ONE
+    broadcast join on (formation, pair, q_a, q_b) straight into the
+    funnel aggregate — no shuffle ever moves config-grain or
+    series-grain rows.
 
     ``threshold_shuffle_partitions`` sizes the threshold shuffle's exact
     partition count; pass ``"auto"`` to derive it from estimated
-    side-relation rows (:func:`derive_threshold_partitions` — one cheap
-    aggregation over ``feat``), an int to pin it, or None to leave the
+    pair-grain rows (:func:`estimate_pair_rows` — one cheap aggregation
+    over ``feat``; at candidate grain that estimate proxies kernel
+    *work* per partition), an int to pin it, or None to leave the
     session default in place."""
     same = [c.config_id for c in grid if c.feature1 == c.feature2]
     if same:
@@ -510,13 +548,11 @@ def sweep_candidates_with_thresholds(
             + ("..." if len(same) > 3 else "")
         )
     formations = grid_formations(grid)
-    # UNORDERED pair grain: grids may contain both orientations of a pair
-    # (gen500 does) and both share one candidate set — (pa < pb) keying
-    # gives each distinct threshold series exactly one source row stream.
-    # Orientation a = the series whose feature is the pair's smaller name
-    # (it reads ``val_a``); orientation b reads ``val_b``.  A config with
-    # feature1 < feature2 needs q1 on orientation a and q2 on b; the
-    # reversed config contributes the other way around.
+    # UNORDERED pair grain for the decode: grids may contain both
+    # orientations of a pair (gen500 does) and both share one candidate
+    # set — (pa < pb) keying gives each distinct threshold series exactly
+    # one slot.  Orientation a = the series whose feature is the pair's
+    # smaller name (it reads ``val_a``); orientation b reads ``val_b``.
     pair_ids = {
         t: i
         for i, t in enumerate(sorted(
@@ -527,9 +563,9 @@ def sweep_candidates_with_thresholds(
     qset_a: dict[int, set] = {}
     qset_b: dict[int, set] = {}
     for c in grid:
-        pa, pb = min(c.feature1, c.feature2), max(c.feature1, c.feature2)
-        pid = pair_ids[(c.formation, pa, pb)]
-        qa, qb = (c.q1, c.q2) if c.feature1 == pa else (c.q2, c.q1)
+        pa_, pb_ = min(c.feature1, c.feature2), max(c.feature1, c.feature2)
+        pid = pair_ids[(c.formation, pa_, pb_)]
+        qa, qb = (c.q1, c.q2) if c.feature1 == pa_ else (c.q2, c.q1)
         qset_a.setdefault(pid, set()).add(qa)
         qset_b.setdefault(pid, set()).add(qb)
     # per-pair sorted q tuples — closure-shipped to the kernel (one small
@@ -539,131 +575,39 @@ def sweep_candidates_with_thresholds(
         for pid in pair_ids.values()
     }
     feat_idx = {c: i for i, c in enumerate(feature_cols)}
-    pair_sel = spark.createDataFrame(
-        [
-            (pid, f0, pa, pb, feat_idx[pa], feat_idx[pb],
-             list(pair_qs[pid][0]), list(pair_qs[pid][1]))
-            for (f0, pa, pb), pid in pair_ids.items()
-        ],
-        "pair_id int, formation string, pa string, pb string, "
-        "pa_idx int, pb_idx int, qs_a array<double>, qs_b array<double>",
-    )
     formation_arr = F.array(
         *[F.when(FORMATIONS[name].signal(), F.lit(name)) for name in formations]
     )
+    # kernel-grain dispatch + partition sizing share ONE cheap aggregate
+    # over ``feat``; narrow grids (fan-out below the dispatch floor) with
+    # pinned/None partitions never pay it
+    ppf = grid_pairs_per_formation(grid)
+    fan_out = max(ppf.values())
+    est_rows: int | None = None
+    if (
+        threshold_shuffle_partitions == "auto"
+        or fan_out >= SWEEP_CANDGRAIN_MIN_FANOUT
+    ):
+        est_rows = estimate_pair_rows(feat, warmup, formation_arr, ppf)
     if threshold_shuffle_partitions == "auto":
-        threshold_shuffle_partitions = derive_threshold_partitions(
-            feat, spark, warmup, formation_arr, grid_pairs_per_formation(grid)
+        threshold_shuffle_partitions = partitions_from_pair_rows(
+            est_rows, spark
         )
+    candidate_grain = (
+        fan_out >= SWEEP_CANDGRAIN_MIN_FANOUT
+        and est_rows is not None
+        and est_rows >= SWEEP_CANDGRAIN_MIN_PAIR_ROWS
+    )
     payload = ["close_time_ms", "threshold_decimal_bps", "entry_price", "next_dir"]
-    # ONE pass builds the pair-grain side relation: the per-candidate
-    # feature array and the formation explode run once, the ×pairs
-    # broadcast join fans out row *references*, and both orientations'
-    # values land as two columns of the SAME row — no per-series
-    # explosion (the earlier series-grain design moved 4× the rows into
-    # the Arrow pass and needed a pivot join to reassemble them).
-    side_rows = (
-        feat.filter(base_candidate_filter(warmup))
-        .withColumn(
-            "formation",
-            F.explode(F.filter(formation_arr, lambda x: x.isNotNull())),
-        )
-        .withColumn(
-            "_vals", F.array(*[F.col(c).cast("double") for c in feature_cols])
-        )
-        .join(
-            F.broadcast(pair_sel.select("pair_id", "formation", "pa_idx", "pb_idx")),
-            "formation",
-        )
-        .withColumn("val_a", F.get("_vals", F.col("pa_idx")))
-        .withColumn("val_b", F.get("_vals", F.col("pb_idx")))
-        .filter(F.col("val_a").isNotNull() & F.col("val_b").isNotNull())
-        .select("pair_id", "symbol", "rn", *payload, "val_a", "val_b")
-    )
-
-    # thresholds come back as K wide scalar double columns (K = the
-    # grid-wide max q-count per orientation, small: 1-4), NOT as one
-    # array column — a pandas object column of per-row arrays creates
-    # tens of millions of Python objects whose element-wise Arrow
-    # conversion measured ~1.7× the whole kernel's cost at full-matrix
-    # width; wide columns are K vectorized assigns and stay zero-copy.
-    # Pairs with fewer q's pad with NaN; the JVM decode slices each
-    # pair's real q-count back off the assembled array.
-    k_a = max(len(qa) for qa, _ in pair_qs.values())
-    k_b = max(len(qb) for _, qb in pair_qs.values())
-    thr_schema = StructType(
-        [
-            StructField("pair_id", IntegerType()),
-            StructField("symbol", feat.schema["symbol"].dataType),
-            StructField("rn", feat.schema["rn"].dataType),
-            StructField("close_time_ms", feat.schema["close_time_ms"].dataType),
-            StructField(
-                "threshold_decimal_bps",
-                feat.schema["threshold_decimal_bps"].dataType,
-            ),
-            StructField("entry_price", DoubleType()),
-            StructField("next_dir", feat.schema["next_dir"].dataType),
-            StructField("val_a", DoubleType()),
-            StructField("val_b", DoubleType()),
-            *[StructField(f"thr_a_{i}", DoubleType()) for i in range(k_a)],
-            *[StructField(f"thr_b_{i}", DoubleType()) for i in range(k_b)],
-        ]
-    )
-    out_cols = [f.name for f in thr_schema.fields]
-
-    # the Arrow pass groups by a HASH BUCKET of (pair, symbol), not the
-    # (pair, symbol) key itself: Spark's grouped-pandas runner pays a
-    # fixed per-group cost (its own Arrow batch + pandas frame + function
-    # dispatch) that measured ~40 ms/group — at full-matrix width (37K
-    # groups) that machinery was ~5× the actual quantile math.  A bucket
-    # frame holds many whole groups (the hash key contains the full group
-    # key, so no group ever splits); the kernel sorts the frame once by
-    # (pair, symbol, rn) and walks the contiguous group runs with numpy
-    # boundary detection — per-group cost collapses to one Python loop
-    # iteration + the quantile streams themselves.
-    def compute(pdf):
-        pdf = pdf.sort_values(
-            ["pair_id", "symbol", "rn"], kind="mergesort"
-        ).reset_index(drop=True)
-        pid = pdf["pair_id"].to_numpy()
-        sym = pdf["symbol"].to_numpy()
-        va = pdf["val_a"].to_numpy("float64", na_value=np.nan)
-        vb = pdf["val_b"].to_numpy("float64", na_value=np.nan)
-        n = len(pdf)
-        outs_a = [np.full(n, np.nan) for _ in range(k_a)]
-        outs_b = [np.full(n, np.nan) for _ in range(k_b)]
-        if n:
-            change = (
-                np.flatnonzero((pid[1:] != pid[:-1]) | (sym[1:] != sym[:-1])) + 1
-            )
-            bounds = np.concatenate(([0], change, [n]))
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                qa, qb = pair_qs[int(pid[s])]
-                # all of an orientation's q's in one kernel pass: the
-                # sorted-window maintenance (the O(w) memmoves) is paid
-                # once per series, each extra q costs only its O(1) pick
-                for i, got in enumerate(excl_quantile_stream_multi(va[s:e], qa, lookback)):
-                    outs_a[i][s:e] = got
-                for i, got in enumerate(excl_quantile_stream_multi(vb[s:e], qb, lookback)):
-                    outs_b[i][s:e] = got
-        for i in range(k_a):
-            pdf[f"thr_a_{i}"] = outs_a[i]
-        for i in range(k_b):
-            pdf[f"thr_b_{i}"] = outs_b[i]
-        return pdf[out_cols]
-
-    # every consumer branch reads this relation — persist so the Arrow
-    # pass runs once.  ``threshold_shuffle_partitions`` sets the EXACT
-    # partition count for that one shuffle: at full-grid × large-SF
-    # width the side relation is O(10M-100M) rows, and the session
-    # default (one per core) makes each Python worker hold
-    # multi-million-row partitions — enough to OOM the worker and to
-    # serialize the stage behind its largest partition.  See the inner
-    # block below for why the count is exact (cached plans compile with
-    # AQE off) and why setting it implies eager materialization.
-    # Buckets outnumber partitions 4× so hash collisions between buckets
-    # still spread evenly; per-frame rows stay bounded by the same
-    # partition sizing either way.
+    # the threshold relation feeds every consumer branch — persist so the
+    # Arrow pass runs once.  ``threshold_shuffle_partitions`` sets the
+    # EXACT partition count for that one shuffle, sized from estimated
+    # pair-grain rows: at pair grain that bounds per-worker pandas rows
+    # directly (the session one-per-core default puts multi-million-row
+    # frames in each Python worker at large SF — an OOM-killed worker);
+    # at candidate grain the same number proxies kernel WORK per
+    # partition (rows × slots).  Buckets outnumber partitions 4× so hash
+    # collisions between buckets still spread evenly.
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_buckets = 4 * (
         threshold_shuffle_partitions
@@ -671,79 +615,397 @@ def sweep_candidates_with_thresholds(
         else session_parts
     )
 
-    def _thr_of(src):
-        return (
-            src.withColumn(
-                "_bkt",
-                F.pmod(F.hash("pair_id", "symbol"), F.lit(n_buckets)).cast("int"),
+    def _materialized_thr(side_rows, thr_of):
+        if threshold_shuffle_partitions is not None:
+            # the conf must be in effect BEFORE .persist(): persist
+            # eagerly compiles and registers the physical plan with the
+            # CacheManager, baking the exchange's partition count in —
+            # confs set afterward never reach the cached shuffle.  The
+            # count is also EXACT, not an AQE ceiling: cached plans
+            # compile with AQE disabled
+            # (canChangeCachedPlanOutputPartitioning defaults false), so
+            # the number set here is what materializes.  The scoped
+            # mutation assumes the driver plans one query at a time,
+            # which holds for every caller in this repo.
+            with exact_shuffle_partitions(spark, threshold_shuffle_partitions):
+                thr = thr_of(side_rows).persist()
+                thr.count()
+        else:
+            thr = thr_of(side_rows).persist()
+            if materialize_thresholds:
+                # populate the cache NOW: a consumer plan with several
+                # branches (funnel ⋈ metrics) would otherwise schedule
+                # the Arrow pass concurrently per branch and race past
+                # the cold cache, paying the full threshold computation
+                # once per branch.
+                thr.count()
+        return thr
+
+    if candidate_grain:
+        # --------------------------------------------------------------
+        # CANDIDATE-GRAIN kernel: formation-local SLOT layout, one
+        # kernel-output slot per (pair, orientation, q).  The kernel runs
+        # one row per (formation, bar), NOT per (pair, bar): the ×pairs
+        # fan-out moves AFTER the Arrow pass as a broadcast join + slot-
+        # array indexing, so the threshold shuffle, the Arrow/pandas
+        # conversion and the kernel's row traffic all shrink by the pair
+        # fan-out factor (guide §2.3 "shuffle keys and metadata instead
+        # of payloads", §8.4 "decide with small rows").  Each slot's
+        # stream is still the per-pair masked candidate sequence (both
+        # features non-NULL — the Feature Quantile Trap), reconstructed
+        # inside the kernel from the per-feature NaN patterns, so every
+        # threshold value is bit-identical to the pair-grain computation.
+        # Slots whose (series feature, mask) coincide — every pair whose
+        # partner has no NULLs in the frame shares the base candidate
+        # mask — are computed once and scattered to all their slots via
+        # an in-kernel memo keyed by (feature, q-tuple, mask bytes):
+        # exact sharing, discovered per frame at runtime.
+        form_slots: dict[str, list[tuple[int, int, int, tuple[float, ...]]]] = {}
+        pair_slot_base: dict[int, tuple[int, int]] = {}
+        form_k: dict[str, int] = {}
+        for (f0, pa_, pb_), pid in sorted(
+            pair_ids.items(), key=lambda kv: kv[1]
+        ):
+            qa, qb = pair_qs[pid]
+            slots = form_slots.setdefault(f0, [])
+            k = form_k.get(f0, 0)
+            base_a = k
+            slots.append((base_a, feat_idx[pa_], feat_idx[pb_], qa))
+            k += len(qa)
+            base_b = k
+            slots.append((base_b, feat_idx[pb_], feat_idx[pa_], qb))
+            k += len(qb)
+            form_k[f0] = k
+            pair_slot_base[pid] = (base_a, base_b)
+        # kernel output width — max over formations of their slot count
+        # (the slot index space is formation-local; rows of narrower
+        # formations leave the tail NaN)
+        n_slots = max(form_k.values())
+        # ONE pass builds the candidate-grain kernel input: base filter +
+        # formation explode, each feature as its own wide double column
+        # (wide numeric columns are zero-copy through Arrow; an array
+        # column would arrive in pandas as per-row Python objects).
+        fcols = [f"_f{i}" for i in range(len(feature_cols))]
+        side_rows = (
+            feat.filter(base_candidate_filter(warmup))
+            .withColumn(
+                "formation",
+                F.explode(F.filter(formation_arr, lambda x: x.isNotNull())),
             )
-            .groupBy("_bkt")
-            .applyInPandas(compute, thr_schema)
+            .select(
+                "formation", "symbol", "rn", *payload,
+                *[
+                    F.col(c).cast("double").alias(a)
+                    for c, a in zip(feature_cols, fcols)
+                ],
+            )
+        )
+        thr_schema = StructType(
+            [
+                StructField("formation", StringType()),
+                StructField("symbol", feat.schema["symbol"].dataType),
+                StructField("rn", feat.schema["rn"].dataType),
+                StructField("close_time_ms", feat.schema["close_time_ms"].dataType),
+                StructField(
+                    "threshold_decimal_bps",
+                    feat.schema["threshold_decimal_bps"].dataType,
+                ),
+                StructField("entry_price", DoubleType()),
+                StructField("next_dir", feat.schema["next_dir"].dataType),
+                *[StructField(a, DoubleType()) for a in fcols],
+                StructField("thr_arr", ArrayType(DoubleType())),
+            ]
+        )
+        out_cols = [f.name for f in thr_schema.fields]
+
+        # the Arrow pass groups by a HASH BUCKET of (formation, symbol),
+        # not the key itself (the grouped-pandas runner's fixed per-group
+        # cost — see the pair-grain kernel below); the kernel sorts the
+        # frame once and walks contiguous (formation, symbol) runs with
+        # numpy boundary detection.  The slot thresholds leave the kernel
+        # as ONE fixed-size-list Arrow array built zero-copy from a flat
+        # numpy buffer (pandas ArrowDtype) — no per-row Python objects.
+        def compute(pdf):
+            pdf = pdf.sort_values(
+                ["formation", "symbol", "rn"], kind="mergesort"
+            ).reset_index(drop=True)
+            fm = pdf["formation"].to_numpy()
+            sym = pdf["symbol"].to_numpy()
+            cols = [pdf[c].to_numpy("float64", na_value=np.nan) for c in fcols]
+            n = len(pdf)
+            flat = np.full(n * n_slots, np.nan)
+            if n:
+                change = (
+                    np.flatnonzero((fm[1:] != fm[:-1]) | (sym[1:] != sym[:-1])) + 1
+                )
+                bounds = np.concatenate(([0], change, [n]))
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    memo: dict = {}
+                    masks: dict = {}
+                    for base, fi, gi, qs in form_slots[fm[s]]:
+                        mk = (fi, gi) if fi <= gi else (gi, fi)
+                        got = masks.get(mk)
+                        if got is None:
+                            m = ~(
+                                np.isnan(cols[fi][s:e]) | np.isnan(cols[gi][s:e])
+                            )
+                            got = (m, m.tobytes())
+                            masks[mk] = got
+                        m, mbytes = got
+                        key = (fi, qs, mbytes)
+                        outs = memo.get(key)
+                        if outs is None:
+                            # all of an orientation's q's in one kernel
+                            # pass: the sorted-window maintenance (the
+                            # O(w) memmoves) is paid once per series,
+                            # each extra q costs only its O(1) pick
+                            outs = excl_quantile_stream_multi(
+                                cols[fi][s:e][m], qs, lookback
+                            )
+                            memo[key] = outs
+                        pos = np.flatnonzero(m) + s
+                        for oi in range(len(qs)):
+                            flat[pos * n_slots + base + oi] = outs[oi]
+            la = pa.FixedSizeListArray.from_arrays(pa.array(flat), n_slots)
+            pdf["thr_arr"] = pd.Series(la, dtype=pd.ArrowDtype(la.type))
+            return pdf[out_cols]
+
+        def _thr_of(src):
+            return (
+                src.withColumn(
+                    "_bkt",
+                    F.pmod(F.hash("formation", "symbol"), F.lit(n_buckets)).cast(
+                        "int"
+                    ),
+                )
+                .groupBy("_bkt")
+                .applyInPandas(compute, thr_schema)
+            )
+
+        thr = _materialized_thr(side_rows, _thr_of)
+        # JVM-side decode: broadcast the pair table (with each
+        # orientation's q-list and its slot indices), fan out ×pairs per
+        # formation, read the pair's values out of the feature columns
+        # and its thresholds out of the slot array, re-apply the pair's
+        # non-NULL candidate mask, and explode the q1 × q2 combinations —
+        # pure Tungsten generate, the same shape the pair-grain decode
+        # uses, now AFTER the kernel.  Kernel NaNs survive the Arrow
+        # list-array conversion as NaN doubles (scalar Double columns
+        # would have turned them into NULLs), so ``_nan_to_null``
+        # restores the downstream ``thr IS NOT NULL`` warm-gate
+        # semantics.
+        pair_sel = spark.createDataFrame(
+            [
+                (
+                    pid, f0, pa_, pb_, feat_idx[pa_], feat_idx[pb_],
+                    list(pair_qs[pid][0]),
+                    [pair_slot_base[pid][0] + i
+                     for i in range(len(pair_qs[pid][0]))],
+                    list(pair_qs[pid][1]),
+                    [pair_slot_base[pid][1] + i
+                     for i in range(len(pair_qs[pid][1]))],
+                )
+                for (f0, pa_, pb_), pid in pair_ids.items()
+            ],
+            "pair_id int, formation string, pa string, pb string, "
+            "pa_idx int, pb_idx int, qs_a array<double>, ia array<int>, "
+            "qs_b array<double>, ib array<int>",
+        )
+        vals_arr = F.array(*[F.col(a) for a in fcols])
+        ex = (
+            thr.join(F.broadcast(pair_sel), "formation")
+            .withColumn("val_a", F.get(vals_arr, F.col("pa_idx")))
+            .withColumn("val_b", F.get(vals_arr, F.col("pb_idx")))
+            .filter(F.col("val_a").isNotNull() & F.col("val_b").isNotNull())
+            .withColumn(
+                "_ta",
+                F.transform(F.col("ia"), lambda i: F.get(F.col("thr_arr"), i)),
+            )
+            .withColumn(
+                "_tb",
+                F.transform(F.col("ib"), lambda i: F.get(F.col("thr_arr"), i)),
+            )
+            .withColumn("_za", F.explode(F.arrays_zip("qs_a", "_ta")))
+            .withColumn("_zb", F.explode(F.arrays_zip("qs_b", "_tb")))
+            .select(
+                "formation", "pa", "pb", "symbol", "rn", *payload,
+                "val_a", "val_b",
+                F.col("_za.qs_a").alias("q_a"),
+                _nan_to_null(F.col("_za").getField("_ta")).alias("_thr_a"),
+                F.col("_zb.qs_b").alias("q_b"),
+                _nan_to_null(F.col("_zb").getField("_tb")).alias("_thr_b"),
+            )
+        )
+    else:
+        # --------------------------------------------------------------
+        # PAIR-GRAIN kernel (the default): one kernel row per
+        # (formation, feature-pair, bar).  ONE pass builds the side
+        # relation: the per-candidate feature array and the formation
+        # explode run once, the ×pairs broadcast join fans out row
+        # *references*, and both orientations' values land as two columns
+        # of the SAME row — no per-series explosion (the earlier
+        # series-grain design moved 4× the rows into the Arrow pass and
+        # needed a pivot join to reassemble them).
+        pair_sel = spark.createDataFrame(
+            [
+                (pid, f0, pa_, pb_, feat_idx[pa_], feat_idx[pb_],
+                 list(pair_qs[pid][0]), list(pair_qs[pid][1]))
+                for (f0, pa_, pb_), pid in pair_ids.items()
+            ],
+            "pair_id int, formation string, pa string, pb string, "
+            "pa_idx int, pb_idx int, qs_a array<double>, qs_b array<double>",
+        )
+        side_rows = (
+            feat.filter(base_candidate_filter(warmup))
+            .withColumn(
+                "formation",
+                F.explode(F.filter(formation_arr, lambda x: x.isNotNull())),
+            )
+            .withColumn(
+                "_vals", F.array(*[F.col(c).cast("double") for c in feature_cols])
+            )
+            .join(
+                F.broadcast(
+                    pair_sel.select("pair_id", "formation", "pa_idx", "pb_idx")
+                ),
+                "formation",
+            )
+            .withColumn("val_a", F.get("_vals", F.col("pa_idx")))
+            .withColumn("val_b", F.get("_vals", F.col("pb_idx")))
+            .filter(F.col("val_a").isNotNull() & F.col("val_b").isNotNull())
+            .select("pair_id", "symbol", "rn", *payload, "val_a", "val_b")
         )
 
-    if threshold_shuffle_partitions is not None:
-        # the conf must be in effect BEFORE .persist(): persist eagerly
-        # compiles and registers the physical plan with the CacheManager,
-        # baking the exchange's partition count in — confs set afterward
-        # never reach the cached shuffle.  The count is also EXACT, not
-        # an AQE ceiling: cached plans compile with AQE disabled
-        # (canChangeCachedPlanOutputPartitioning defaults false), so the
-        # number set here is what materializes — callers size it to
-        # bound per-worker rows directly (the session default of
-        # one-per-core puts multi-million-row pandas frames in each
-        # Python worker at large SF — an OOM-killed worker — while
-        # thousands of partitions fragment the pass into near-empty
-        # Arrow tasks).  The scoped mutation assumes the driver plans
-        # one query at a time, which holds for every caller in this
-        # repo.
-        with exact_shuffle_partitions(spark, threshold_shuffle_partitions):
-            thr = _thr_of(side_rows).persist()
-            thr.count()
-    else:
-        thr = _thr_of(side_rows).persist()
-        if materialize_thresholds:
-            # populate the cache NOW: a consumer plan with several
-            # branches (funnel ⋈ metrics) would otherwise schedule the
-            # Arrow pass concurrently per branch and race past the cold
-            # cache, paying the full threshold computation once per
-            # branch.
-            thr.count()
-    # JVM-side decode: assemble each orientation's wide columns into an
-    # array, slice off the pair's real q-count, zip with its q-list
-    # (broadcast) and explode — the q1 × q2 fan-out the old design paid a
-    # shuffle join for, now pure Tungsten generate.  Kernel NaNs (scalar
-    # Doubles become NULL in the Arrow conversion, but normalize anyway)
-    # keep the downstream ``thr IS NOT NULL`` warm-gate semantics.
-    thr_a_arr = F.array(*[F.col(f"thr_a_{i}") for i in range(k_a)])
-    thr_b_arr = F.array(*[F.col(f"thr_b_{i}") for i in range(k_b)])
-    ex = (
-        thr.join(
-            F.broadcast(
-                pair_sel.select("pair_id", "formation", "pa", "pb", "qs_a", "qs_b")
-            ),
-            "pair_id",
+        # thresholds come back as K wide scalar double columns (K = the
+        # grid-wide max q-count per orientation, small: 1-4), NOT as one
+        # array column — a pandas object column of per-row arrays creates
+        # tens of millions of Python objects whose element-wise Arrow
+        # conversion measured ~1.7× the whole kernel's cost at
+        # full-matrix width; wide columns are K vectorized assigns and
+        # stay zero-copy.  Pairs with fewer q's pad with NaN; the JVM
+        # decode slices each pair's real q-count back off the assembled
+        # array.
+        k_a = max(len(qa) for qa, _ in pair_qs.values())
+        k_b = max(len(qb) for _, qb in pair_qs.values())
+        thr_schema = StructType(
+            [
+                StructField("pair_id", IntegerType()),
+                StructField("symbol", feat.schema["symbol"].dataType),
+                StructField("rn", feat.schema["rn"].dataType),
+                StructField("close_time_ms", feat.schema["close_time_ms"].dataType),
+                StructField(
+                    "threshold_decimal_bps",
+                    feat.schema["threshold_decimal_bps"].dataType,
+                ),
+                StructField("entry_price", DoubleType()),
+                StructField("next_dir", feat.schema["next_dir"].dataType),
+                StructField("val_a", DoubleType()),
+                StructField("val_b", DoubleType()),
+                *[StructField(f"thr_a_{i}", DoubleType()) for i in range(k_a)],
+                *[StructField(f"thr_b_{i}", DoubleType()) for i in range(k_b)],
+            ]
         )
-        .withColumn(
-            "_za",
-            F.explode(
-                F.arrays_zip("qs_a", F.slice(thr_a_arr, 1, F.size("qs_a")))
-            ),
+        out_cols = [f.name for f in thr_schema.fields]
+
+        # the Arrow pass groups by a HASH BUCKET of (pair, symbol), not
+        # the (pair, symbol) key itself: Spark's grouped-pandas runner
+        # pays a fixed per-group cost (its own Arrow batch + pandas frame
+        # + function dispatch) that measured ~40 ms/group — at
+        # full-matrix width (37K groups) that machinery was ~5× the
+        # actual quantile math.  A bucket frame holds many whole groups
+        # (the hash key contains the full group key, so no group ever
+        # splits); the kernel sorts the frame once by (pair, symbol, rn)
+        # and walks the contiguous group runs with numpy boundary
+        # detection — per-group cost collapses to one Python loop
+        # iteration + the quantile streams themselves.
+        def compute(pdf):
+            pdf = pdf.sort_values(
+                ["pair_id", "symbol", "rn"], kind="mergesort"
+            ).reset_index(drop=True)
+            pid = pdf["pair_id"].to_numpy()
+            sym = pdf["symbol"].to_numpy()
+            va = pdf["val_a"].to_numpy("float64", na_value=np.nan)
+            vb = pdf["val_b"].to_numpy("float64", na_value=np.nan)
+            n = len(pdf)
+            outs_a = [np.full(n, np.nan) for _ in range(k_a)]
+            outs_b = [np.full(n, np.nan) for _ in range(k_b)]
+            if n:
+                change = (
+                    np.flatnonzero((pid[1:] != pid[:-1]) | (sym[1:] != sym[:-1])) + 1
+                )
+                bounds = np.concatenate(([0], change, [n]))
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    qa, qb = pair_qs[int(pid[s])]
+                    # all of an orientation's q's in one kernel pass: the
+                    # sorted-window maintenance (the O(w) memmoves) is
+                    # paid once per series, each extra q costs only its
+                    # O(1) pick
+                    for i, got in enumerate(
+                        excl_quantile_stream_multi(va[s:e], qa, lookback)
+                    ):
+                        outs_a[i][s:e] = got
+                    for i, got in enumerate(
+                        excl_quantile_stream_multi(vb[s:e], qb, lookback)
+                    ):
+                        outs_b[i][s:e] = got
+            for i in range(k_a):
+                pdf[f"thr_a_{i}"] = outs_a[i]
+            for i in range(k_b):
+                pdf[f"thr_b_{i}"] = outs_b[i]
+            return pdf[out_cols]
+
+        def _thr_of(src):
+            return (
+                src.withColumn(
+                    "_bkt",
+                    F.pmod(F.hash("pair_id", "symbol"), F.lit(n_buckets)).cast(
+                        "int"
+                    ),
+                )
+                .groupBy("_bkt")
+                .applyInPandas(compute, thr_schema)
+            )
+
+        thr = _materialized_thr(side_rows, _thr_of)
+        # JVM-side decode: assemble each orientation's wide columns into
+        # an array, slice off the pair's real q-count, zip with its
+        # q-list (broadcast) and explode — the q1 × q2 fan-out the old
+        # design paid a shuffle join for, now pure Tungsten generate.
+        # Kernel NaNs (scalar Doubles become NULL in the Arrow
+        # conversion, but normalize anyway) keep the downstream ``thr IS
+        # NOT NULL`` warm-gate semantics.
+        thr_a_arr = F.array(*[F.col(f"thr_a_{i}") for i in range(k_a)])
+        thr_b_arr = F.array(*[F.col(f"thr_b_{i}") for i in range(k_b)])
+        ex = (
+            thr.join(
+                F.broadcast(
+                    pair_sel.select(
+                        "pair_id", "formation", "pa", "pb", "qs_a", "qs_b"
+                    )
+                ),
+                "pair_id",
+            )
+            .withColumn(
+                "_za",
+                F.explode(
+                    F.arrays_zip("qs_a", F.slice(thr_a_arr, 1, F.size("qs_a")))
+                ),
+            )
+            .withColumn(
+                "_zb",
+                F.explode(
+                    F.arrays_zip("qs_b", F.slice(thr_b_arr, 1, F.size("qs_b")))
+                ),
+            )
+            .select(
+                "formation", "pa", "pb", "symbol", "rn", *payload,
+                "val_a", "val_b",
+                F.col("_za.qs_a").alias("q_a"),
+                _nan_to_null(F.col("_za").getField("1")).alias("_thr_a"),
+                F.col("_zb.qs_b").alias("q_b"),
+                _nan_to_null(F.col("_zb").getField("1")).alias("_thr_b"),
+            )
         )
-        .withColumn(
-            "_zb",
-            F.explode(
-                F.arrays_zip("qs_b", F.slice(thr_b_arr, 1, F.size("qs_b")))
-            ),
-        )
-        .select(
-            "formation", "pa", "pb", "symbol", "rn", *payload,
-            "val_a", "val_b",
-            F.col("_za.qs_a").alias("q_a"),
-            _nan_to_null(F.col("_za").getField("1")).alias("_thr_a"),
-            F.col("_zb.qs_b").alias("q_b"),
-            _nan_to_null(F.col("_zb").getField("1")).alias("_thr_b"),
-        )
-    )
     # configs broadcast once, annotated with their pair key and which
     # orientation their feature1 reads — (q_a, q_b) combos no config
     # uses drop in this inner join (same fan-out the old pivot had)

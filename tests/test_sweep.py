@@ -452,3 +452,35 @@ def test_derive_threshold_partitions_scales_with_fanout(spark):
     huge = {f: 10_000_000 for f in formations}
     n_huge = derive_threshold_partitions(feat, spark, WARMUP, formation_arr, huge)
     assert n_huge == THRESHOLD_MAX_PARTITIONS
+
+
+def test_candidate_grain_kernel_matches_pair_grain(spark, monkeypatch):
+    """The candidate-grain Arrow kernel (dispatched for wide grids over
+    long candidate streams) must produce bit-identical rows to the
+    default pair-grain kernel — the dispatch may change the plan, never
+    a value.  Forced via the dispatch constants on the gen500 grid
+    (multi-pair fan-out exercises the formation-local slot layout, the
+    in-kernel mask memo and the post-kernel broadcast slot decode)."""
+    import pandas as pd
+
+    from rangebar_patterns_spark.operators import sweep as SW
+    from rangebar_patterns_spark.plans.catalog import (
+        SWEEP_FEATURES,
+        WARMUP,
+        _featg,
+    )
+
+    grid = SW.gen500_grid()
+    feat = _featg(spark, SF_DIR)
+    pair = SW.sweep_candidates_with_thresholds(
+        feat, spark, grid, SWEEP_FEATURES, WARMUP
+    )
+    cols = sorted(pair.columns)
+    pp = pair.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    monkeypatch.setattr(SW, "SWEEP_CANDGRAIN_MIN_FANOUT", 1)
+    monkeypatch.setattr(SW, "SWEEP_CANDGRAIN_MIN_PAIR_ROWS", 0)
+    cand = SW.sweep_candidates_with_thresholds(
+        feat, spark, grid, SWEEP_FEATURES, WARMUP
+    )
+    cp = cand.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pp, cp)
