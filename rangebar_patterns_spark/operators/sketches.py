@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import hexint, shingles_col, words_col
+from .dedup import hexint, shingles_col, spread_narrow_scan, words_col
 
 #: KMV keeps the K smallest distinct hashes per group; the estimator is
 #: (K-1) * 2^60 / h_(K) (hashes uniform on [0, 2^60)); groups with
@@ -131,6 +131,10 @@ def heavy_hitters_panel(docs: DataFrame, top_n: int = HH_TOP) -> DataFrame:
     :func:`distinct_sketch_panel` (exact ground truth rides along; at
     100 TB only the D·W-cell sketch and the candidate probes
     survive)."""
+    # parallelize the shingle explode when the corpus scans as one
+    # partition (guide §2.5); gram counts and the (cnt desc, gram asc)
+    # tie-broken top-N are partition-invariant
+    docs = spread_narrow_scan(docs)
     wc = _gram_counts(docs)
     top = wc.orderBy(F.col("cnt").desc(), F.col("gram").asc()).limit(top_n)
     probes = top.select(
@@ -297,6 +301,11 @@ def distinct_sketch_panel(docs: DataFrame) -> DataFrame:
     hash compare certifies (for KMV the merged result provably equals
     the global sketch: every global top-K hash is in its source's
     top-K)."""
+    # a one-file corpus scans as ONE partition and the word/shingle
+    # explode + md5 hashing below would run single-threaded until the
+    # first aggregate (guide §2.5 input skew); every downstream result
+    # is a keyed aggregate / distinct, so the spread cannot change values
+    docs = spread_narrow_scan(docs)
     items = _item_values(docs)
     occ = items.groupBy("source", "item").agg(
         F.count("*").cast("long").alias("n_items")

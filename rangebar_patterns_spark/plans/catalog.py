@@ -1823,7 +1823,10 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel at any scale).  The BPE columns certify the whole trainer:
     any divergence in the 8 learned merges changes every count, so the
     hash compare covers merge learning, not just the apply."""
-    docs = load_table(spark, sf_dir, "documents")
+    # one shared spread of the one-file scan parallelizes all five
+    # per-document map panels (guide §2.5); each produces per-doc rows
+    # joined back on doc_id, so partitioning cannot change values
+    docs = DD.spread_narrow_scan(load_table(spark, sf_dir, "documents"))
     return (
         TX.token_stats(docs)
         .join(TX.language_id(docs), "doc_id")
@@ -2470,8 +2473,14 @@ _LOGREG_RAW_CACHE: dict[tuple[int, str], DataFrame] = {}
 def _logreg_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _LOGREG_RAW_CACHE:
+        # spread the one-file scan before the repetition HOF stack: the
+        # feature pass — the heaviest part of training — otherwise runs
+        # in ONE task, and the localCheckpoint'd feature relation then
+        # keeps that single partition for every GD-step aggregate
+        # (guide §2.5).  Gradients are order-free integer-scaled sums,
+        # so partitioning cannot change any certified value.
         _LOGREG_RAW_CACHE[key] = CLF.logreg_features(
-            load_table(spark, sf_dir, "documents")
+            DD.spread_narrow_scan(load_table(spark, sf_dir, "documents"))
         ).persist()
     return _LOGREG_RAW_CACHE[key]
 
