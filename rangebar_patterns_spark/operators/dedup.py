@@ -213,14 +213,34 @@ def _verify_jaccard(
     if broadcast_arrs:
         side_a, side_b = F.broadcast(side_a), F.broadcast(side_b)
     out = cand.join(side_a, "doc_a").join(side_b, "doc_b")
+    # let-binding via a single-element transform: the optimizer pushes the
+    # jaccard filter into the verify join's condition, where a naive
+    # ``inter``-twice formula evaluates array_intersect TWICE per candidate
+    # pair (observed in the physical plan; codegen does not CSE inside join
+    # conditions) and a third time in the survivor projection.  Binding the
+    # intersect size to the lambda variable makes every use share ONE
+    # evaluation wherever the expression lands — identical arithmetic on
+    # identical values, so outputs are byte-equal.
     inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).cast("long")
-    out = out.withColumn("inter", inter).withColumn(
-        "jaccard",
-        F.round(
-            F.col("inter").cast("double")
-            / (F.col("_na") + F.col("_nb") - F.col("inter")).cast("double"),
-            6,
+    pair = F.element_at(
+        F.transform(
+            F.array(inter),
+            lambda i: F.struct(
+                i.alias("inter"),
+                F.round(
+                    i.cast("double")
+                    / (F.col("_na") + F.col("_nb") - i).cast("double"),
+                    6,
+                ).alias("jaccard"),
+            ),
         ),
+        1,
+    )
+    out = (
+        out.withColumn("_ij", pair)
+        .withColumn("inter", F.col("_ij.inter"))
+        .withColumn("jaccard", F.col("_ij.jaccard"))
+        .drop("_ij")
     )
     return out.filter(F.col("jaccard") >= threshold)
 
@@ -407,31 +427,31 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash: sum token-hash bit contributions (+1/−1) per bit
     position over ALL tokens (frequency-weighted), sign → fingerprint.
-    (Bit shifts use the SQL ``>>``/``<<`` operators — the pyspark
-    shiftleft/shiftright wrappers only take literal shift amounts.)"""
+
+    One conditional sum per bit position instead of a ``bits``-way
+    explode: the former Generate fanned every token occurrence into
+    ``bits`` rows and pushed them all through a (doc_id, bit)-grain hash
+    aggregate — ``bits``× the token relation through one shuffle, then a
+    second (doc_id)-grain aggregate.  ``bits`` codegen'd sums over the
+    occurrence rows compute the identical order-free integer totals with
+    map-side partial aggregation (one shuffle of exactly one row-group
+    per doc), and the sign→bit fold becomes a flat projection."""
     toks = spread_narrow_scan(docs).select(
         "doc_id", F.explode(words_col()).alias("w")
     )
     toks = toks.withColumn("h", hexint(F.col("w")))
-    contrib = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "h",
-    ).select(
-        "doc_id", "bit", (F.expr("(h >> bit) & 1") * 2 - 1).alias("sign")
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"((h >> {i}) & 1) * 2 - 1")).alias(f"_s{i}")
+            for i in range(bits)
+        ]
     )
-    return (
-        contrib.groupBy("doc_id", "bit")
-        .agg(F.sum("sign").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            ).alias("simhash")
-        )
-    )
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(
+            F.col(f"_s{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -501,6 +521,23 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / F.nullif(
         F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b)), F.lit(0.0)
     )
+
+
+def norm_col(v: Column) -> Column:
+    """The self-norm factor of :func:`cosine_col`, exposed so pair-grain
+    consumers can hoist it to vector grain (compute once per vector, not
+    once per candidate pair)."""
+    return F.sqrt(dot_col(v, v))
+
+
+def cosine_pre_col(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine_col`` with the self-norm folds precomputed: same IEEE ops
+    in the same order (sqrt per side via :func:`norm_col`, then multiply,
+    then the nullif-guarded divide), so the result is bit-identical to
+    :func:`cosine_col` while a pair-grain caller folds ONE dot product per
+    pair instead of three (~2/3 of the verify arithmetic in dup-heavy
+    buckets — the embedding_near_dup_pairs lesson, shared)."""
+    return dot_col(a, b) / F.nullif(na * nb, F.lit(0.0))
 
 
 def sign_bucket_col(v: Column, bits: int = SIGN_BITS) -> Column:

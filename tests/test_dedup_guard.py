@@ -126,3 +126,48 @@ def test_capped_band_join_matches_duckdb_twin(spark, template_docs):
     con.register("documents", template_docs.toPandas())
     du = con.execute(minhash_lsh_capped_sql(MAX_BUCKET)).df()
     compare_frames(sp, du)
+
+
+def test_simhash_fingerprints_match_bruteforce(spark):
+    """The per-bit conditional-sum SimHash (round-12: replaced the
+    bits-way explode + (doc, bit)-grain aggregate) must equal the
+    definition computed brute-force per document in Python: sum +1/-1
+    contributions of every token OCCURRENCE per bit of its md5-prefix
+    hash, sign -> bit."""
+    import hashlib
+
+    from rangebar_patterns_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_fingerprints,
+    )
+
+    texts = [
+        (1, "the cat sat on the mat the cat"),
+        (2, "the cat sat on the mat"),
+        (3, "completely different words entirely here"),
+        (4, "  leading   and trailing   spaces  "),
+        (5, ""),  # wordless doc: no token rows, absent from output
+        (6, "one"),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+
+    def hexint_py(w: str) -> int:
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+
+    expect = {}
+    for doc_id, text in texts:
+        words = [w for w in text.split(" ") if w != ""]
+        if not words:
+            continue
+        sums = [0] * SIMHASH_BITS
+        for w in words:
+            h = hexint_py(w)
+            for b in range(SIMHASH_BITS):
+                sums[b] += ((h >> b) & 1) * 2 - 1
+        expect[doc_id] = sum(1 << b for b in range(SIMHASH_BITS) if sums[b] > 0)
+
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(docs).collect()
+    }
+    assert got == expect
