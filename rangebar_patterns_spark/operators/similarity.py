@@ -17,7 +17,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine_col, sign_bucket_col, vec_double
+from .dedup import (
+    cosine_col,
+    cosine_pre_col,
+    norm_col,
+    sign_bucket_col,
+    vec_double,
+)
 
 N_QUERIES = 8
 TOP_K = 5
@@ -27,14 +33,25 @@ def _vecs(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", vec_double(F.col("embedding")).alias("v"), "label")
 
 
+# NB on the pair-grain cosine sites below: every scan stage hoists the
+# self-norm folds to vector grain (norm_col once per corpus vector / query
+# vector, cosine_pre_col at the pair grain) — cosine_col would re-fold
+# dot(a,a)/dot(b,b) for every candidate pair, ~2/3 of the scan arithmetic.
+# Bit-identical by construction (same IEEE ops in the same order); the
+# full-HOF unroll experiment, by contrast, was a 3-5× regression (codegen
+# blowup) and stays reverted.
+
+
 def cosine_topk(
     emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
 ) -> DataFrame:
     """Exact top-k neighbors by cosine for the query set (vec_id <
     n_queries), self excluded; ties broken by neighbor id ascending."""
-    v = _vecs(emb)
+    v = _vecs(emb).withColumn("_nv", norm_col(F.col("v")))
     q = v.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("_nv").alias("_nq"),
     )
     scored = (
         F.broadcast(q)
@@ -42,7 +59,12 @@ def cosine_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(
+                cosine_pre_col(
+                    F.col("qv"), F.col("v"), F.col("_nq"), F.col("_nv")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -61,11 +83,16 @@ def lsh_topk(
     """Approximate top-k: candidates restricted to the query's sign
     bucket.  Same output shape as :func:`cosine_topk` (rank may hold
     fewer than k rows when the bucket is small — honest ANN semantics)."""
-    v = _vecs(emb).withColumn("bucket", sign_bucket_col(F.col("v")))
+    v = (
+        _vecs(emb)
+        .withColumn("bucket", sign_bucket_col(F.col("v")))
+        .withColumn("_nv", norm_col(F.col("v")))
+    )
     q = v.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("_nv").alias("_nq"),
     )
     scored = (
         F.broadcast(q)
@@ -77,7 +104,12 @@ def lsh_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(
+                cosine_pre_col(
+                    F.col("qv"), F.col("v"), F.col("_nq"), F.col("_nv")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -128,10 +160,12 @@ def label_centroid_search(
     neighbor across the probed cells, with the winning neighbor's cell and
     that cell's centroid cosine.  ``tests/test_similarity.py`` pins
     recall@1 vs the brute-force baseline as non-decreasing in nprobe."""
-    v = _vecs(emb)
+    v = _vecs(emb).withColumn("_nv", norm_col(F.col("v")))
     centroids = _label_centroids(v)
     q = v.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("_nv").alias("_nq"),
     )
     assign_w = Window.partitionBy("query_id").orderBy(
         F.col("centroid_cos").desc(), F.col("label").asc()
@@ -142,7 +176,9 @@ def label_centroid_search(
         .withColumn("centroid_cos", F.round(cosine_col(F.col("qv"), F.col("cv")), 6))
         .withColumn("crank", F.row_number().over(assign_w))
         .filter(F.col("crank") <= nprobe)
-        .select("query_id", "qv", F.col("label").alias("cell"), "centroid_cos")
+        .select(
+            "query_id", "qv", "_nq", F.col("label").alias("cell"), "centroid_cos"
+        )
     )
     best_w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -154,7 +190,12 @@ def label_centroid_search(
             "cell",
             "centroid_cos",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(
+                cosine_pre_col(
+                    F.col("qv"), F.col("v"), F.col("_nq"), F.col("_nv")
+                ),
+                6,
+            ).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(best_w).cast("long"))
         .filter(F.col("rank") == 1)
@@ -200,9 +241,11 @@ def quantized_cosine_topk(
     q8 = quantize_embeddings(emb)
     qd = q8.select(
         "vec_id", F.transform(F.col("qv"), lambda x: x.cast("double")).alias("v")
-    )
+    ).withColumn("_nv", norm_col(F.col("v")))
     q = qd.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("_nv").alias("_nq"),
     )
     scored = (
         F.broadcast(q)
@@ -210,7 +253,12 @@ def quantized_cosine_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(
+                cosine_pre_col(
+                    F.col("qv"), F.col("v"), F.col("_nq"), F.col("_nv")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -247,16 +295,18 @@ def ivf_quantized_search(
     cosine with float precision); tests/test_similarity.py pins recall
     vs the brute-force baseline and that re-ranked precision is at least
     the quantized-only variant's."""
-    v = _vecs(emb)
+    v = _vecs(emb).withColumn("_nv", norm_col(F.col("v")))
     q8 = quantize_embeddings(emb)
     vq = q8.select(
         "label",
         "vec_id",
         F.transform(F.col("qv"), lambda x: x.cast("double")).alias("v8"),
-    )
+    ).withColumn("_n8", norm_col(F.col("v8")))
     centroids = _label_centroids(v)
     q = v.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv_f")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv_f"),
+        F.col("_nv").alias("_nq"),
     )
     assign_w = Window.partitionBy("query_id").orderBy(
         F.col("centroid_cos").desc(), F.col("label").asc()
@@ -274,7 +324,9 @@ def ivf_quantized_search(
     # quantized query vectors for the scan stage (both sides int8: the
     # scan never touches floats)
     q8q = vq.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v8").alias("q8v")
+        F.col("vec_id").alias("query_id"),
+        F.col("v8").alias("q8v"),
+        F.col("_n8").alias("_q8n"),
     )
     cand_w = Window.partitionBy("query_id").orderBy(
         F.col("q_cos").desc(), F.col("neighbor_id").asc()
@@ -288,14 +340,23 @@ def ivf_quantized_search(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_col(F.col("q8v"), F.col("v8")), 6).alias("q_cos"),
+            F.round(
+                cosine_pre_col(
+                    F.col("q8v"), F.col("v8"), F.col("_q8n"), F.col("_n8")
+                ),
+                6,
+            ).alias("q_cos"),
         )
         .withColumn("qrank", F.row_number().over(cand_w))
         .filter(F.col("qrank") <= rerank_depth)
         .select("query_id", "neighbor_id")
     )
     # float re-rank: only (queries × rerank_depth) float rows touched
-    nbr = v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    nbr = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("_nv").alias("_nn"),
+    )
     rerank_w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -305,7 +366,12 @@ def ivf_quantized_search(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_col(F.col("qv_f"), F.col("nv")), 6).alias("cosine"),
+            F.round(
+                cosine_pre_col(
+                    F.col("qv_f"), F.col("nv"), F.col("_nq"), F.col("_nn")
+                ),
+                6,
+            ).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(rerank_w).cast("long"))
         .filter(F.col("rank") <= k)
@@ -527,17 +593,23 @@ def ivf_pq_search(
     Output matches :func:`cosine_topk` (query_id, rank, neighbor_id,
     cosine — float precision from the re-rank); deterministic end to
     end, so the DuckDB twin ties out hash-exactly."""
-    v = _vecs(emb)
+    v = _vecs(emb).withColumn("_nv", norm_col(F.col("v")))
     if book is None:
         book = pq_train(emb, m=m, ksub=ksub)
     # decode once per vector (one linear pass; at serving scale this is
-    # the per-cell LUT scan — see pq_decode) and keep the cell label
-    vd = pq_decode(pq_codes(emb, book, m=m), book).join(
-        emb.select("vec_id", "label"), "vec_id"
+    # the per-cell LUT scan — see pq_decode) and keep the cell label;
+    # the decoded-vector self-norm is hoisted here too (once per corpus
+    # vector, not per scanned pair)
+    vd = (
+        pq_decode(pq_codes(emb, book, m=m), book)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .withColumn("_nd", norm_col(F.col("dv")))
     )
     centroids = _label_centroids(v)
     q = v.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv_f")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv_f"),
+        F.col("_nv").alias("_nq"),
     )
     assign_w = Window.partitionBy("query_id").orderBy(
         F.col("centroid_cos").desc(), F.col("label").asc()
@@ -550,7 +622,7 @@ def ivf_pq_search(
         )
         .withColumn("crank", F.row_number().over(assign_w))
         .filter(F.col("crank") <= nprobe)
-        .select("query_id", "qv_f", F.col("label").alias("cell"))
+        .select("query_id", "qv_f", "_nq", F.col("label").alias("cell"))
     )
     cand_w = Window.partitionBy("query_id").orderBy(
         F.col("q_cos").desc(), F.col("neighbor_id").asc()
@@ -564,13 +636,22 @@ def ivf_pq_search(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_col(F.col("qv_f"), F.col("dv")), 6).alias("q_cos"),
+            F.round(
+                cosine_pre_col(
+                    F.col("qv_f"), F.col("dv"), F.col("_nq"), F.col("_nd")
+                ),
+                6,
+            ).alias("q_cos"),
         )
         .withColumn("qrank", F.row_number().over(cand_w))
         .filter(F.col("qrank") <= rerank_depth)
         .select("query_id", "neighbor_id")
     )
-    nbr = v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    nbr = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("_nv").alias("_nn"),
+    )
     rerank_w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -580,7 +661,12 @@ def ivf_pq_search(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_col(F.col("qv_f"), F.col("nv")), 6).alias("cosine"),
+            F.round(
+                cosine_pre_col(
+                    F.col("qv_f"), F.col("nv"), F.col("_nq"), F.col("_nn")
+                ),
+                6,
+            ).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(rerank_w).cast("long"))
         .filter(F.col("rank") <= k)
@@ -611,10 +697,20 @@ def _assign(v: DataFrame, cdf: DataFrame) -> DataFrame:
     embedding).  Lexicographic struct max == ORDER BY cos DESC, cid ASC.
     Output: (vec_id, cid, cos) — callers needing the vectors join back
     to ``v`` by key."""
-    scored = v.crossJoin(F.broadcast(cdf)).select(
+    # self-norm folds hoisted to vector/centroid grain (N + k norms
+    # instead of 2·N·k per assignment pass): same IEEE ops in the same
+    # order as cosine_col, so every rounded cos is bit-identical
+    va = v.withColumn("_nx", norm_col(F.col("x")))
+    cda = cdf.withColumn("_ncv", norm_col(F.col("cv")))
+    scored = va.crossJoin(F.broadcast(cda)).select(
         "vec_id",
         "cid",
-        F.round(cosine_col(F.col("x"), F.col("cv")), 6).alias("cos"),
+        F.round(
+            cosine_pre_col(
+                F.col("x"), F.col("cv"), F.col("_nx"), F.col("_ncv")
+            ),
+            6,
+        ).alias("cos"),
     )
     best = scored.groupBy("vec_id").agg(
         F.max(
