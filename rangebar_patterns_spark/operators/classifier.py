@@ -99,30 +99,69 @@ def logreg_features(docs: DataFrame) -> DataFrame:
 
 def standardize_moments(feats: DataFrame) -> tuple[list[float], list[float]]:
     """Round-6 corpus mean and population std per feature via exact
-    integer-scaled sums (two distributed passes: sd sums squared
-    deviations from the already-rounded mean, exactly as the SQL twin
-    does — (x - mu) of two round-6 values is itself round-6, so its
-    square integer-scales exactly)."""
+    integer-scaled sums, in ONE distributed pass.
+
+    The former two-pass form (mean job, then a squared-deviation job
+    seeded with the collected round-6 mean) is algebraically collapsible
+    because every term is an exact 1e6-unit integer: with ix = i6(x) and
+    imu = i6(round-6 mean), i6(x - mu) == ix - imu exactly (x and mu are
+    round-6 and far below the double-precision cliff), so
+
+        Σ i6(x-mu)²  ==  Σ ix² − 2·imu·Σ ix + n·imu²
+
+    — all decimal integer arithmetic, so deriving the right side from
+    single-pass sums (Σ ix, Σ ix², n) yields the IDENTICAL integer, and
+    applying the same double conversions / rounds on top yields the
+    bit-identical sd.  The round itself stays a Spark expression (Spark
+    rounds HALF_UP; Python's round is HALF_EVEN), so the training loop —
+    a driver-latency-bound sequence of tiny jobs — pays one moments job
+    instead of two."""
     n = F.count("*").cast("double")
-    mu_row = feats.agg(
+    sums = feats.agg(
+        F.count("*").cast("decimal(38,0)").alias("_n"),
+        n.alias("_nd"),
         *[
-            F.round(_sum1(F.col(c)) / n, 6).alias(c)
-            for c in LOGREG_FEATURES
-        ]
-    ).collect()[0]
-    mu = [mu_row[c] for c in LOGREG_FEATURES]
-    sd_row = feats.agg(
+            F.sum(_i6(F.col(c)).cast("decimal(38,0)")).alias(f"_s{j}")
+            for j, c in enumerate(LOGREG_FEATURES)
+        ],
         *[
+            F.sum(
+                (_i6(F.col(c)) * _i6(F.col(c))).cast("decimal(38,0)")
+            ).alias(f"_q{j}")
+            for j, c in enumerate(LOGREG_FEATURES)
+        ],
+    )
+    mu_cols = [
+        F.round(
+            F.col(f"_s{j}").cast("double") / F.lit(float(SCALE)) / F.col("_nd"),
+            6,
+        ).alias(f"_mu{j}")
+        for j in range(len(LOGREG_FEATURES))
+    ]
+    row = sums.select("*", *mu_cols)
+    sd_cols = []
+    for j in range(len(LOGREG_FEATURES)):
+        imu = F.round(F.col(f"_mu{j}") * F.lit(float(SCALE)), 0).cast(
+            "decimal(19,0)"
+        )
+        s2 = (
+            F.col(f"_q{j}")
+            - F.lit(2).cast("decimal(19,0)") * imu * F.col(f"_s{j}")
+            + F.col("_n") * imu * imu
+        )
+        sd_cols.append(
             F.round(
                 F.sqrt(
-                    _sum2(F.col(c) - F.lit(m), F.col(c) - F.lit(m)) / n
+                    s2.cast("double")
+                    / F.lit(float(SCALE) * float(SCALE))
+                    / F.col("_nd")
                 ),
                 6,
-            ).alias(c)
-            for c, m in zip(LOGREG_FEATURES, mu)
-        ]
-    ).collect()[0]
-    sd = [sd_row[c] for c in LOGREG_FEATURES]
+            ).alias(f"_sd{j}")
+        )
+    out = row.select("*", *sd_cols).collect()[0]
+    mu = [out[f"_mu{j}"] for j in range(len(LOGREG_FEATURES))]
+    sd = [out[f"_sd{j}"] for j in range(len(LOGREG_FEATURES))]
     return mu, sd
 
 

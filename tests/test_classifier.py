@@ -66,3 +66,41 @@ def test_training_is_partition_invariant(spark):
     w2, mu2, sd2 = logreg_train(docs.repartition(13, "lang"))
     assert (w1, mu1, sd1) == (w2, mu2, sd2)
     assert len(w1) == len(LOGREG_FEATURES) + 1
+
+
+def test_moments_single_pass_matches_two_pass(spark):
+    """standardize_moments (round-12: one fused aggregate job) must be
+    bit-identical to the literal two-pass definition — a mean job, then a
+    squared-deviation job seeded with the collected round-6 mean — which
+    is what the unrolled DuckDB twin computes."""
+    from pyspark.sql import functions as F
+
+    from rangebar_patterns_spark.operators.classifier import (
+        _sum1,
+        _sum2,
+        logreg_features,
+        standardize_moments,
+    )
+
+    feats = logreg_features(load_table(spark, SF_DIR, "documents")).persist()
+    try:
+        n = F.count("*").cast("double")
+        mu_row = feats.agg(
+            *[F.round(_sum1(F.col(c)) / n, 6).alias(c) for c in LOGREG_FEATURES]
+        ).collect()[0]
+        mu_ref = [mu_row[c] for c in LOGREG_FEATURES]
+        sd_row = feats.agg(
+            *[
+                F.round(
+                    F.sqrt(_sum2(F.col(c) - F.lit(m), F.col(c) - F.lit(m)) / n),
+                    6,
+                ).alias(c)
+                for c, m in zip(LOGREG_FEATURES, mu_ref)
+            ]
+        ).collect()[0]
+        sd_ref = [sd_row[c] for c in LOGREG_FEATURES]
+        mu, sd = standardize_moments(feats)
+        assert mu == mu_ref
+        assert sd == sd_ref
+    finally:
+        feats.unpersist()
