@@ -307,14 +307,16 @@ def distinct_sketch_panel(docs: DataFrame) -> DataFrame:
     # is a keyed aggregate / distinct, so the spread cannot change values
     docs = spread_narrow_scan(docs)
     items = _item_values(docs)
-    occ = items.groupBy("source", "item").agg(
-        F.count("*").cast("long").alias("n_items")
-    )
     # the distinct hash relation feeds FOUR downstream components (exact,
     # k-min window, registers, global ground truth); without a persist
     # Spark recomputes the explode+md5+distinct subtree for each —
     # observed ~2x entry cost at sf0.1.  Vocabulary-sized (distinct
     # values, not occurrences), so safe to cache at any corpus scale.
+    # Round 12: the occurrence count rides along as ``_c`` so the
+    # occurrence-grain explode+md5 pass runs ONCE — the former separate
+    # ``occ`` aggregate re-evaluated the whole items subtree just to
+    # count occurrences (guide §1.2: don't compute things twice); both
+    # n_items and exact_distinct now fall out of this one relation.
     # Swap-handle discipline (round-11 ADVICE): each call unpersists the
     # PREVIOUS call's relation, so repeated library/test invocations hold
     # at most one cached copy instead of accumulating until clearCache;
@@ -322,15 +324,15 @@ def distinct_sketch_panel(docs: DataFrame) -> DataFrame:
     # stays correct either way — unpersist only forfeits the cache).
     hs = (
         items.select("source", "item", hexint(F.col("v")).alias("h"))
-        .distinct()
+        .groupBy("source", "item", "h")
+        .agg(F.count("*").cast("long").alias("_c"))
         .persist()
     )
     _drop_hs_last()
     _HS_LAST.append(hs)
-    exact = (
-        hs.groupBy("source", "item")
-        .agg(F.count("*").cast("long").alias("exact_distinct"))
-        .join(occ, ["source", "item"])
+    exact = hs.groupBy("source", "item").agg(
+        F.count("*").cast("long").alias("exact_distinct"),
+        F.sum("_c").cast("long").alias("n_items"),
     )
     kw = Window.partitionBy("source", "item").orderBy(F.col("h").asc())
     kmin = hs.withColumn("rn", F.row_number().over(kw)).filter(
@@ -343,7 +345,7 @@ def distinct_sketch_panel(docs: DataFrame) -> DataFrame:
     per_source = _sketch_metrics(exact, kmv, regs, ["source", "item"])
 
     # --- merged corpus row from the per-source components -----------------
-    occ_all = occ.groupBy("item").agg(
+    occ_all = exact.groupBy("item").agg(
         F.sum("n_items").cast("long").alias("n_items")
     )
     # ground truth still needs the true global distinct (certification
