@@ -239,15 +239,23 @@ def bpe_train(
     merge list (n strings) ever visits the driver; ties break
     deterministically by (count desc, left asc, right asc), so the
     unrolled DuckDB twin learns the identical table."""
-    # incremental rounds: the CURRENT symbol sequences stay persisted and
-    # each round applies only the newest merge (one fold) — identical by
-    # construction to re-deriving from raw chars (sequential application
-    # IS the definition), but the per-round plan holds ONE fold instead
-    # of r nested ones, so codegen compile cost stays flat across rounds
+    # incremental rounds: the CURRENT symbol sequences stay materialized
+    # and each round applies only the newest merge (one fold) — identical
+    # by construction to re-deriving from raw chars (sequential
+    # application IS the definition), but the per-round plan holds ONE
+    # fold instead of r nested ones, so codegen compile cost stays flat
+    # across rounds.  localCheckpoint (eager), NOT persist: the former
+    # persist(nxt)+unpersist(cur) pair dropped cur's cache BEFORE the
+    # lazy nxt ever materialized, so round r re-derived all r-1 prior
+    # folds from the raw vocabulary through lineage — O(rounds²) total
+    # re-derivation (measured: bpe_train alone was 18-28 s of the sf1
+    # text_metrics entry).  The eager checkpoint materializes each
+    # round's sequences from its predecessor's blocks while they are
+    # still alive and truncates the lineage to a LogicalRDD (§5, §7.3).
     cur = (
         bpe_vocab(docs)
         .select("word", "freq", _char_seq(F.col("word")).alias("s"))
-        .persist()
+        .localCheckpoint()
     )
     try:
         merges: list[tuple[str, str]] = []
@@ -282,11 +290,13 @@ def bpe_train(
             merges.append((a, b))
             nxt = cur.select(
                 "word", "freq", _apply_merge(F.col("s"), a, b).alias("s")
-            ).persist()
-            cur.unpersist()
+            ).localCheckpoint()
             cur = nxt
         return merges
     finally:
+        # checkpointed blocks are released when their RDDs are GC'd;
+        # unpersist here is a cheap no-op kept so the cleanup shape
+        # matches the persisted-state loops elsewhere in the module
         cur.unpersist()
 
 

@@ -1798,8 +1798,11 @@ _BPE_MERGES_CACHE: dict[tuple[int, str], list] = {}
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
     key = (id(spark), sf_dir)
     if key not in _BPE_MERGES_CACHE:
+        # spread the one-file scan before the vocabulary explode (guide
+        # §2.5): the word-type aggregate is partition-invariant, so the
+        # learned merges are unchanged
         _BPE_MERGES_CACHE[key] = TX.bpe_train(
-            load_table(spark, sf_dir, "documents")
+            DD.spread_narrow_scan(load_table(spark, sf_dir, "documents"))
         )
     return _BPE_MERGES_CACHE[key]
 
