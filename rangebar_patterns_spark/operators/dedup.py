@@ -480,6 +480,28 @@ def simhash_near_pairs(
         ).alias("c"),
     ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ckey").alias("ckey"))
     a, b = chunks.alias("a"), chunks.alias("b")
+    # first-matching-chunk dedup instead of a pair-grain .distinct(): a
+    # pair whose fingerprints agree on k chunks used to be emitted k
+    # times and deduplicated through a multi-million-row shuffle (the
+    # near-identical pairs this method exists to find match on MANY
+    # chunks).  Keeping a pair only where every EARLIER chunk differs
+    # emits each candidate exactly once — the same distinct pair set by
+    # construction — for three extra bit-compares per joined row and one
+    # Exchange less (guide §2.4 "remove shuffles outright").
+    mask = (1 << chunk_w) - 1
+
+    def _chunk_diff(ci: int) -> Column:
+        return (
+            F.shiftright(F.col("a.simhash"), ci * chunk_w).bitwiseAND(F.lit(mask))
+            != F.shiftright(F.col("b.simhash"), ci * chunk_w).bitwiseAND(F.lit(mask))
+        )
+
+    first_match = F.lit(True)
+    for ci in range(1, SIMHASH_CHUNKS):
+        cond = _chunk_diff(0)
+        for cj in range(1, ci):
+            cond = cond & _chunk_diff(cj)
+        first_match = F.when(F.col("a.chunk") == ci, cond).otherwise(first_match)
     cand = (
         a.join(
             b,
@@ -487,13 +509,13 @@ def simhash_near_pairs(
             & (F.col("a.ckey") == F.col("b.ckey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_match)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (

@@ -171,3 +171,41 @@ def test_simhash_fingerprints_match_bruteforce(spark):
         for r in simhash_fingerprints(docs).collect()
     }
     assert got == expect
+
+
+def test_simhash_pairs_match_bruteforce_all_pairs(spark):
+    """The first-matching-chunk candidate dedup (round-12: replaced the
+    pair-grain .distinct()) must yield exactly the brute-force pair set:
+    every unordered pair with hamming <= MAX_HAMMING, once each —
+    including identical documents, whose fingerprints match on ALL
+    chunks (the multiplicity case the distinct used to absorb)."""
+    from itertools import combinations
+
+    from rangebar_patterns_spark.operators.dedup import (
+        MAX_HAMMING,
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
+
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # identical to 1
+        (3, "alpha beta gamma delta epsilon eta"),    # near 1/2
+        (4, "totally different content over here now"),
+        (5, "alpha beta gamma delta epsilon zeta"),   # identical to 1/2
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(docs).collect()
+    }
+    expect = set()
+    for da, db in combinations(sorted(fps), 2):
+        if bin(fps[da] ^ fps[db]).count("1") <= MAX_HAMMING:
+            expect.add((da, db))
+    rows = simhash_near_pairs(docs).collect()
+    got = [(r["doc_a"], r["doc_b"]) for r in rows]
+    assert sorted(got) == sorted(expect)      # same pair set
+    assert len(got) == len(set(got))          # each pair exactly once
+    for r in rows:
+        assert r["hamming"] == bin(r["sh_a"] ^ r["sh_b"]).count("1")
