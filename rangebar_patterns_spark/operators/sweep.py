@@ -811,11 +811,19 @@ def sweep_candidates_with_thresholds(
             "pa_idx int, pb_idx int, qs_a array<double>, ia array<int>, "
             "qs_b array<double>, ib array<int>",
         )
-        vals_arr = F.array(*[F.col(a) for a in fcols])
+        # bind the feature array ONCE per kernel row, BEFORE the ×pairs
+        # join: get(array(f0..fK), idx) evaluated after the join would
+        # re-construct the K-wide array once per joined row — pair-fanout
+        # × K double copies (76 × 40 at full-grid width) for values the
+        # kernel row already holds.  The projection below the join keeps
+        # the construction at kernel-row grain, exactly like the
+        # pair-grain path's ``_vals`` (guide §1.2: per-task work).
         ex = (
-            thr.join(F.broadcast(pair_sel), "formation")
-            .withColumn("val_a", F.get(vals_arr, F.col("pa_idx")))
-            .withColumn("val_b", F.get(vals_arr, F.col("pb_idx")))
+            thr.withColumn("_vals", F.array(*[F.col(a) for a in fcols]))
+            .drop(*fcols)
+            .join(F.broadcast(pair_sel), "formation")
+            .withColumn("val_a", F.get("_vals", F.col("pa_idx")))
+            .withColumn("val_b", F.get("_vals", F.col("pb_idx")))
             .filter(F.col("val_a").isNotNull() & F.col("val_b").isNotNull())
             .withColumn(
                 "_ta",
