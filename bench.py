@@ -84,6 +84,13 @@ Schema history ("bench_version"):
     Key changes: eval_ou_calibration merged into "cutoff_ou_panel"
     (formerly cutoff_grid_search); new "mergeable_quantiles" entry;
     "decontamination_overlap" absorbs the Bloom filter rows.
+  5 (r13) — schema unchanged; additions-only key change:
+    "cutoff_grid_search" and "eval_ou_calibration" are timed again (their
+    r11 definitions, restored as bench-only entries outside the 50-entry
+    correctness window) so the bench line carries every historical query
+    name — VERDICT r12 "What's wrong #1" (the r12 merge broke the
+    driver's round-over-round pairing).  "value" therefore includes the
+    two restored entries again (~+1 s at sf0.1 vs the r12 line).
 """
 
 from __future__ import annotations
@@ -393,8 +400,14 @@ def main() -> None:
     )
 
     import __spark_entry__ as entrymod
+    from rangebar_patterns_spark.plans.catalog import RESTORED_QUERIES
 
     qs = dict(entrymod.queries())
+    # round 13: the r11-sanctioned gate merge dropped these two names from
+    # the bench line, breaking round-over-round pairing — time them again
+    # (additions-only; they sit outside the 50-entry correctness window
+    # and are pytest-oracle certified, see plans/catalog.RESTORED_QUERIES)
+    qs.update(RESTORED_QUERIES)
     # regression-test hook: run a named subset of the catalog only
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
