@@ -28,6 +28,8 @@ DuckDB); list folds are sequential in both engines, so results are exact.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -95,20 +97,48 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
+#: spread sizing floor: input bytes each spread task should own.  Per-doc
+#: text pipelines expand every input byte into orders of magnitude of
+#: downstream CPU (O(words²) regex splits, shingle explode + md5), so the
+#: floor is deliberately tiny relative to a scan split — it exists only to
+#: stop a KB-scale corpus (the sf0.001/sf0.01 correctness fixtures, or the
+#: sf0.1 tier's 0.6 MB documents file) from fanning into session-width
+#: tasks whose scheduling overhead exceeds their work (VERDICT r12 #2:
+#: sketch_heavy_hitters ran FASTER on 8 cores than 32 at sf0.1).  At the
+#: sf1 bench tier the derived width already reaches session parallelism
+#: (911 KB / 24 KB > 32), so the r12 sf1 wins are untouched; at 100 TB the
+#: scan is wider than the session and the whole function is a no-op.
+SPREAD_BYTES_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_BYTES_PER_TASK", 24576)
+)
+
+
 def spread_narrow_scan(docs: DataFrame, key: str = "doc_id") -> DataFrame:
-    """Hash-repartition a document scan up to session parallelism when the
-    source produced fewer partitions — a small corpus stored as one
+    """Hash-repartition a document scan toward session parallelism when
+    the source produced fewer partitions — a small corpus stored as one
     parquet file scans as ONE partition, and every narrow per-doc
     transformation downstream (shingle explode, token hashing) then runs
     single-threaded until the first shuffle (measured ~47 s of serialized
-    wall on the sf1 bench).  At real corpus scale the scan is already
-    wider than the session default and this is a no-op — the guard keeps
-    the extra shuffle from ever touching a big input."""
+    wall on the sf1 bench).  Round 13 (§2.5, VERDICT r12 #2): the spread
+    width derives from the estimated input size (plan statistics — file
+    bytes for a parquet scan) at :data:`SPREAD_BYTES_PER_TASK` per task,
+    capped at session parallelism, instead of always-N — so a KB-scale
+    fixture scan gets a proportionate (or no) Exchange while any real
+    corpus still spreads to the full session.  At real corpus scale the
+    scan is already wider than the session default and this is a no-op —
+    the guard keeps the extra shuffle from ever touching a big input."""
     spark = docs.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if docs.rdd.getNumPartitions() >= n:
+    try:
+        est_bytes = int(
+            docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # Connect or stats-less plans: keep the r12 behavior
+        est_bytes = n * SPREAD_BYTES_PER_TASK
+    width = max(1, min(n, -(-est_bytes // SPREAD_BYTES_PER_TASK)))
+    if docs.rdd.getNumPartitions() >= width:
         return docs
-    return docs.repartition(n, F.col(key))
+    return docs.repartition(width, F.col(key))
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
@@ -460,6 +490,14 @@ def simhash_near_pairs(
     """Candidate pairs via the pigeonhole chunk join (one of SIMHASH_CHUNKS
     8-bit chunks must match when hamming <= max_hamming < chunks), exact
     popcount verify."""
+    if max_hamming >= SIMHASH_CHUNKS:
+        # the pigeonhole guarantee (some chunk equal) AND the first-match
+        # dedup both require hamming < chunks; a larger radius would
+        # silently miss pairs (ADVICE r12)
+        raise ValueError(
+            f"max_hamming={max_hamming} must be < SIMHASH_CHUNKS="
+            f"{SIMHASH_CHUNKS} for the pigeonhole join to be exhaustive"
+        )
     fp = simhash_fingerprints(docs)
     chunk_w = SIMHASH_BITS // SIMHASH_CHUNKS
     chunks = fp.select(
@@ -573,18 +611,167 @@ def sign_bucket_col(v: Column, bits: int = SIGN_BITS) -> Column:
     return acc
 
 
+def _cell_split_factor(n_buckets: int, parallelism: int) -> int:
+    """Sub-block split S for the in-bucket pair kernel: smallest S whose
+    S(S+1)/2 block-pair units per bucket give ~2×parallelism work units
+    across all buckets.  Collapses to 1 once buckets alone saturate the
+    session — the production regime (SemDeDup sizes k ∝ corpus, so cells
+    are numerous and small), where each vector then crosses the packing
+    shuffle exactly once."""
+    import math
+
+    per_bucket = (2.0 * max(1, parallelism)) / max(1, n_buckets)
+    if per_bucket <= 1.0:
+        return 1
+    return max(1, int(math.ceil((math.sqrt(8.0 * per_bucket + 1.0) - 1.0) / 2.0)))
+
+
+def cell_pair_cosines(
+    v: DataFrame, bucket: str, threshold: float, n_sub: int = 1
+) -> DataFrame:
+    """All within-bucket pairs (vec_a < vec_b by id) whose exact cosine
+    clears ``threshold`` after the certified round-to-6 — computed by a
+    batched Arrow kernel over PACKED per-bucket vector blocks instead of
+    a pair-grain join projection (§4.2, the sweep candidate-grain kernel
+    lesson): one JVM↔Python crossing of ~n×dim doubles replaces ~pairs ×
+    dim interpreted HOF lambda folds, and only surviving pairs come back.
+
+    Bit-identical to the join + ``dot_col`` form: the kernel accumulates
+    each pair's dot in ascending-dimension order (one IEEE double
+    multiply-add per dimension, vectorized ACROSS pairs — the same fold
+    ``F.aggregate(zip_with(...))`` performs per pair), folds the norms the
+    same way (sum of squares in dimension order, one sqrt per side), and
+    the certified ``F.round(..., 6)`` plus the threshold cut stay SPARK
+    expressions over the kernel's raw doubles — the kernel only
+    pre-filters with a margin one decimal-ulp below the cut (round-to-6
+    moves a value by at most 5e-7, so no survivor is lost and the exact
+    cut happens in Spark).  A zero norm product yields NULL cosine in the
+    join form (nullif) — the kernel drops those pairs, which the
+    ``cosine >= threshold`` filter did anyway.
+
+    ``v``: (vec_id, v: array<double>, <bucket>).  Output: (vec_a, vec_b,
+    <bucket>, cosine) with cosine rounded to 6 decimals.
+
+    Scale shape: each bucket is split into ``n_sub`` deterministic
+    sub-blocks (pmod(xxhash64(vec_id))) and each (block, block) unit is
+    one kernel row, so a few big cells still fan out across the session;
+    with n_sub=1 the packing shuffle carries each vector exactly once."""
+    sub = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_sub)).cast("int")
+    blocks = (
+        v.withColumn("_sub", sub)
+        .groupBy(F.col(bucket).alias("_bkt"), F.col("_sub"))
+        .agg(F.collect_list(F.struct("vec_id", "v")).alias("_rows"))
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    units = a.join(
+        b,
+        (F.col("a._bkt") == F.col("b._bkt"))
+        & (F.col("a._sub") <= F.col("b._sub")),
+    ).select(
+        F.col("a._bkt").alias("_bkt"),
+        (F.col("a._sub") == F.col("b._sub")).alias("_intra"),
+        F.col("a._rows").alias("_ra"),
+        F.col("b._rows").alias("_rb"),
+    )
+    bt = v.schema[bucket].dataType.simpleString()
+    out_schema = f"vec_a bigint, vec_b bigint, _bkt {bt}, _cos double"
+    margin = float(threshold) - 1e-6
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        def unpack(cell):
+            rows = cell.values  # StructArray of (vec_id, v)
+            ids = np.asarray(rows.field("vec_id"))
+            n = len(ids)
+            if n == 0:
+                return ids, np.zeros((0, 0))
+            mat = np.asarray(rows.field("v").flatten()).reshape(n, -1)
+            return ids, mat
+
+        def fold_norms(m):
+            # dot_col(v, v) fold order: acc = (acc + x_j * x_j), j ascending
+            n2 = np.zeros(m.shape[0])
+            for j in range(m.shape[1]):
+                c = m[:, j]
+                n2 += c * c
+            return np.sqrt(n2)
+
+        for batch in batches:
+            bkt_arr = batch.column("_bkt")
+            intra = batch.column("_intra")
+            ra = batch.column("_ra")
+            rb = batch.column("_rb")
+            va_l, vb_l, bk_l, cs_l = [], [], [], []
+            for i in range(batch.num_rows):
+                ids_a, ma = unpack(ra[i])
+                if intra[i].as_py():
+                    n = len(ids_a)
+                    if n < 2:
+                        continue
+                    acc = np.zeros((n, n))
+                    for j in range(ma.shape[1]):
+                        c = ma[:, j]
+                        acc += c[:, None] * c[None, :]
+                    nr = fold_norms(ma)
+                    ii, jj = np.triu_indices(n, k=1)
+                    dots = acc[ii, jj]
+                    den = nr[ii] * nr[jj]
+                    ia, ib = ids_a[ii], ids_a[jj]
+                else:
+                    ids_b, mb = unpack(rb[i])
+                    na, nb = len(ids_a), len(ids_b)
+                    if na == 0 or nb == 0:
+                        continue
+                    acc = np.zeros((na, nb))
+                    for j in range(ma.shape[1]):
+                        acc += ma[:, j][:, None] * mb[:, j][None, :]
+                    den = np.multiply.outer(fold_norms(ma), fold_norms(mb)).ravel()
+                    dots = acc.ravel()
+                    ia = np.repeat(ids_a, nb)
+                    ib = np.tile(ids_b, na)
+                ok = den != 0.0
+                cos = dots / np.where(ok, den, 1.0)
+                keep = ok & (cos >= margin)
+                if not keep.any():
+                    continue
+                va_l.append(np.minimum(ia[keep], ib[keep]))
+                vb_l.append(np.maximum(ia[keep], ib[keep]))
+                bk_l.append(
+                    pa.array([bkt_arr[i].as_py()] * int(keep.sum()), bkt_arr.type)
+                )
+                cs_l.append(cos[keep])
+            if not va_l:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(va_l), pa.int64()),
+                    pa.array(np.concatenate(vb_l), pa.int64()),
+                    pa.concat_arrays(bk_l),
+                    pa.array(np.concatenate(cs_l), pa.float64()),
+                ],
+                ["vec_a", "vec_b", "_bkt", "_cos"],
+            )
+
+    raw = units.mapInArrow(kernel, out_schema)
+    return raw.select(
+        "vec_a",
+        "vec_b",
+        F.col("_bkt").alias(bucket),
+        F.round(F.col("_cos"), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
 ) -> DataFrame:
     """Near-duplicate vector pairs: sign-bucket LSH candidates (scale
     path — no all-pairs), exact cosine verify.  Recall is bucket-bounded
     by construction; multiple rotated bucket families would raise it at
-    production scale."""
-    # self-norms once per VECTOR, not per candidate pair (cosine_col
-    # would fold dot(a,a)/dot(b,b) again for every pair the vector lands
-    # in — ~2/3 of the verify arithmetic for dup-heavy buckets).  Same
-    # IEEE ops in the same order (sqrt per side, then multiply), so the
-    # result is bit-identical to cosine_col and the oracle twin.
+    production scale.  The verify runs through the packed-block Arrow
+    kernel (:func:`cell_pair_cosines` — round 13); sign buckets number
+    2**SIGN_BITS, already ≥ session parallelism, so no sub-block split."""
     v = (
         spread_narrow_scan(emb, key="vec_id")
         .select(
@@ -592,23 +779,11 @@ def embedding_near_dup_pairs(
             vec_double(F.col("embedding")).alias("v"),
         )
         .withColumn("bucket", sign_bucket_col(F.col("v")))
-        .withColumn("norm", F.sqrt(dot_col(F.col("v"), F.col("v"))))
     )
-    a, b = v.alias("a"), v.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.col("a.bucket").alias("bucket"),
-        F.round(
-            dot_col(F.col("a.v"), F.col("b.v"))
-            / F.nullif(F.col("a.norm") * F.col("b.norm"), F.lit(0.0)),
-            6,
-        ).alias("cosine"),
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    return cell_pair_cosines(
+        v, "bucket", threshold, n_sub=_cell_split_factor(2**SIGN_BITS, par)
     )
-    return pairs.filter(F.col("cosine") >= threshold)
 
 
 def duplicate_clusters(
@@ -957,29 +1132,23 @@ def semantic_dedup_pairs(
     v = (
         spread_narrow_scan(emb, key="vec_id")
         .select("vec_id", vec_double(F.col("embedding")).alias("v"))
-        .withColumn("norm", F.sqrt(dot_col(F.col("v"), F.col("v"))))
         .join(
             kmeans_assign(emb, k=k, cents=cents).select("vec_id", "cluster"),
             "vec_id",
         )
     )
-    a, b = v.alias("a"), v.alias("b")
-    cos = F.round(
-        dot_col(F.col("a.v"), F.col("b.v"))
-        / F.nullif(F.col("a.norm") * F.col("b.norm"), F.lit(0.0)),
-        6,
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.cluster").cast("long").alias("cluster"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    # round 13 (§4.2): the per-pair verify runs through the packed-block
+    # Arrow kernel — one boundary crossing of the cell's vectors replaces
+    # ~cell²/2 interpreted 64-dim HOF folds; bit-identical (fold order,
+    # norms, round and cut — see cell_pair_cosines).  The certified k=8
+    # quantizer leaves few big cells at bench scale, so cells split into
+    # deterministic sub-blocks to keep the session full.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    return cell_pair_cosines(
+        v, "cluster", threshold, n_sub=_cell_split_factor(k, par)
+    ).select(
+        "vec_a",
+        "vec_b",
+        F.col("cluster").cast("long").alias("cluster"),
+        "cosine",
     )

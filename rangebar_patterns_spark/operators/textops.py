@@ -728,6 +728,12 @@ def benchmark_overlap_bloom(
     dbl_null = F.lit(None).cast("double")
 
     # --- benchmark shingles, partitioned for the partial-filter build ---
+    # round 13 (§2.4, VERDICT r12 #8): the panel's components used to be
+    # separate aggregates over re-executed copies of this subtree (the
+    # r12 plan showed ~24 Exchanges, zero reuse); the benchmark side is
+    # tiny at any scale (the eval split), so persist the distinct shingle
+    # relation once and let every component read the cache, and fuse the
+    # per-part/merged word aggregates into ONE grouping-sets pass below.
     bench_sh = (
         benchmark.select(
             F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias(
@@ -740,8 +746,9 @@ def benchmark_overlap_bloom(
         )
         .select("part", hexint(F.col("s")).alias("shingle"))
         .distinct()
+        .persist()
     )
-    bench_global = bench_sh.select("shingle").distinct()
+    bench_global = bench_sh.select("shingle").distinct().persist()
     # filter geometry from the GLOBAL inserted count (partials must share
     # m for OR to be meaningful) — one scalar row, broadcast everywhere
     mrel = bench_global.agg(
@@ -777,13 +784,26 @@ def benchmark_overlap_bloom(
             ).alias("wval"),
         )
     )
-    sparse = pos_long.groupBy("part", "m_words", "widx").agg(
-        F.bit_or("wval").alias("word")
+    # ONE grouping-sets aggregate covers both grains — (part, widx) for
+    # the partial filters AND (widx) for the merged filter.  bit_or is
+    # associative and commutative, so OR-ing the raw position words
+    # directly at the merged grain equals the former OR-of-per-part-words
+    # formulation bit for bit (the merge law the panel certifies).
+    sparse = (
+        pos_long.groupingSets(
+            [["part", "m_words", "widx"], ["m_words", "widx"]],
+            "part",
+            "m_words",
+            "widx",
+        )
+        .agg(F.bit_or("wval").alias("word"))
+        .select(
+            F.coalesce("part", F.lit("__merged__")).alias("part"),
+            "m_words",
+            "widx",
+            "word",
+        )
     )
-    # the merged filter = OR of the per-part words (the merge law)
-    merged_sparse = sparse.groupBy("m_words", "widx").agg(
-        F.bit_or("word").alias("word")
-    ).select(F.lit("__merged__").alias("part"), "m_words", "widx", "word")
 
     def densify(rel: DataFrame) -> DataFrame:
         return rel.groupBy("part", "m_words").agg(
@@ -802,8 +822,12 @@ def benchmark_overlap_bloom(
             ).alias("_words"),
         )
 
-    dense_parts = densify(sparse)
-    dense_merged = densify(merged_sparse)
+    # every partial + the merged row in one densify pass; the relation is
+    # a handful of rows (one per bench doc + one), persisted because both
+    # the filter-row union and the probe's broadcast read it
+    dense_all = densify(sparse).persist()
+    dense_parts = dense_all.filter(F.col("part") != "__merged__")
+    dense_merged = dense_all.filter(F.col("part") == "__merged__")
     n_ins_part = bench_sh.groupBy("part").agg(
         F.count("*").cast("long").alias("n_inserted")
     )
@@ -817,7 +841,7 @@ def benchmark_overlap_bloom(
             F.lit(0).cast("long"),
             lambda a, b: a + b,
         )
-        return dense.join(nrel, "part").select(
+        return dense.join(F.broadcast(nrel), "part").select(
             F.lit("filter").alias("row_kind"),
             long_null.alias("doc_id"),
             F.col("part"),
@@ -847,14 +871,24 @@ def benchmark_overlap_bloom(
     )
 
     # --- probe: one exploded pass feeds BOTH the exact and bloom counts --
-    corpus = docs.select("doc_id", words_col().alias("_w")).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(shingles_col(k, words=F.col("_w")), lambda s: hexint(s))
-        ).alias("_shs"),
-    )
+    # round 13: explode_outer keeps zero-shingle docs inside the SAME
+    # keyed aggregate (count() skips their NULL shingle row; the
+    # membership terms fall to their otherwise(0) branches), so the
+    # former second corpus subtree + left join that re-attached those
+    # docs is gone.
     probe = (
-        corpus.select("doc_id", F.explode("_shs").alias("shingle"))
+        docs.select("doc_id", words_col().alias("_w"))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(
+                    F.transform(
+                        shingles_col(k, words=F.col("_w")),
+                        lambda s: hexint(s),
+                    )
+                )
+            ).alias("shingle"),
+        )
         .join(
             F.broadcast(bench_global.withColumn("_in_bench", F.lit(1))),
             "shingle",
@@ -879,24 +913,12 @@ def benchmark_overlap_bloom(
             f" CAST(_pos_{i} % {BLOOM_WORD_BITS} AS INT)) & 1) = 1"
         )
         hit = h if hit is None else (hit & h)
-    agg = probe.groupBy("doc_id").agg(
+    out = probe.groupBy("doc_id").agg(
+        F.count("shingle").cast("long").alias("n_shingles"),
         F.sum(F.when(F.col("_in_bench") == 1, 1).otherwise(0))
         .cast("long")
         .alias("n_contaminated"),
         F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_bloom"),
-    )
-    base = corpus.select(
-        "doc_id", F.size("_shs").cast("long").alias("n_shingles")
-    )
-    out = (
-        base.join(agg, "doc_id", "left")
-        .withColumn(
-            "n_contaminated",
-            F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")),
-        )
-        .withColumn(
-            "n_bloom", F.coalesce(F.col("n_bloom"), F.lit(0).cast("long"))
-        )
     )
 
     def _ratio(c: Column) -> Column:

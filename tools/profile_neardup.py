@@ -11,9 +11,12 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
+SF_DIR = (
+    sys.argv[1] if len(sys.argv) > 1 else os.path.join(_REPO, ".scratch", "sf1")
+)
 PASSES = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 
 
